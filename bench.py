@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect — the same way you'd measure on a cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from equity_volatility_lakehouse_platform_spark.plans import all_queries, load_all
+from equity_volatility_lakehouse_platform_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j01_equi_inner_join",
+    "j05_interval_tag_join",
+    "a01_ordered_ohlcv_rollup",
+    "a11_quality_invariants",
+    "w04_lag_ladder",
+    "w08_rolling_median",
+    "o04_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    load_all()
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    spark = get_spark(app_name="evlp-bench")
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once so timings reflect steady-state execution.
+    queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1112 @@
+"""Core relational operator queries (SURVEY.md §2.2, §2.3, §2.4, §2.6-§2.8).
+
+Each query re-expresses one reference operator over the testdata star
+schema, Spark-first: declarative DataFrame plans that Catalyst compiles
+to pushed-down parquet scans, broadcast/SMJ joins, partial aggregation.
+Reference citations point at the behavior being reproduced.
+
+Scale notes (100 TB design point): no collects, no global sorts except
+top-k (TakeOrderedAndProject), dimension sides of joins are broadcast,
+all aggregates are partial+final (map-side combine free from Catalyst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing-summary roll-up (scan -> filter -> agg), the shape of the
+# reference's daily consolidation (my_alpaca.py:272-280) on lineitem.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)                                   AS n_rows,
+           ROUND(SUM(l_quantity), 6)                                  AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6)                             AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)          AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                  AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                             AS avg_price,
+           ROUND(AVG(l_discount), 6)                                  AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r6(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+@register(
+    "p01_project_reorder",
+    oracle="SELECT c_custkey, c_mktsegment, c_name, c_acctbal FROM customer",
+)
+def p01_project_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column select/reorder (my_stock_functions.py:48,102-106; my_eodhd.py:42).
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_mktsegment", "c_name", "c_acctbal")
+
+
+@register(
+    "p02_drop_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def p02_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Column drop incl. a nonexistent name — Spark drop is lenient, matching
+    # the reference's drop of absent `day_open` (fase_2.ipynb:113 cell 6).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.drop(
+        "l_partkey", "l_suppkey", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate", "day_open_nonexistent",
+    )
+
+
+@register(
+    "p03_bulk_rename",
+    oracle="""
+    SELECT p_partkey AS part_key, p_name AS part_name, p_brand AS brand,
+           p_retailprice AS retail_price
+    FROM part
+    """,
+)
+def p03_bulk_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bulk PascalCase->snake_case renames (my_eodhd.py:63-82,124-137).
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", "p_name", "p_brand", "p_retailprice").withColumnsRenamed(
+        {
+            "p_partkey": "part_key",
+            "p_name": "part_name",
+            "p_brand": "brand",
+            "p_retailprice": "retail_price",
+        }
+    )
+
+
+@register(
+    "p04_isin_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def p04_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN-list filter (my_eodhd.py:24; fase_1.ipynb:121 cell 8).
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_custkey", "o_orderpriority").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+
+
+@register(
+    "p05_time_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+    """,
+)
+def p05_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range trim on time (my_alpaca.py:165-170; docx DELETE < 2016).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 23:59:59").cast("timestamp"),
+        )
+    )
+
+
+@register(
+    "p06_time_of_day_filter",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) >= 240
+      AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) < 570
+    """,
+)
+def p06_time_of_day_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Premarket 04:00 <= t < 09:30 mask (my_stock_functions.py:561-566).
+    ev = load_table(spark, sf_dir, "events")
+    minute_of_day = F.hour("ts") * 60 + F.minute("ts")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value").filter(
+        (minute_of_day >= 240) & (minute_of_day < 570)
+    )
+
+
+@register(
+    "p07_weekday_filter",
+    oracle="""
+    SELECT event_id, ts, user_id
+    FROM events
+    WHERE dayofweek(ts) BETWEEN 1 AND 5
+    """,
+)
+def p07_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Drop weekends (alpa.py:126-127; fase_1.ipynb:169 cell 11).
+    # Spark dayofweek: 1=Sun..7=Sat; DuckDB dayofweek: 0=Sun..6=Sat.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", "user_id").filter(F.dayofweek("ts").between(2, 6))
+
+
+@register(
+    "p08_null_validity_probes",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                                    AS n_rows,
+           CAST(count_if(o_orderdate IS NULL) AS BIGINT)               AS null_dates,
+           CAST(count_if(TRY_CAST(o_orderpriority AS DOUBLE) IS NULL) AS BIGINT) AS bad_casts,
+           CAST(count_if(o_totalprice < 0) AS BIGINT)                  AS negative_prices
+    FROM orders
+    """,
+)
+def p08_null_validity_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docx validation probes: COUNT_IF(ts IS NULL), TRY_CAST ... IS NULL.
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("null_dates"),
+        F.count_if(F.col("o_orderpriority").try_cast("double").isNull()).alias("bad_casts"),
+        F.count_if(F.col("o_totalprice") < 0).alias("negative_prices"),
+    )
+
+
+@register(
+    "p09_regex_predicate",
+    oracle=r"""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE regexp_matches(c_name, '[02468]$') OR length(c_name) > 18 OR c_name = ''
+    """,
+)
+def p09_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bad-ticker lexical rule: regexp_like(symbol,'[^A-Z]') OR length>5 OR ''
+    # (docx symbol-check query), re-expressed on customer names.
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name").filter(
+        F.regexp_like("c_name", F.lit("[02468]$"))
+        | (F.length("c_name") > 18)
+        | (F.col("c_name") == "")
+    )
+
+
+@register(
+    "p10_masked_update",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value_clean
+    FROM events
+    """,
+)
+def p10_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boolean-mask row update df.loc[mask,col]=v (my_alpaca.py:285-290) ->
+    # declarative when/otherwise.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("value_clean"),
+    )
+
+
+@register(
+    "p11_vwap_repair",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount < 0.02 OR l_discount > 0.08
+                THEN ROUND((0.02 + 0.08) / 2, 6)
+                ELSE l_discount END AS discount_repaired
+    FROM lineitem
+    """,
+)
+def p11_vwap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docx repair: UPDATE ... SET vwap=(low+high)/2 WHERE vwap<low OR vwap>high,
+    # as the declarative equivalent (Delta UPDATE at deploy time).
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = F.lit(0.02), F.lit(0.08)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_discount") < lo) | (F.col("l_discount") > hi),
+            F.round((lo + hi) / 2, 6),
+        )
+        .otherwise(F.col("l_discount"))
+        .alias("discount_repaired"),
+    )
+
+
+@register(
+    "p12_interval_membership_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE TIMESTAMP '1998-06-15 00:00:00' BETWEEN o_orderdate
+          AND o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def p12_interval_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Active-on-date membership: start<=d<=end (my_eodhd.py:54-60).
+    orders = load_table(spark, sf_dir, "orders")
+    probe = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    return orders.select("o_orderkey", "o_orderdate").filter(
+        (probe >= F.col("o_orderdate"))
+        & (probe <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "j01_equi_inner_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber,
+           ROUND(l.l_extendedprice * (1 - l.l_discount), 6) AS net_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def j01_equi_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw x adjusted inner merge on (symbol,timestamp) (my_alpaca.py:163):
+    # fact-fact equi join; Catalyst picks SMJ/shuffled-hash, AQE may broadcast.
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "l_linenumber",
+            _r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "j02_left_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    """,
+)
+def j02_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grid left-join shape (fase_1.ipynb:209 cell 14): left side preserved,
+    # unmatched rows null-extended.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P")
+    return cust.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "j03_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def j03_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # symbols x timestamps grid (fase_1.ipynb:169 cell 11). Only ever on
+    # dims; big grids are built with explode(sequence(...)) instead.
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@register(
+    "j04_range_clamp_join",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_orderkey,
+             min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
+    FROM lineitem l JOIN bounds b ON l.l_orderkey = b.l_orderkey
+    WHERE l.l_shipdate > b.first_ship AND l.l_shipdate < b.last_ship
+    """,
+)
+def j04_range_clamp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grid clamped to per-symbol [min,max] (fase_1.ipynb:169 cell 11):
+    # equi join on key + range predicate pushed into the join.
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"), F.max("l_shipdate").alias("last_ship")
+    )
+    return (
+        li.join(bounds, "l_orderkey")
+        .filter((F.col("l_shipdate") > F.col("first_ship")) & (F.col("l_shipdate") < F.col("last_ship")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@register(
+    "j05_interval_tag_join",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, t.tier
+    FROM part p
+    LEFT JOIN (VALUES (0.0, 500.0, 'budget'),
+                      (500.0, 1000.0, 'mid'),
+                      (1000.0, 1500.0, 'premium'),
+                      (1500.0, 1e9, 'luxury')) AS t(lo, hi, tier)
+      ON p.p_retailprice >= t.lo AND p.p_retailprice < t.hi
+    """,
+)
+def j05_interval_tag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-range interval tagging (my_alpaca.py:283-290 python mask loop)
+    # -> broadcast non-equi join against a tiny dimension (BNLJ, dim side
+    # broadcast — the only sane physical plan at 100 TB fact scale).
+    part = load_table(spark, sf_dir, "part")
+    tiers = spark.createDataFrame(
+        [(0.0, 500.0, "budget"), (500.0, 1000.0, "mid"),
+         (1000.0, 1500.0, "premium"), (1500.0, 1e9, "luxury")],
+        T.StructType([
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+            T.StructField("tier", T.StringType()),
+        ]),
+    )
+    cond = (part.p_retailprice >= tiers.lo) & (part.p_retailprice < tiers.hi)
+    return part.join(F.broadcast(tiers), cond, "left").select(
+        "p_partkey", "p_retailprice", "tier"
+    )
+
+
+@register(
+    "j06_drop_overlap_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 6) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    feat AS (
+      SELECT o_custkey, ROUND(AVG(o_totalprice), 6) AS total_spend
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    )
+    SELECT b.o_custkey, b.n_orders, f.total_spend
+    FROM base b LEFT JOIN feat f ON b.o_custkey = f.o_custkey
+    """,
+)
+def j06_drop_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Feature-append merge where the right side wins on overlapping columns
+    # (drop-then-merge, my_alpaca.py:308-335).
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), _r6(F.sum("o_totalprice")).alias("total_spend")
+    )
+    feat = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(_r6(F.avg("o_totalprice")).alias("total_spend"))
+    )
+    overlap = [c for c in base.columns if c in feat.columns and c != "o_custkey"]
+    return base.drop(*overlap).join(feat, "o_custkey", "left").select(
+        "o_custkey", "n_orders", "total_spend"
+    )
+
+
+@register(
+    "j08_dim_enrichment_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j08_dim_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Enrichment merge (alpa.py:336,381): snowflake dims, both broadcast.
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@register(
+    "j10_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Implicit semi join `symbol in cons['symbol'].values` (my_alpaca.py:252).
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j11_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skip-if-exists memoization (my_alpaca.py:198-205) as a set operation:
+    # plan only work that is not already present.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "a01_ordered_ohlcv_rollup",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ROUND(arg_min(value, ts), 6)  AS open,
+           ROUND(max(value), 6)          AS high,
+           ROUND(min(value), 6)          AS low,
+           ROUND(arg_max(value, ts), 6)  AS close,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           ROUND(SUM(value), 6)          AS total_value
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def a01_ordered_ohlcv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THE core daily roll-up (my_alpaca.py:272-280): pandas first/last honor
+    # sort order; Spark's first/last are order-nondeterministic, so we use
+    # min_by/max_by keyed on the timestamp (SURVEY §7.5).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            _r6(F.min_by("value", "ts")).alias("open"),
+            _r6(F.max("value")).alias("high"),
+            _r6(F.min("value")).alias("low"),
+            _r6(F.max_by("value", "ts")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "a02_minmax_per_group",
+    oracle="""
+    SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def a02_minmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-symbol min/max timestamps (fase_1.ipynb:169; bars.py:371-374).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+
+
+@register(
+    "a03_stats_per_group",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(value), 6)         AS avg_value,
+           ROUND(median(value), 6)      AS median_value,
+           ROUND(stddev_samp(value), 6) AS std_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a03_stats_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mean/median/std per group (EDA notebooks; my_model.py:64-66 median fill).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r6(F.avg("value")).alias("avg_value"),
+        _r6(F.median("value")).alias("median_value"),
+        _r6(F.stddev_samp("value")).alias("std_value"),
+    )
+
+
+@register(
+    "a04_counts_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+           CAST(count_if(value > 100) AS BIGINT)    AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def a04_counts_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count/nunique/value_counts/COUNT_IF (ingestion cell 9, docx).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+    )
+
+
+@register(
+    "a05_distinct_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def a05_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct()/drop_duplicates (fase_1.ipynb:105; my_ishares.py:18).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@register(
+    "a06_hhi_concentration",
+    oracle="""
+    SELECT user_id,
+           ROUND(SUM(value * value) / NULLIF(SUM(value) * SUM(value), 0), 6) AS hhi
+    FROM events
+    WHERE value > 0
+    GROUP BY user_id
+    """,
+)
+def a06_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HHI custom UDAF (my_stock_functions.py:569-576) — pure SQL, no UDF:
+    # sum((v/sum v)^2) == sum(v^2)/sum(v)^2.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("user_id").agg(
+        _r6(
+            F.sum(F.col("value") * F.col("value"))
+            / F.nullif(F.sum("value") * F.sum("value"), F.lit(0.0))
+        ).alias("hhi")
+    )
+
+
+@register(
+    "a08_threshold_count",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM events GROUP BY user_id
+    """,
+)
+def a08_threshold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (x > threshold).sum() per symbol (alpa.py:281-290).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("value") > 150, 1).otherwise(0)).alias("n_above")
+    )
+
+
+@register(
+    "a09_all_within_range",
+    oracle="""
+    SELECT user_id
+    FROM events
+    GROUP BY user_id
+    HAVING bool_and(value BETWEEN 0 AND 250)
+    """,
+)
+def a09_all_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keep symbols where ALL days are within [min,max] (alpa.py:269-279).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.bool_and(F.col("value").between(0, 250)).alias("ok"))
+        .filter("ok")
+        .select("user_id")
+    )
+
+
+@register(
+    "a10_pivot_table",
+    oracle="""
+    SELECT user_id,
+           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6)    AS click,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6)    AS error,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6)   AS signup,
+           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6)     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def a10_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot_table(index=year, columns=month, values=..., aggfunc=mean)
+    # (EDA - parte 1.ipynb:640 cell 17). Explicit pivot values keep the plan
+    # single-pass (no extra distinct job) — required practice at scale.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(_r6(F.avg("value")))
+    )
+
+
+@register(
+    "a11_quality_invariants",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)       AS bad_qty,
+      CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)   AS neg_price,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)             AS neg_tax,
+      CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)    AS null_ship,
+      CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+    FROM lineitem
+    """,
+)
+def a11_quality_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The docx incongruence battery (8 SUM(CASE...) invariant probes) as one
+    # single-pass data-quality aggregate.
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def probe(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return li.agg(
+        probe(F.col("l_quantity") <= 0, "bad_qty"),
+        probe(F.col("l_extendedprice") < 0, "neg_price"),
+        probe((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+        probe(F.col("l_tax") < 0, "neg_tax"),
+        probe(F.col("l_shipdate").isNull(), "null_ship"),
+        probe(~F.col("l_returnflag").isin("A", "N", "R"), "bad_flag"),
+    )
+
+
+@register(
+    "a12_argmax_per_group",
+    oracle="""
+    SELECT event_type, event_id AS top_event_id, ROUND(value, 6) AS top_value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a12_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # idxmax per group (EDA - parte 2.ipynb cells 13,20) -> max_by with an
+    # (value, id) tiebreak for determinism.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("top_event_id"),
+        _r6(F.max("value")).alias("top_value"),
+    )
+
+
+@register(
+    "a13_grouped_sample_topn",
+    oracle="""
+    SELECT event_type, event_id
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def a13_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupby().sample(n=5, random_state=75) (my_alpaca.py:241-246). Spark
+    # rand() can't bit-match pandas, so the engine uses a deterministic
+    # multiplicative-hash ordering (Knuth) — same distribution, seedable,
+    # reproducible across engines and retries (critical for 100 TB re-runs).
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    key = (F.col("event_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("event_type").orderBy(key, "event_id")
+    return (
+        ev.select("event_type", "event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id")
+    )
+
+
+@register(
+    "a14_summary_stats",
+    oracle="""
+    SELECT 'value' AS col,
+           CAST(count(value) AS BIGINT) AS n,
+           ROUND(AVG(value), 6)         AS mean,
+           ROUND(stddev_samp(value), 6) AS std,
+           ROUND(min(value), 6)         AS min,
+           ROUND(max(value), 6)         AS max
+    FROM events
+    UNION ALL
+    SELECT 'o_totalprice' AS col,
+           CAST(count(o_totalprice) AS BIGINT),
+           ROUND(AVG(o_totalprice), 6),
+           ROUND(stddev_samp(o_totalprice), 6),
+           ROUND(min(o_totalprice), 6),
+           ROUND(max(o_totalprice), 6)
+    FROM orders
+    """,
+)
+def a14_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df.describe()/summary() (ingestion cell 9) with a typed schema instead
+    # of Spark's all-string summary() output.
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def describe(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("n"),
+            _r6(F.avg(col)).alias("mean"),
+            _r6(F.stddev_samp(col)).alias("std"),
+            _r6(F.min(col)).alias("min"),
+            _r6(F.max(col)).alias("max"),
+        )
+
+    return describe(ev, "value").unionByName(describe(orders, "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / top-k; §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "o04_topk",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 5
+    """,
+)
+def o04_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nlargest(5) (EDA - parte 2.ipynb cells 13,20) — Catalyst compiles
+    # orderBy+limit to TakeOrderedAndProject (no global sort at scale).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(_r6(F.sum("value")).alias("total_value"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(5)
+    )
+
+
+@register(
+    "o03_deterministic_sample_limit",
+    oracle="""
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id FROM events
+    ) ORDER BY (user_id * 2654435761) % 1000000007, user_id
+    LIMIT 10
+    """,
+)
+def o03_deterministic_sample_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orderBy(rand()).limit(10) symbol sampling (fase_1.ipynb:105 cell 7),
+    # deterministic-hash variant (see a13 rationale).
+    ev = load_table(spark, sf_dir, "events")
+    key = (F.col("user_id") * F.lit(2654435761)) % F.lit(1000000007)
+    return (
+        ev.select("user_id").distinct().orderBy(key, "user_id").limit(10).select("user_id")
+    )
+
+
+@register(
+    "o05_tail_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 4
+    """,
+)
+def o05_tail_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tail(d) last-d-rows per symbol (alpa.py:322,367).
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 4)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@register(
+    "u01_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket
+    FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket
+    FROM orders WHERE o_totalprice < 20000
+    """,
+)
+def u01_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pd.concat frame stacking (my_eodhd.py:44; alpa.py:82,111,266).
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 20000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+@register(
+    "u03_intersect_except",
+    oracle="""
+    SELECT user_id, 'both' AS membership FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS membership FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def u03_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Intersect/except — unused by the reference but part of our exposed
+    # set-op surface (SURVEY §2.7 note).
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purch.intersect(err).select("user_id", F.lit("both").alias("membership"))
+    only = purch.exceptAll(err).select("user_id", F.lit("purchase_only").alias("membership"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar function surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "sc01_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, ' ', '_')                   AS name_snake,
+           upper(p_brand)                              AS brand_upper,
+           CAST(length(p_name) AS BIGINT)              AS name_len,
+           regexp_replace(p_type, '[aeiou]', '', 'g')  AS type_novowels,
+           substr(p_name, 1, 5)                        AS name_prefix
+    FROM part
+    """,
+)
+def sc01_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Suffix strip / replace / regexp_replace / length (ingestion cell 10,
+    # my_alpaca.py:227,302, docx). NOTE: Spark regexp_replace is global by
+    # default; DuckDB needs the 'g' flag.
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowels"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+@register(
+    "sc02_datetime_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS BIGINT)    AS y,
+           CAST(EXTRACT(month FROM ts) AS BIGINT)   AS m,
+           CAST(EXTRACT(day FROM ts) AS BIGINT)     AS d,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT)    AS h,
+           dayname(ts)                              AS weekday,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(ts + INTERVAL 1 DAY AS TIMESTAMP)   AS next_day
+    FROM events
+    """,
+)
+def sc02_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tz/floor/day_name/year/month + Timedelta arithmetic (§2.8 date/time).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.date_format("ts", "EEEE").alias("weekday"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+    )
+
+
+@register(
+    "sc03_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ln(l_extendedprice), 6)                       AS log_price,
+           ROUND(sin(2 * pi() * l_linenumber / 7), 6)          AS line_sin,
+           ROUND(cos(2 * pi() * l_linenumber / 7), 6)          AS line_cos,
+           ROUND(greatest(l_discount, l_tax), 6)               AS max_rate,
+           ROUND(least(l_discount, l_tax), 6)                  AS min_rate,
+           CASE WHEN l_quantity = 0 THEN 0.0
+                ELSE ROUND(l_extendedprice / l_quantity, 6) END AS unit_price
+    FROM lineitem
+    """,
+)
+def sc03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # log / sin / cos cyclic encoding / greatest-least true-range pieces /
+    # div-by-zero guard (my_stock_functions.py:85,477-478,346-350; alpa.py:42-46).
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r6(F.log(F.col("l_extendedprice"))).alias("log_price"),
+        _r6(F.sin(2 * 3.141592653589793 * F.col("l_linenumber") / 7)).alias("line_sin"),
+        _r6(F.cos(2 * 3.141592653589793 * F.col("l_linenumber") / 7)).alias("line_cos"),
+        _r6(F.greatest("l_discount", "l_tax")).alias("max_rate"),
+        _r6(F.least("l_discount", "l_tax")).alias("min_rate"),
+        F.when(F.col("l_quantity") == 0, F.lit(0.0))
+        .otherwise(_r6(F.col("l_extendedprice") / F.col("l_quantity")))
+        .alias("unit_price"),
+    )
+
+
+@register(
+    "sc04_null_handling",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0) AS value_filled,
+           TRY_CAST(props AS DOUBLE) IS NULL AS props_not_numeric,
+           NULLIF(event_type, 'view')        AS type_or_null
+    FROM events
+    """,
+)
+def sc04_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fillna/coalesce/try_cast/nullif (§2.8 null handling; docx TRY_CAST).
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return ev.select(
+        "event_id",
+        F.coalesce(nulled, F.lit(-1.0)).alias("value_filled"),
+        F.col("props").try_cast("double").isNull().alias("props_not_numeric"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_or_null"),
+    )
+
+
+@register(
+    "sc05_dict_map_recode",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE n_regionkey WHEN 0 THEN 'Africa Zone' WHEN 1 THEN 'Americas Zone'
+                            WHEN 2 THEN 'Asia Zone' WHEN 3 THEN 'Europe Zone'
+                            ELSE 'Other Zone' END AS zone
+    FROM nation
+    """,
+)
+def sc05_dict_map_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # .map(dict) code->label recode (EDA notebooks) as a when-chain; at scale
+    # a broadcast-joined mapping dim is equivalent.
+    nation = load_table(spark, sf_dir, "nation")
+    zone = (
+        F.when(F.col("n_regionkey") == 0, "Africa Zone")
+        .when(F.col("n_regionkey") == 1, "Americas Zone")
+        .when(F.col("n_regionkey") == 2, "Asia Zone")
+        .when(F.col("n_regionkey") == 3, "Europe Zone")
+        .otherwise("Other Zone")
+    )
+    return nation.select("n_nationkey", "n_name", zone.alias("zone"))
+
+
+@register(
+    "sc06_tiered_threshold",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           CASE WHEN p_retailprice < 500 THEN 0.5
+                WHEN p_retailprice < 1000 THEN 1.0
+                WHEN p_retailprice < 1500 THEN 2.0
+                WHEN p_retailprice < 2000 THEN 3.0
+                ELSE 5.0 END AS target_delta
+    FROM part
+    """,
+)
+def sc06_tiered_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MyHelper.min_max_target price-tier thresholds (my_helper.py:2-24) — a
+    # pure when-chain, no UDF (SURVEY §2.11).
+    part = load_table(spark, sf_dir, "part")
+    tiers = (
+        F.when(F.col("p_retailprice") < 500, 0.5)
+        .when(F.col("p_retailprice") < 1000, 1.0)
+        .when(F.col("p_retailprice") < 1500, 2.0)
+        .when(F.col("p_retailprice") < 2000, 3.0)
+        .otherwise(5.0)
+    )
+    return part.select("p_partkey", "p_retailprice", tiers.alias("target_delta"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S13 incremental scan planner
+# ---------------------------------------------------------------------------
+
+@register(
+    "s13_incremental_plan",
+    oracle="""
+    SELECT user_id,
+           max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS last_seen_day,
+           CAST(max(CAST(date_trunc('day', ts) AS TIMESTAMP)) + INTERVAL 1 DAY AS TIMESTAMP) AS fetch_from
+    FROM events GROUP BY user_id
+    """,
+)
+def s13_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental sync planner (bars.py:74-137): per-key max(date) -> next
+    # fetch window. At deploy this feeds a MERGE INTO; here it's the plan.
+    ev = load_table(spark, sf_dir, "events")
+    last_day = F.max(F.date_trunc("day", "ts"))
+    return ev.groupBy("user_id").agg(
+        last_day.alias("last_seen_day"),
+        (last_day + F.expr("INTERVAL 1 DAY")).alias("fetch_from"),
+    )

@@ -1,0 +1,379 @@
+"""Window-function queries (SURVEY.md §2.5 W1-W13) over the events stream.
+
+The reference's window surface (ffill/bfill, lag ladders, rolling stats,
+EWM, cumcount, day-boundary resets) re-expressed as Spark window specs.
+One shared spec ``partitionBy(user_id).orderBy(ts, event_id)`` serves all
+of them — a single shuffle + sort per partition key, exactly the physical
+shape SURVEY §4 calls for (the reference reuses one window spec the same
+way in Procesamiento_fase_2.ipynb cell 6).
+
+``event_id`` is in the ordering as a tiebreak: Spark and any oracle engine
+must agree on row order for lag/row_number to be deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+def _w_key():
+    """The one shared per-key ordered window (SURVEY §4 physical notes).
+    Built lazily — Window specs need an active SparkSession."""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+@register(
+    "w01_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+    FROM events
+    """,
+)
+def w01_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 forward fill: F.last(col, ignorenulls=True) over unbounded-preceding
+    # (fase_1.ipynb:241 cell 16). 'error' rows act as the gaps to fill.
+    ev = load_table(spark, sf_dir, "events")
+    gappy = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r6(
+            F.last(gappy, ignorenulls=True).over(
+                _w_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("value_ffill"),
+    )
+
+
+@register(
+    "w02_backward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(COALESCE(
+             last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           ), 6) AS value_filled
+    FROM events
+    """,
+)
+def w02_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2 bfill + ffill-then-bfill coalesce (fase_1.ipynb:257 cell 17).
+    ev = load_table(spark, sf_dir, "events")
+    gappy = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    ffill = F.last(gappy, ignorenulls=True).over(
+        _w_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bfill = F.first(gappy, ignorenulls=True).over(
+        _w_key().rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", _r6(F.coalesce(ffill, bfill)).alias("value_filled")
+    )
+
+
+@register(
+    "w03_lag_gap",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 / NULLIF(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+                 * 100, 6) AS gap_pct
+    FROM events
+    """,
+)
+def w03_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 prev-close gap: (open - lag(close))/lag(close)*100 (fase_2.ipynb:97).
+    ev = load_table(spark, sf_dir, "events")
+    prev = F.lag("value").over(_w_key())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r6((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)) * 100).alias("gap_pct"),
+    )
+
+
+@register(
+    "w04_lag_ladder",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value / NULLIF(lag(value, 1)  OVER w, 0) - 1, 6) AS pct_change_1,
+           ROUND(value / NULLIF(lag(value, 8)  OVER w, 0) - 1, 6) AS pct_change_8,
+           ROUND(value / NULLIF(lag(value, 32) OVER w, 0) - 1, 6) AS pct_change_32
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w04_lag_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W4 deep lag ladder, k in {32,224,...} bars (fase_2.ipynb:113 cell 6),
+    # scaled to the events grain. All lags share ONE window spec => one sort.
+    ev = load_table(spark, sf_dir, "events")
+    cols = [
+        _r6(F.col("value") / F.nullif(F.lag("value", k).over(_w_key()), F.lit(0.0)) - 1).alias(
+            f"pct_change_{k}"
+        )
+        for k in (1, 8, 32)
+    ]
+    return ev.select("event_id", "user_id", *cols)
+
+
+@register(
+    "w05_rolling_std",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w = 5
+                THEN ROUND(stddev_samp(value) OVER w, 6) END AS std_5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w05_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W5 rolling(5).std with pandas warm-up-NaN semantics: null until the
+    # window is full (my_stock_functions.py:99; SURVEY §7.5 NaN placement).
+    ev = load_table(spark, sf_dir, "events")
+    w5 = _w_key().rowsBetween(-4, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w5) == 5, _r6(F.stddev_samp("value").over(w5))).alias(
+            "std_5"
+        ),
+    )
+
+
+@register(
+    "w06_rolling_mean_excl_current",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w = 20
+                THEN ROUND(AVG(value) OVER w, 6) END AS mean_20_excl
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def w06_rolling_mean_excl_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W6 rolling(20).mean().shift(1) (my_stock_functions.py:184-187):
+    # frame (-20,-1) with a count guard replicating the shift+warm-up.
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key().rowsBetween(-20, -1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w) == 20, _r6(F.avg("value").over(w))).alias(
+            "mean_20_excl"
+        ),
+    )
+
+
+@register(
+    "w07_rolling_max_excl_current",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w = 20
+                THEN ROUND(max(value) OVER w, 6) END AS max_20_excl
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def w07_rolling_max_excl_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W7 shift(1).rolling(20).max() (my_stock_functions.py:304-308).
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key().rowsBetween(-20, -1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w) == 20, _r6(F.max("value").over(w))).alias(
+            "max_20_excl"
+        ),
+    )
+
+
+@register(
+    "w08_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w = 20
+                THEN ROUND(median(value) OVER w, 6) END AS median_20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w08_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W8 rolling(20).median() (my_stock_functions.py:694-699). Spark's
+    # median/percentile aggregates reject window frames, so the exact rolling
+    # median is a sorted frame snapshot: with exactly 20 rows it is the mean
+    # of elements 10 and 11 — all JVM-side (collect_list/array_sort), no UDF.
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key().rowsBetween(-19, 0)
+    frame = F.array_sort(F.collect_list("value").over(w))
+    exact_median = (F.get(frame, 9) + F.get(frame, 10)) / 2
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w) == 20, _r6(exact_median)).alias("median_20"),
+    )
+
+
+@register(
+    "w09_rolling_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN count(value) OVER w = 20
+                THEN ROUND((value - AVG(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 6)
+           END AS zscore_20
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w09_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W9 20d mu/sigma z-score (my_stock_functions.py:630-641).
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key().rowsBetween(-19, 0)
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0.0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.count("value").over(w) == 20, _r6(z)).alias("zscore_20"),
+    )
+
+
+@register(
+    "w10_pct_change_shift",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(pct, 6)              AS pct_change,
+           ROUND(lag(pct) OVER w2, 6) AS pct_change_lag1
+    FROM (
+      SELECT event_id, user_id, ts,
+             value / NULLIF(lag(value) OVER w, 0) - 1 AS pct
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w10_pct_change_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W10 pct_change() and pct_change().shift(1) (my_stock_functions.py:39,141,...).
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.col("value") / F.nullif(F.lag("value").over(_w_key()), F.lit(0.0)) - 1
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r6(pct).alias("pct_change"),
+        _r6(F.lag(pct).over(_w_key())).alias("pct_change_lag1"),
+    )
+
+
+@register("w11_ewm_mean")  # no SQL oracle: EWM is inherently recursive
+def w11_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W11 ewm(adjust=False, alpha=a).mean() per key (alpa.py:49-57) — the one
+    # operator with no native Spark expression (SURVEY §7.4). Implemented as
+    # an Arrow-batched grouped-map; per-key series fit an executor (same
+    # assumption the reference makes per symbol). Unit-tested against pandas
+    # in tests/test_windows.py.
+    from equity_volatility_lakehouse_platform_spark.functions.lookbacks import ewm_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewm_mean(
+        ev.select("event_id", "user_id", "ts", "value"),
+        key="user_id",
+        order=["ts", "event_id"],
+        value="value",
+        alpha=0.1,
+        out="ewm_01",
+    ).select("event_id", "user_id", F.round("ewm_01", 6).alias("ewm_01"))
+
+
+@register(
+    "w12_cumcount_trim",
+    oracle="""
+    SELECT event_id, user_id FROM (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn > 20
+    """,
+)
+def w12_cumcount_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W12 cumcount()>=n warm-up trim (my_model.py:59-61).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", F.row_number().over(_w_key()).alias("rn"))
+        .filter(F.col("rn") > 20)
+        .select("event_id", "user_id")
+    )
+
+
+@register(
+    "w13_day_boundary_reset",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN CAST(date_trunc('day', lag(ts) OVER w) AS TIMESTAMP)
+                     = CAST(date_trunc('day', ts) AS TIMESTAMP)
+                THEN ROUND(ln(value / NULLIF(lag(value) OVER w, 0)), 6) END AS intraday_log_ret
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w13_day_boundary_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W13 intraday log-return NaN'd across day changes
+    # (my_stock_functions.py:85-88).
+    ev = load_table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(_w_key())
+    prev_v = F.lag("value").over(_w_key())
+    same_day = F.date_trunc("day", prev_ts) == F.date_trunc("day", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(same_day, _r6(F.log(F.col("value") / F.nullif(prev_v, F.lit(0.0))))).alias(
+            "intraday_log_ret"
+        ),
+    )
+
+
+@register(
+    "j09_asof_lookup",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'error' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+    FROM events
+    """,
+)
+def j09_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J9 as-of backward lookup (np.searchsorted previous-holiday,
+    # my_stock_functions.py:513-521): running max of the marker timestamp —
+    # no join, one window pass.
+    ev = load_table(spark, sf_dir, "events")
+    marker = F.when(F.col("event_type") == "error", F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max(marker)
+        .over(_w_key().rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("last_error_ts"),
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Local-mode settings mirror what we'd set on a real cluster: AQE on (runtime
+re-planning, skew-join handling, partition coalescing), shuffle partitions
+sized to the parallelism actually available, Arrow for any pandas exchange.
+
+The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS) which
+Spark's vectorized reader rejects; ``spark.sql.legacy.parquet.nanosAsLong``
+lets us read them as longs — ``sources.readers`` converts them back to
+proper TimestampType columns (micros precision, identical values to what
+DuckDB sees, verified in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TZ = "UTC"  # oracle comparisons are tz-naive; domain code converts
+                    # to America/New_York explicitly via from_utc_timestamp.
+
+
+def get_spark(
+    app_name: str = "evlp",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    tz: str = DEFAULT_TZ,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    local cores. On a real cluster you'd drop ``master`` and size
+    ``shuffle_partitions`` to ~2-3x total executor cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,85 @@
+"""Mini correctness driver: run a registered query on Spark AND its DuckDB
+oracle over the same parquet tables, compare row-count, column names and
+values — emulating the external driver's gate so regressions surface in
+pytest before a round ends.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # bytes / arrays -> canonical text
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+        if str(df[c].dtype).startswith("float32"):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    sort_cols = list(df.columns)
+    try:
+        df = df.sort_values(sort_cols, kind="mergesort", na_position="last")
+    except TypeError:
+        df = df.sort_values(
+            sort_cols, kind="mergesort", na_position="last", key=lambda s: s.map(str)
+        )
+    return df.reset_index(drop=True)
+
+
+def compare_frames(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str, rtol=1e-9):
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} (spark) != {len(duck_df)} (duckdb)"
+    )
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: columns {sorted(spark_df.columns)} != {sorted(duck_df.columns)}"
+    )
+    a, b = _normalize(spark_df), _normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64").to_numpy()
+            bv = bv.astype("float64").to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=rtol, atol=1e-12, equal_nan=True)
+            ok = both_nan | close
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} value mismatches, e.g. "
+                f"{list(zip(av[~ok][:3], bv[~ok][:3]))}"
+            )
+        else:
+            mism = ~(av.eq(bv) | (av.isna() & bv.isna()))
+            assert not mism.any(), (
+                f"{name}.{c}: {int(mism.sum())} mismatches, e.g. "
+                f"{list(zip(av[mism][:3], bv[mism][:3]))}"
+            )
+
+
+def run_compare(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
+    sdf = query_fn(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    ddf = con.execute(oracle).fetchdf()
+    con.close()
+    compare_frames(sdf, ddf, name)
