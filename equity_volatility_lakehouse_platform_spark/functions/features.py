@@ -1,0 +1,222 @@
+"""The Gold feature library (SURVEY.md §2.9) as composable Spark expressions.
+
+Each function takes the daily-bars frame (from ``operators.daily.daily_bars``:
+key, day, open/high/low/close, n_events, dollar_vol, pm_*) and appends one
+feature column. All features share ONE window spec —
+``partitionBy(key).orderBy(day)`` — so stacking any subset costs a single
+shuffle+sort (SURVEY §4 physical notes; the reference reuses one spec the
+same way in Procesamiento_fase_2.ipynb cell 6).
+
+Reference semantics per feature are cited from
+data_apis/my_stock_functions.py; warm-up windows yield NULL exactly where
+pandas ``rolling(n)``/``shift`` yield NaN (SURVEY §7.5 NaN placement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def w_key(key: str = "user_id") -> WindowSpec:
+    return Window.partitionBy(key).orderBy("day")
+
+
+def _guarded(frame: WindowSpec, col: str, n: int, agg) -> Column:
+    """Aggregate over a rows frame, NULL until the frame holds exactly n rows
+    (pandas rolling warm-up semantics)."""
+    return F.when(F.count(col).over(frame) == n, agg(col).over(frame))
+
+
+def prev_day_return(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:12-48: daily close pct_change().shift(1).
+    w = w_key(key)
+    pct = F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1
+    return df.withColumn("prev_day_return", F.lag(pct).over(w))
+
+
+def std_return_last5d(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:50-107: std of the 5 last daily log-return sums;
+    # the within-day sum of intraday log-returns telescopes to ln(close/open).
+    w = w_key(key)
+    df = df.withColumn("_dlr", F.log(F.col("close") / F.nullif(F.col("open"), F.lit(0.0))))
+    frame = w.rowsBetween(-4, 0)
+    out = F.when(F.count("_dlr").over(frame) == 5, F.stddev_samp("_dlr").over(frame))
+    return df.withColumn("std_return_last5d", out).drop("_dlr")
+
+
+def range_rel_last1d(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:109-152: (day_high - day_low)/day_close, shift 1d.
+    w = w_key(key)
+    rel = (F.col("high") - F.col("low")) / F.nullif(F.col("close"), F.lit(0.0))
+    return df.withColumn("range_rel_last1d", F.lag(rel).over(w))
+
+
+def rvol_20d(df: DataFrame, key: str = "user_id", n: int = 20) -> DataFrame:
+    # my_stock_functions.py:154-197: day dollar-vol / n-day rolling mean
+    # excluding today (rolling(n).mean().shift(1)).
+    frame = w_key(key).rowsBetween(-n, -1)
+    base = F.when(F.count("dollar_vol").over(frame) == n, F.avg("dollar_vol").over(frame))
+    return df.withColumn("rvol_20d", F.col("dollar_vol") / F.nullif(base, F.lit(0.0)))
+
+
+def gap_pct(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:199-274: (first premarket open - prev day last
+    # close)/prev close; 0 when the day has no premarket rows; NULL on the
+    # first day (no prev close).
+    w = w_key(key)
+    prev_close = F.lag("close").over(w)
+    gap = (F.col("pm_open") - prev_close) / F.nullif(prev_close, F.lit(0.0))
+    return df.withColumn(
+        "gap_pct",
+        F.when(prev_close.isNull(), F.lit(None).cast("double")).otherwise(
+            F.coalesce(gap, F.lit(0.0))
+        ),
+    )
+
+
+def dist_max_20d(df: DataFrame, key: str = "user_id", n: int = 20) -> DataFrame:
+    # my_stock_functions.py:276-318: (close[n-1] - max(close over prior n))
+    # / max(close over prior n).
+    w = w_key(key)
+    frame = w.rowsBetween(-n, -1)
+    prior_max = F.when(F.count("close").over(frame) == n, F.max("close").over(frame))
+    return df.withColumn(
+        "dist_max_20d",
+        (F.lag("close").over(w) - prior_max) / F.nullif(prior_max, F.lit(0.0)),
+    )
+
+
+def _wick(upper: bool) -> Column:
+    rng = F.col("high") - F.col("low")
+    wick = (
+        F.col("high") - F.greatest("open", "close")
+        if upper
+        else F.least("open", "close") - F.col("low")
+    )
+    # np.where(range==0, 0, wick/range) div-by-zero guard
+    # (my_stock_functions.py:346-350,396-400).
+    return F.when(rng == 0, F.lit(0.0)).otherwise(wick / rng)
+
+
+def upper_wick_ratio_last1d(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:320-368, at daily-candle grain, shifted 1d.
+    return df.withColumn("upper_wick_ratio_last1d", F.lag(_wick(True)).over(w_key(key)))
+
+
+def lower_wick_ratio_last1d(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:370-418.
+    return df.withColumn("lower_wick_ratio_last1d", F.lag(_wick(False)).over(w_key(key)))
+
+
+def weekday_features(df: DataFrame) -> DataFrame:
+    # my_stock_functions.py:420-487: day name + cyclic sin/cos encode of the
+    # Monday-based weekday index over a 5-day cycle.
+    wd = (F.dayofweek("day") + 5) % 7  # Mon=0 .. Sun=6
+    two_pi = 2 * 3.141592653589793
+    return (
+        df.withColumn("weekday", F.date_format("day", "EEEE"))
+        .withColumn("weekday_sin", F.sin(two_pi * wd / 5))
+        .withColumn("weekday_cos", F.cos(two_pi * wd / 5))
+    )
+
+
+def hhi_premarket(df: DataFrame) -> DataFrame:
+    # my_stock_functions.py:533-583: Herfindahl of premarket volume within
+    # the day — sum(v^2)/sum(v)^2 needs only the premarket sums already in
+    # the daily frame; NULL when the day has no premarket volume.
+    return df.withColumn(
+        "hhi_premarket_volume",
+        F.col("pm_wvol") / F.nullif(F.col("pm_vol") * F.col("pm_vol"), F.lit(0.0)),
+    )
+
+
+def z_pm(df: DataFrame, key: str = "user_id", n: int = 20) -> DataFrame:
+    # my_stock_functions.py:585-651: (premarket return - n-day mean daily
+    # return) / n-day std of daily returns.
+    w = w_key(key)
+    df = df.withColumn("_dr", F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1)
+    frame = w.rowsBetween(-(n - 1), 0)
+    mu = F.when(F.count("_dr").over(frame) == n, F.avg("_dr").over(frame))
+    sigma = F.when(F.count("_dr").over(frame) == n, F.stddev_samp("_dr").over(frame))
+    pm_ret = F.col("pm_close") / F.nullif(F.col("pm_open"), F.lit(0.0)) - 1
+    return df.withColumn("z_pm_comp", (pm_ret - mu) / F.nullif(sigma, F.lit(0.0))).drop("_dr")
+
+
+def pm_rts_hist(df: DataFrame, key: str = "user_id", n: int = 20, eps: float = 0.01) -> DataFrame:
+    # my_stock_functions.py:653-714: log((avg_trade_size+eps) /
+    # (rolling_median_n(avg_trade_size)+eps)). Exact rolling median via a
+    # sorted frame snapshot (Spark median() rejects window frames): with
+    # exactly n=20 rows it is the mean of sorted elements 10 and 11.
+    df = df.withColumn("_ats", F.col("dollar_vol") / F.col("n_events"))
+    frame = w_key(key).rowsBetween(-(n - 1), 0)
+    sorted_frame = F.array_sort(F.collect_list("_ats").over(frame))
+    med = (F.get(sorted_frame, n // 2 - 1) + F.get(sorted_frame, n // 2)) / 2
+    med = F.when(F.count("_ats").over(frame) == n, med)
+    return df.withColumn(
+        "pm_rts_hist", F.log((F.col("_ats") + eps) / (med + eps))
+    ).drop("_ats")
+
+
+def pm_vwap_return(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # my_stock_functions.py:716-777: premarket VWAP / prev regular close - 1
+    # (value doubles as the volume weight in the synthetic stream).
+    w = w_key(key)
+    vwap_pm = F.col("pm_wvol") / F.nullif(F.col("pm_vol"), F.lit(0.0))
+    prev_close = F.lag("close").over(w)
+    return df.withColumn("pm_vwap_return", vwap_pm / F.nullif(prev_close, F.lit(0.0)) - 1)
+
+
+def fase2_ratios(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # Procesamiento_fase_2.ipynb cells 4-5: percent-change ratio features and
+    # the lag-1 open/prev-close gap, all off one window spec.
+    w = w_key(key)
+    prev_close = F.lag("close").over(w)
+    return (
+        df.withColumn(
+            "pct_change_low_high",
+            (F.col("high") - F.col("low")) / F.nullif(F.col("low"), F.lit(0.0)) * 100,
+        )
+        .withColumn(
+            "pct_change_open_close",
+            (F.col("close") - F.col("open")) / F.nullif(F.col("open"), F.lit(0.0)) * 100,
+        )
+        .withColumn(
+            "pct_gap_open_prev_close",
+            (F.col("open") - prev_close) / F.nullif(prev_close, F.lit(0.0)) * 100,
+        )
+    )
+
+
+def lookback_ladder(df: DataFrame, key: str = "user_id", lags=(1, 7, 14)) -> DataFrame:
+    # Procesamiento_fase_2.ipynb cell 6: pct_change_{k} ladder; row-count
+    # lags on the daily grid (SURVEY §7.5 lag-by-rows semantics).
+    w = w_key(key)
+    for k in lags:
+        df = df.withColumn(
+            f"pct_change_{k}d",
+            F.col("close") / F.nullif(F.lag("close", k).over(w), F.lit(0.0)) - 1,
+        )
+    return df
+
+
+def true_range(df: DataFrame, key: str = "user_id") -> DataFrame:
+    # alpa.py:42-46: tr = max(high, prev_close) - min(low, prev_close);
+    # rel_tr = tr / close. prev_close backfilled with same-day low/high
+    # bounds on the first row (bfill-across-columns in the reference).
+    w = w_key(key)
+    prev_close = F.coalesce(F.lag("close").over(w), F.col("open"))
+    tr = F.greatest("high", prev_close) - F.least("low", prev_close)
+    return df.withColumn("tr", tr).withColumn(
+        "rel_tr", tr / F.nullif(F.col("close"), F.lit(0.0))
+    )
+
+
+def market_path_label(df: DataFrame, threshold: float = 0.06) -> DataFrame:
+    # SURVEY §7.5 external-label note: market_absolute_path is consumed but
+    # never computed in the reference (my_model.py:50). Our definition:
+    # intraday absolute path |close/open - 1|; flag at the reference's 0.06.
+    path = F.abs(F.col("close") / F.nullif(F.col("open"), F.lit(0.0)) - 1)
+    return df.withColumn("market_absolute_path", path).withColumn(
+        "market_path_flag", (path >= threshold).cast("int")
+    )

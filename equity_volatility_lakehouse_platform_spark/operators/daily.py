@@ -1,0 +1,82 @@
+"""Daily roll-up operators (SURVEY.md §2.4 A1, §3.1 stage 3).
+
+The reference consolidates 30-min bars to daily rows per symbol with
+order-dependent first/last (`data_apis/my_alpaca.py:272-280`) and computes
+premarket aggregates from the 04:00-09:30 bucket
+(`my_stock_functions.py:561-576,613-641`). Spark's ``first``/``last`` are
+order-nondeterministic, so the engine uses ``min_by``/``max_by`` keyed on
+the timestamp (SURVEY §7.5) — partial+final aggregation, one shuffle on
+``(key, day)``, no window needed.
+
+At 100 TB: the groupBy shuffles once on (key, day); with input partitioned
+by key/date the shuffle is pruned to co-located partitions. No driver
+materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_rollup(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Ordered OHLCV-style daily roll-up: open/high/low/close by time order,
+    plus count and dollar-volume analogues."""
+    return (
+        df.groupBy(key, F.date_trunc("day", ts).alias("day"))
+        .agg(
+            F.min_by(value, ts).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(value, ts).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("dollar_vol"),
+        )
+    )
+
+
+def premarket_rollup(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    premarket: Column | None = None,
+) -> DataFrame:
+    """Premarket-bucket aggregates per (key, day): first/last price, volume,
+    volume-weighted numerator, event count (reference premarket = 04:00-09:30
+    NY; here hour < 9 over the synthetic stream)."""
+    if premarket is None:
+        premarket = F.hour(ts) < 9
+    return (
+        df.filter(premarket)
+        .groupBy(key, F.date_trunc("day", ts).alias("day"))
+        .agg(
+            F.min_by(value, ts).alias("pm_open"),
+            F.max_by(value, ts).alias("pm_close"),
+            F.sum(value).alias("pm_vol"),
+            F.sum(F.col(value) * F.col(value)).alias("pm_wvol"),
+            F.count(F.lit(1)).alias("pm_n"),
+        )
+    )
+
+
+def daily_bars(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Full daily frame: roll-up left-joined with premarket aggregates.
+
+    Left join keeps days with no premarket rows (nulls there drive the
+    reference's gap_pct=0 / HHI-null semantics,
+    my_stock_functions.py:243,571-573).
+    """
+    base = daily_rollup(df, key, ts, value)
+    pm = premarket_rollup(df, key, ts, value)
+    return base.join(pm, [key, "day"], "left")

@@ -1,2 +1,338 @@
-"""Gold feature-library queries (SURVEY.md §2.9) — placeholder, filled in
-incrementally."""
+"""Gold feature-library queries (SURVEY.md §2.9) with DuckDB oracles.
+
+Thin query layer: the actual feature logic lives in
+``functions.features`` (Spark expressions over the daily-bars frame built
+by ``operators.daily``). Every oracle shares the same daily CTE so the
+comparison exercises the full pipeline: events scan -> ordered daily
+roll-up -> premarket join -> windowed feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.functions import features as feat
+from equity_volatility_lakehouse_platform_spark.operators.daily import daily_bars
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+# Shared SQL mirror of operators.daily.daily_bars (the oracle-side pipeline).
+DAILY_CTE = """
+WITH daily_base AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+         arg_max(value, ts) AS close,
+         CAST(count(*) AS BIGINT) AS n_events, SUM(value) AS dollar_vol
+  FROM events GROUP BY 1, 2
+), pm AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         arg_min(value, ts) AS pm_open, arg_max(value, ts) AS pm_close,
+         SUM(value) AS pm_vol, SUM(value * value) AS pm_wvol,
+         CAST(count(*) AS BIGINT) AS pm_n
+  FROM events WHERE EXTRACT(hour FROM ts) < 9 GROUP BY 1, 2
+), daily AS (
+  SELECT b.*, p.pm_open, p.pm_close, p.pm_vol, p.pm_wvol, p.pm_n
+  FROM daily_base b LEFT JOIN pm p USING (user_id, day)
+)
+"""
+
+W = "(PARTITION BY user_id ORDER BY day)"
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_bars(load_table(spark, sf_dir, "events"))
+
+
+def _out(df: DataFrame, *cols: str) -> DataFrame:
+    rounded = [
+        F.round(c, 6).alias(c) if dict(df.dtypes)[c] == "double" else F.col(c)
+        for c in cols
+    ]
+    return df.select("user_id", "day", *rounded)
+
+
+@register(
+    "f01_prev_day_return",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day, ROUND(lag(pct) OVER {W}, 6) AS prev_day_return
+    FROM (SELECT user_id, day,
+                 close / NULLIF(lag(close) OVER {W}, 0) - 1 AS pct
+          FROM daily)
+    """,
+)
+def f01_prev_day_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.prev_day_return(_daily(spark, sf_dir)), "prev_day_return")
+
+
+@register(
+    "f02_std_return_last5d",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           ROUND(CASE WHEN count(dlr) OVER w5 = 5
+                      THEN stddev_samp(dlr) OVER w5 END, 6) AS std_return_last5d
+    FROM (SELECT user_id, day, ln(close / NULLIF(open, 0)) AS dlr FROM daily)
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def f02_std_return_last5d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.std_return_last5d(_daily(spark, sf_dir)), "std_return_last5d")
+
+
+@register(
+    "f03_range_rel_last1d",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(lag((high - low) / NULLIF(close, 0)) OVER {W}, 6) AS range_rel_last1d
+    FROM daily
+    """,
+)
+def f03_range_rel_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.range_rel_last1d(_daily(spark, sf_dir)), "range_rel_last1d")
+
+
+@register(
+    "f04_rvol_20d",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           ROUND(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20
+                                          THEN AVG(dollar_vol) OVER wx END, 0), 6) AS rvol_20d
+    FROM daily
+    WINDOW wx AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def f04_rvol_20d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.rvol_20d(_daily(spark, sf_dir)), "rvol_20d")
+
+
+@register(
+    "f05_gap_pct",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(CASE WHEN prev_close IS NULL THEN NULL
+                      ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0)
+                 END, 6) AS gap_pct
+    FROM (SELECT user_id, day, pm_open, lag(close) OVER {W} AS prev_close FROM daily)
+    """,
+)
+def f05_gap_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.gap_pct(_daily(spark, sf_dir)), "gap_pct")
+
+
+@register(
+    "f06_dist_max_20d",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND((lag(close) OVER {W}
+                  - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END)
+                 / NULLIF(CASE WHEN count(close) OVER wx = 20
+                               THEN max(close) OVER wx END, 0), 6) AS dist_max_20d
+    FROM daily
+    WINDOW wx AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def f06_dist_max_20d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.dist_max_20d(_daily(spark, sf_dir)), "dist_max_20d")
+
+
+@register(
+    "f07_upper_wick_ratio_last1d",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
+                          ELSE (high - greatest(open, close)) / (high - low)
+                     END) OVER {W}, 6) AS upper_wick_ratio_last1d
+    FROM daily
+    """,
+)
+def f07_upper_wick_ratio_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.upper_wick_ratio_last1d(_daily(spark, sf_dir)), "upper_wick_ratio_last1d"
+    )
+
+
+@register(
+    "f08_lower_wick_ratio_last1d",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
+                          ELSE (least(open, close) - low) / (high - low)
+                     END) OVER {W}, 6) AS lower_wick_ratio_last1d
+    FROM daily
+    """,
+)
+def f08_lower_wick_ratio_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.lower_wick_ratio_last1d(_daily(spark, sf_dir)), "lower_wick_ratio_last1d"
+    )
+
+
+@register(
+    "f09_weekday_encode",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           dayname(day) AS weekday,
+           ROUND(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) AS weekday_sin,
+           ROUND(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) AS weekday_cos
+    FROM daily
+    """,
+)
+def f09_weekday_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.weekday_features(_daily(spark, sf_dir)), "weekday", "weekday_sin", "weekday_cos"
+    )
+
+
+@register(
+    "f10_days_since_holiday",
+    oracle=DAILY_CTE + """
+    SELECT d.user_id, d.day,
+           CAST(datediff('day', max(h.hday), d.day) AS BIGINT) AS days_since_holiday
+    FROM daily d
+    LEFT JOIN (VALUES (TIMESTAMP '2024-01-01 00:00:00'),
+                      (TIMESTAMP '2024-01-15 00:00:00')) AS h(hday)
+      ON h.hday <= d.day
+    GROUP BY d.user_id, d.day
+    """,
+)
+def f10_days_since_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # my_stock_functions.py:489-531 (np.searchsorted previous-holiday as-of):
+    # broadcast non-equi join against the tiny holiday dim + max + datediff.
+    daily = _daily(spark, sf_dir)
+    holidays = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-15 00:00:00",)], ["h"]
+    ).select(F.col("h").cast("timestamp").alias("hday"))
+    return (
+        daily.join(F.broadcast(holidays), holidays.hday <= daily.day, "left")
+        .groupBy("user_id", "day")
+        .agg(F.datediff(F.col("day"), F.max("hday")).cast("long").alias("days_since_holiday"))
+    )
+
+
+@register(
+    "f11_hhi_premarket_volume",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           ROUND(pm_wvol / NULLIF(pm_vol * pm_vol, 0), 6) AS hhi_premarket_volume
+    FROM daily
+    """,
+)
+def f11_hhi_premarket_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.hhi_premarket(_daily(spark, sf_dir)), "hhi_premarket_volume")
+
+
+@register(
+    "f12_z_pm_comp",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END)
+                 / NULLIF(CASE WHEN count(dr) OVER wz = 20
+                               THEN stddev_samp(dr) OVER wz END, 0), 6) AS z_pm_comp
+    FROM (SELECT user_id, day,
+                 close / NULLIF(lag(close) OVER {W}, 0) - 1 AS dr,
+                 pm_close / NULLIF(pm_open, 0) - 1          AS pm_ret
+          FROM daily)
+    WINDOW wz AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def f12_z_pm_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.z_pm(_daily(spark, sf_dir)), "z_pm_comp")
+
+
+@register(
+    "f13_pm_rts_hist",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           ROUND(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wm = 20
+                                         THEN median(ats) OVER wm END + 0.01)), 6) AS pm_rts_hist
+    FROM (SELECT user_id, day, dollar_vol / n_events AS ats FROM daily)
+    WINDOW wm AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def f13_pm_rts_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.pm_rts_hist(_daily(spark, sf_dir)), "pm_rts_hist")
+
+
+@register(
+    "f14_pm_vwap_return",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(lag(close) OVER {W}, 0) - 1, 6)
+             AS pm_vwap_return
+    FROM daily
+    """,
+)
+def f14_pm_vwap_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.pm_vwap_return(_daily(spark, sf_dir)), "pm_vwap_return")
+
+
+@register(
+    "f15_fase2_ratios",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND((high - low) / NULLIF(low, 0) * 100, 6)    AS pct_change_low_high,
+           ROUND((close - open) / NULLIF(open, 0) * 100, 6) AS pct_change_open_close,
+           ROUND((open - lag(close) OVER {W}) / NULLIF(lag(close) OVER {W}, 0) * 100, 6)
+             AS pct_gap_open_prev_close
+    FROM daily
+    """,
+)
+def f15_fase2_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.fase2_ratios(_daily(spark, sf_dir)),
+        "pct_change_low_high", "pct_change_open_close", "pct_gap_open_prev_close",
+    )
+
+
+@register(
+    "f16_lookback_ladder",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(close / NULLIF(lag(close, 1) OVER {W}, 0) - 1, 6)  AS pct_change_1d,
+           ROUND(close / NULLIF(lag(close, 7) OVER {W}, 0) - 1, 6)  AS pct_change_7d,
+           ROUND(close / NULLIF(lag(close, 14) OVER {W}, 0) - 1, 6) AS pct_change_14d
+    FROM daily
+    """,
+)
+def f16_lookback_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.lookback_ladder(_daily(spark, sf_dir), lags=(1, 7, 14)),
+        "pct_change_1d", "pct_change_7d", "pct_change_14d",
+    )
+
+
+@register(
+    "f17_true_range",
+    oracle=DAILY_CTE + f"""
+    SELECT user_id, day,
+           ROUND(greatest(high, prev_close) - least(low, prev_close), 6) AS tr,
+           ROUND((greatest(high, prev_close) - least(low, prev_close))
+                 / NULLIF(close, 0), 6) AS rel_tr
+    FROM (SELECT user_id, day, open, high, low, close,
+                 COALESCE(lag(close) OVER {W}, open) AS prev_close
+          FROM daily)
+    """,
+)
+def f17_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(feat.true_range(_daily(spark, sf_dir)), "tr", "rel_tr")
+
+
+@register(
+    "f18_market_path_label",
+    oracle=DAILY_CTE + """
+    SELECT user_id, day,
+           ROUND(abs(close / NULLIF(open, 0) - 1), 6) AS market_absolute_path,
+           CAST(abs(close / NULLIF(open, 0) - 1) >= 0.06 AS INTEGER) AS market_path_flag
+    FROM daily
+    """,
+)
+def f18_market_path_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _out(
+        feat.market_path_label(_daily(spark, sf_dir)),
+        "market_absolute_path", "market_path_flag",
+    )
