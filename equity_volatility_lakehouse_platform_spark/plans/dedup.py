@@ -1,1 +1,293 @@
-"""Deduplication queries over documents — placeholder."""
+"""Deduplication queries over the documents table (north-star operators,
+BASELINE.json:6 — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+All hashing uses the cross-engine md5-prefix hash (operators.textops) so
+every stage — including the LSH banding join — is oracle-checkable in
+DuckDB. At 100 TB these plans stay linear: explode -> partial-agg
+signatures, band-key equi-joins for candidates; never an all-pairs cross
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.operators import textops as tx
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+# DuckDB mirror of tokens/shingles/h32 (see operators/textops.py).
+_SH_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks WHERE len(t) >= 3
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s.sh), 1, 15)) AS BIGINT) % 2147483647 AS h32
+  FROM sh, LATERAL unnest(sh.shingles) AS s(sh)
+)
+"""
+
+_SIG_SQL = _SH_CTE + """
+, sig AS (
+  SELECT doc_id,
+         min((1000000007  * h32 + 1)        % 2147483647) AS mh0,
+         min((998244353   * h32 + 15485864) % 2147483647) AS mh1,
+         min((754974721   * h32 + 30971727) % 2147483647) AS mh2,
+         min((167772161   * h32 + 46457590) % 2147483647) AS mh3,
+         min((469762049   * h32 + 61943453) % 2147483647) AS mh4,
+         min((1004535809  * h32 + 77429316) % 2147483647) AS mh5,
+         min((1224736769  * h32 + 92915179) % 2147483647) AS mh6,
+         min((2013265921  * h32 + 108401042) % 2147483647) AS mh7
+  FROM h GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT md5(text)                  AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup: hash-groupBy keeping the lowest id per identical text.
+    # At scale: group on the 128-bit digest, never the raw text (shuffle
+    # keys stay 16 bytes).
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register("d02_minhash_signatures", oracle=_SIG_SQL + "SELECT * FROM sig")
+def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash: shingle -> 8 permuted min-hashes per doc (Broder).
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.minhash_signature(docs)
+
+
+@register(
+    "d03_minhash_lsh_pairs",
+    oracle=_SIG_SQL + """
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+                + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+                + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+                + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0, 6)
+             AS est_jaccard
+    FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                JOIN sig sb ON c.doc_b = sb.doc_id
+    """,
+)
+def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH banding: 4 bands x 2 rows; docs colliding on any band become
+    # candidate pairs, scored by signature agreement. The candidate join is
+    # an equi-join on (band, x, y) — linear in collisions, not O(n^2).
+    sig = d02_minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.col(f"mh{2 * band}").alias("x"),
+            F.col(f"mh{2 * band + 1}").alias("y"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.x") == F.col("b.x"))
+            & (F.col("a.y") == F.col("b.y"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select([F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select([F.col(c).alias(f"b_{c}") for c in sig.columns])
+    agree = sum(
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
+    )
+    return (
+        cand.join(sa, cand.doc_a == sa.a_doc_id)
+        .join(sb, cand.doc_b == sb.b_doc_id)
+        .select("doc_a", "doc_b", F.round(agree / 8.0, 6).alias("est_jaccard"))
+    )
+
+
+@register(
+    "d04_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s.tk), 1, 15)) AS BIGINT) % 2147483647 AS h32
+      FROM toks, LATERAL unnest(toks.t) AS s(tk)
+    )
+    , bits AS (
+      SELECT doc_id, j.j AS j,
+             SUM(CASE WHEN (h32 >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 32)) AS j) AS j
+      GROUP BY doc_id, j.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash32
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash (Charikar): 32-bit sign-aggregated token-hash fingerprint.
+    # Near-dups differ in few bits (hamming distance on the result).
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode("t").alias("tk"))
+        .select("doc_id", (tx.token_hash(F.col("tk")) % tx.HASH_P).alias("h32"))
+    )
+    bits = (
+        tok.select("doc_id", "h32", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h32 >> j) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash32")
+    )
+
+
+@register(
+    "d05_ngram_jaccard_adjacent",
+    oracle=_SH_CTE + """
+    , sets AS (
+      SELECT doc_id,
+             (SELECT d.source FROM documents d WHERE d.doc_id = sh.doc_id) AS source,
+             list_distinct(shingles) AS s
+      FROM sh
+    ), ranked AS (
+      SELECT doc_id, source, s,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM sets
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                 / NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6)
+             AS jaccard
+    FROM ranked a JOIN ranked b
+      ON a.source = b.source AND b.rn = a.rn + 1
+    """,
+)
+def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact n-gram Jaccard between successive docs of the same source —
+    # the verification stage that LSH candidates feed at scale (bounded
+    # pair set; never all-pairs).
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    sets = (
+        docs.select("doc_id", "source", tok.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", "source", F.array_distinct(tx.shingles(F.col("t"))).alias("s"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = sets.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("s").alias("s_a"), F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("s").alias("s_b"), F.col("rn").alias("rn_b"),
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("rn_b") == F.col("rn_a") + 1))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter * 1.0 / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "d06_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+               AS cosine
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine,
+           cosine >= 0.9 AS is_near_dup
+    FROM pairs
+    """,
+)
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup check over a bounded candidate set
+    # (successive ids here; LSH buckets at scale). Dot products fold
+    # JVM-side over the double-cast arrays — no UDF.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb"))),
+        F.lit(0.0),
+    )
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a", "vec_b",
+            F.round(cos, 6).alias("cosine"),
+            (cos >= 0.9).alias("is_near_dup"),
+        )
+    )

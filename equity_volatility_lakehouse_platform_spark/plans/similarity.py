@@ -1,1 +1,165 @@
-"""Similarity-search queries over embeddings — placeholder."""
+"""Similarity-search queries over the embeddings table (north-star:
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path).
+
+Cosine math folds JVM-side over double-cast arrays (zip_with/aggregate).
+The brute-force variant is the correctness baseline (O(Q*N), Q small);
+the random-hyperplane bucket variant is the 100 TB path: vectors shuffle
+once on the bucket key, and each query probes only its own bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential fold dot product — bit-identical to a left-to-right SQL
+    list_dot_product over the same doubles."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / F.nullif(F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)), F.lit(0.0))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+# Deterministic pseudo-random hyperplanes: r_j[i] = sin(i * j), i 1-based —
+# reproducible in any engine without a shared RNG.
+def _projection(v: Column, j: int) -> Column:
+    weights = F.transform(
+        F.sequence(F.lit(1), F.lit(64)), lambda i: F.sin(i.cast("double") * j)
+    )
+    return dot(v, weights)
+
+
+@register(
+    "sim01_bruteforce_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(q.qv, e.v)
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v)), 0) AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    FROM (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact kNN baseline: tiny query set broadcast against the corpus, then
+    # per-query top-k (window on the query key — k small, no global sort).
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim02_lsh_buckets",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+      SELECT vec_id,
+             list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) AS p1,
+             list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) AS p2
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(CASE WHEN p1 >= 0 THEN 1 ELSE 0 END * 2
+                + CASE WHEN p2 >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+    FROM proj
+    """,
+)
+def sim02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Random-hyperplane LSH bucketing (sign of 2 fixed projections -> 4
+    # buckets). At scale this is the partition key for ANN: one shuffle,
+    # queries probe one bucket instead of the corpus.
+    emb = _emb(spark, sf_dir)
+    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
+    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
+    return emb.select("vec_id", (b1 + b2).alias("bucket"))
+
+
+@register(
+    "sim03_lsh_ann_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
+                       THEN 1 ELSE 0 END * 2
+                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      FROM e
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.q_id, b.vec_id,
+             list_dot_product(q.qv, b.v)
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
+      FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    FROM (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANN via bucket pruning: candidates share the query's LSH bucket
+    # (equi-join on bucket), then exact cosine re-rank — the IVF/LSH scale
+    # pattern from sim01's baseline.
+    emb = _emb(spark, sf_dir)
+    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
+    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
+    bucketed = emb.select("vec_id", "v", (b1 + b2).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(bucketed, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )

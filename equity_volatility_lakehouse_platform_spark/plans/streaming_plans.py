@@ -1,1 +1,65 @@
-"""Streaming-analogue queries (tumbling/session windows) — placeholder."""
+"""Streaming-surface queries (SURVEY.md §2.10): tumbling windows, session
+buckets, and the real Structured Streaming pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+    run_tumbling_stream,
+    tumbling_agg,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@register("st01_tumbling_window", oracle=_TUMBLING_ORACLE)
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling window = the daily/hourly roll-up via F.window (SURVEY §2.10);
+    # identical graph serves the streaming variant (st03).
+    return tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "st02_session_buckets",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 'premarket'
+                WHEN EXTRACT(hour FROM ts) < 16 THEN 'regular'
+                ELSE 'aftermarket' END AS session,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6)     AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st02_session_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-ish windows: premarket/regular/aftermarket time-of-day buckets
+    # (reference bars.py:139-351 fetches these pre-aggregated; P6 masks).
+    ev = load_table(spark, sf_dir, "events")
+    session = (
+        F.when(F.hour("ts") < 9, "premarket")
+        .when(F.hour("ts") < 16, "regular")
+        .otherwise("aftermarket")
+    )
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), session.alias("session"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@register("st03_streaming_tumbling", oracle=_TUMBLING_ORACLE)
+def st03_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The REAL streaming path: readStream -> watermark -> windowed agg ->
+    # memory sink (availableNow). Over bounded input it must equal the
+    # batch GROUP BY — so it shares st01's oracle.
+    return run_tumbling_stream(spark, sf_dir, "1 hour")

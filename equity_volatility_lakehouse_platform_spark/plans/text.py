@@ -1,1 +1,173 @@
-"""Text-analysis queries over documents — placeholder."""
+"""Text-analysis queries over the documents table (north-star operators:
+language-ID heuristic, quality scoring, token counting, fingerprinting).
+
+All JVM-side expressions (split/filter/aggregate lambdas) — the shapes a
+100 TB training-data pipeline runs per document with zero shuffles
+(embarrassingly parallel map stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.operators import textops as tx
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+_LEX = {
+    "en": ("the", "of", "and", "to", "in", "is", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit"),
+}
+
+
+def _lex_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _LEX[lang])
+
+
+@register(
+    "t01_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(length(replace(text, ' ', '')) * 1.0
+                 / NULLIF(len(regexp_split_to_array(trim(lower(text)), '\s+')), 0), 6)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token counting: whitespace tokenization + char stats (BPE-ish regex
+    # splits reduce to the same shape).
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * 1.0
+            / F.nullif(F.size(tok), F.lit(0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "t02_quality_score",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 * 1.0 / NULLIF(length(text), 0), 6) AS punct_ratio,
+           ROUND(len(list_filter(tok, x -> x IN ({_lex_sql('en')})))
+                 * 1.0 / NULLIF(len(tok), 0), 6) AS stopword_ratio,
+           ROUND(least(len(tok) / 100.0, 1.0) * 0.5
+                 + least(len(list_filter(tok, x -> x IN ({_lex_sql('en')})))
+                         * 5.0 / NULLIF(len(tok), 0), 1.0) * 0.3
+                 + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          * 1.0 / NULLIF(length(text), 0)) * 0.2, 6) AS quality_score
+    FROM t
+    """,
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality scoring: length / punctuation / stopword-ratio heuristics
+    # (the C4/Gopher-style rule family), one map stage.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    n_tok = F.size(tok)
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
+        * 1.0
+        / F.nullif(F.length("text"), F.lit(0))
+    )
+    stop_ratio = tx.stopword_hits(tok, _LEX["en"]) * 1.0 / F.nullif(n_tok, F.lit(0))
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - punct_ratio) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "t03_langid",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(tok, x -> x IN ({_lex_sql('en')}))) AS BIGINT) AS h_en,
+             CAST(len(list_filter(tok, x -> x IN ({_lex_sql('es')}))) AS BIGINT) AS h_es,
+             CAST(len(list_filter(tok, x -> x IN ({_lex_sql('fr')}))) AS BIGINT) AS h_fr,
+             CAST(len(list_filter(tok, x -> x IN ({_lex_sql('de')}))) AS BIGINT) AS h_de
+      FROM t
+    )
+    SELECT doc_id, lang, h_en, h_es, h_fr, h_de,
+           CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr >= h_de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Language-ID n-gram/stopword heuristic: per-lexicon hit counts with a
+    # fixed-priority argmax (deterministic on ties).
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    hits = docs.select(
+        "doc_id",
+        "lang",
+        *[tx.stopword_hits(tok, _LEX[lang]).alias(f"h_{lang}") for lang in _LEX],
+    )
+    h = {lang: F.col(f"h_{lang}") for lang in _LEX}
+    pred = (
+        F.when((h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0), "und")
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]), "en")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), "es")
+        .when(h["fr"] >= h["de"], "fr")
+        .otherwise("de")
+    )
+    return hits.withColumn("lang_pred", pred)
+
+
+@register(
+    "t04_fingerprint",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(tok,
+                 x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+    FROM t
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-sensitive rolling-hash document fingerprint (content drift /
+    # exact-prefix detection); pure fold, no shuffle.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint(tx.tokens(F.col("text"))).alias("fingerprint")
+    )

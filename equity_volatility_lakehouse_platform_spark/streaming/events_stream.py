@@ -1,0 +1,75 @@
+"""Structured Streaming layer (SURVEY.md §2.10).
+
+The reference is batch-only; its closest analogues are incremental sync
+(data_alpaca/bars.py:74-137) and pre-aggregated session windows
+(bars.py:139-351). For capability parity the engine exposes:
+
+* tumbling-window aggregation with a watermark over the events stream
+  (file source — the same parquet the batch path reads),
+* time-of-day session buckets as the batch analogue of session windows.
+
+``run_tumbling_stream`` runs a real streaming query (availableNow
+trigger -> memory sink) and returns the result as a batch DataFrame, so
+the exact streaming operator is oracle-checkable: with a complete
+pass over bounded input, watermarking drops nothing and the result must
+equal the batch GROUP BY.
+
+At scale: swap the file source for Kafka and the memory sink for a Delta
+sink; the transformation graph is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """The shared transformation graph (batch and streaming both use it)."""
+    return (
+        df.withWatermark("ts", "2 hours")
+        if df.isStreaming
+        else df
+    ).groupBy(
+        F.window("ts", window).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("hour_ts"), "event_type", "n", "total_value"
+    )
+
+
+def run_tumbling_stream(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Execute the streaming variant end-to-end: readStream (file source,
+    nanos repaired) -> watermark -> tumbling agg -> memory sink; returns
+    the final result as a batch DataFrame."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
+    # The file source requires a directory; expose the single parquet file
+    # through a temp dir symlink (a real deployment streams a landing dir).
+    stream_dir = tempfile.mkdtemp(prefix="evstream_src_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"evstream_{uuid.uuid4().hex[:8]}"
+    query = (
+        tumbling_agg(stream, window)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
