@@ -1,0 +1,66 @@
+"""Sinks (SURVEY.md §2.1 S7-S12): partitioned lake writes and the
+incremental upsert pattern.
+
+The reference writes per-symbol CSVs with skip-if-exists memoization
+(my_alpaca.py:198-215), Iceberg CTAS/overwritePartitions (fase_1 cells
+9/20), and SQLAlchemy ON CONFLICT DO NOTHING upserts (bars.py:196-198).
+Engine equivalents on plain parquet (Delta MERGE INTO / replaceWhere are
+the drop-in prod upgrades; Delta isn't in this container):
+
+* ``write_partitioned`` — symbol/date-partitioned parquet, snappy;
+  idempotent dynamic partition overwrite (S7/S9/S10).
+* ``upsert_parquet`` — insert-new-keys-only: anti-join the incoming batch
+  against existing keys, append survivors (S12 on-conflict-do-nothing).
+* ``incremental_plan`` — per-key max-date fetch planner (S13) feeding the
+  upsert.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink with dynamic partition overwrite — only the
+    partitions present in ``df`` are replaced (Iceberg overwritePartitions
+    semantics, fase_1.ipynb cell 20)."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .partitionBy(*partition_cols)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
+) -> None:
+    """ON CONFLICT DO NOTHING upsert (bars.py:196-198,424-428): append only
+    rows whose key is absent. With Delta this is MERGE INTO ... WHEN NOT
+    MATCHED INSERT; on parquet we anti-join against existing keys and
+    append. The existing side reads only the key columns (column-pruned
+    scan), and the anti-join broadcasts whichever side is small."""
+    if not os.path.exists(path):
+        updates.write.option("compression", "snappy").mode("overwrite").parquet(path)
+        return
+    existing_keys = spark.read.parquet(path).select(*keys)
+    new_rows = updates.join(existing_keys, keys, "left_anti")
+    new_rows.write.option("compression", "snappy").mode("append").parquet(path)
+
+
+def incremental_plan(
+    existing: DataFrame, key: str, date_col: str
+) -> DataFrame:
+    """Per-key resume point: next date to fetch (bars.py:74-137). Keys are
+    then bucketed by identical (start, end) ranges for batched fetches
+    (bars.py:363-379) — that grouping is a groupBy on the plan itself."""
+    return existing.groupBy(key).agg(
+        F.max(date_col).alias("last_seen"),
+        F.date_add(F.max(date_col), 1).alias("fetch_from"),
+    )

@@ -1,0 +1,194 @@
+"""Equity-domain operator tests against pandas oracles and invariants
+(SURVEY.md §5 strategy: feature-parity fixtures + docx invariant suite)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.functions.lookbacks import ewm_mean
+from equity_volatility_lakehouse_platform_spark.ml_prep import (
+    impute_median,
+    one_hot,
+    temporal_holdout,
+    trim_warmup,
+)
+from equity_volatility_lakehouse_platform_spark.operators.calendar_ops import (
+    days_since_holiday,
+    holidays_df,
+    trading_days,
+)
+from equity_volatility_lakehouse_platform_spark.operators.grid import build_grid, grid_fill
+from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+    _decode_payload,
+    attach_binary_payload,
+    decode_media,
+)
+from equity_volatility_lakehouse_platform_spark.operators.quality import (
+    parse_bronze_timestamp,
+    repair_vwap,
+    validate_bars,
+)
+from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+    incremental_plan,
+    upsert_parquet,
+    write_partitioned,
+)
+from equity_volatility_lakehouse_platform_spark.sources.synthetic import (
+    corrupt_bars,
+    synthetic_bars,
+)
+
+
+@pytest.fixture(scope="module")
+def bars(spark):
+    # 2024-03-04..15 spans the March 10 US DST transition (SURVEY §7.5).
+    return synthetic_bars(spark, ["AAA", "BBB", "CCC"], drop_rate=5).cache()
+
+
+def test_synthetic_bars_satisfy_invariants(spark, bars):
+    report = validate_bars(bars).first()
+    assert report.n_rows > 0
+    for probe in (
+        "null_timestamp", "bad_symbol", "low_gt_high", "open_outside",
+        "close_outside", "vwap_outside", "negative_volume", "nonpositive_trades",
+    ):
+        assert report[probe] == 0, probe
+
+
+def test_quality_detects_and_repairs_corruption(spark, bars):
+    bad = corrupt_bars(bars)
+    report = validate_bars(bad).first()
+    assert report.vwap_outside > 0 and report.negative_volume > 0
+    repaired = repair_vwap(bad)
+    assert validate_bars(repaired).first().vwap_outside == 0
+
+
+def test_grid_is_dense_and_clamped(spark, bars):
+    grid = build_grid(bars)
+    pdf = grid.toPandas()
+    b = bars.groupBy("symbol").agg(
+        F.min("local_timestamp").alias("lo"), F.max("local_timestamp").alias("hi")
+    ).toPandas().set_index("symbol")
+    for sym, g in pdf.groupby("symbol"):
+        ts = g["local_timestamp"].sort_values()
+        assert ts.min() == b.loc[sym, "lo"] and ts.max() == b.loc[sym, "hi"]
+        # weekday-only, 30-min cadence, 04:00-19:30 band
+        assert (ts.dt.dayofweek < 5).all()
+        assert ts.dt.minute.isin([0, 30]).all()
+        assert ts.dt.hour.between(4, 19).all()
+
+
+def test_grid_fill_matches_pandas_oracle(spark, bars):
+    out = grid_fill(bars).toPandas()
+    src = bars.toPandas()
+    for sym, g in out.groupby("symbol"):
+        g = g.sort_values("local_timestamp").set_index("local_timestamp")
+        s = (
+            src[src.symbol == sym]
+            .sort_values("local_timestamp")
+            .set_index("local_timestamp")
+        )
+        oracle_close = s["close"].reindex(g.index).ffill().bfill()
+        pd.testing.assert_series_equal(g["close"], oracle_close, check_names=False)
+        filled = ~g.index.isin(s.index)
+        assert (g.loc[filled, "volume"] == 0).all()
+        assert (g.loc[filled, "open"] == g.loc[filled, "close"]).all()
+    # filled output passes the invariant battery (SURVEY §5)
+    report = validate_bars(
+        grid_fill(bars).withColumn("trade_count", F.greatest("trade_count", F.lit(1)))
+    ).first()
+    assert report.low_gt_high == 0 and report.vwap_outside == 0
+
+
+def test_bronze_timestamp_parse(spark):
+    bronze = spark.createDataFrame(
+        [("AAA", "2024-03-04 09:30:00"), ("BBB", "not-a-time")], ["symbol", "timestamp"]
+    )
+    parsed = parse_bronze_timestamp(bronze)
+    rows = {r.symbol: r.timestamp for r in parsed.collect()}
+    assert rows["AAA"] is not None and rows["BBB"] is None
+
+
+def test_ewm_matches_pandas(spark, bars):
+    out = (
+        ewm_mean(
+            bars.select("symbol", "local_timestamp", "close"),
+            key="symbol", order=["local_timestamp"], value="close",
+            alpha=0.1, out="ewm",
+        )
+        .toPandas()
+        .sort_values(["symbol", "local_timestamp"])
+    )
+    for sym, g in out.groupby("symbol"):
+        oracle = g["close"].ewm(alpha=0.1, adjust=False).mean()
+        pd.testing.assert_series_equal(g["ewm"], oracle, check_names=False)
+
+
+def test_calendar_and_asof(spark):
+    days = trading_days(spark, "2024-01-01", "2024-01-31")
+    got = sorted(r.day.isoformat() for r in days.collect())
+    assert "2024-01-01" not in got and "2024-01-15" not in got  # holidays
+    assert "2024-01-06" not in got  # Saturday
+    assert "2024-01-02" in got
+    tagged = days_since_holiday(
+        spark.createDataFrame([("2024-01-20",)], ["d"]).select(F.col("d").cast("date")),
+        "d", holidays_df(spark),
+    ).first()
+    assert tagged.days_since_holiday == 5  # Jan 15 -> Jan 20
+
+
+def test_sinks_roundtrip_and_upsert(spark, bars):
+    with tempfile.TemporaryDirectory() as tmp:
+        p1 = os.path.join(tmp, "lake")
+        daily = bars.withColumn("date", F.to_date("local_timestamp"))
+        write_partitioned(daily, p1, ["symbol"])
+        back = spark.read.parquet(p1)
+        assert back.count() == daily.count()
+
+        p2 = os.path.join(tmp, "upsert")
+        first = daily.filter(F.col("symbol") != "CCC")
+        upsert_parquet(spark, first, p2, ["symbol", "local_timestamp"])
+        n1 = spark.read.parquet(p2).count()
+        # re-upserting the same rows is a no-op; new symbol rows append
+        upsert_parquet(spark, daily, p2, ["symbol", "local_timestamp"])
+        merged = spark.read.parquet(p2)
+        assert merged.count() == daily.count() and n1 == first.count()
+
+        plan = incremental_plan(daily, "symbol", "date").collect()
+        assert all(r.fetch_from == r.last_seen + pd.Timedelta(days=1).to_pytimedelta() for r in plan)
+
+
+def test_ml_prep(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-05", "Monday", 0.07, None),
+         (1, "2024-01-06", "Tuesday", 0.01, 2.0),
+         (2, "2024-01-07", "Monday", None, 4.0)],
+        ["sym", "d", "weekday", "market_absolute_path", "x"],
+    ).select("sym", F.col("d").cast("date").alias("d"), "weekday",
+             "market_absolute_path", "x")
+    from equity_volatility_lakehouse_platform_spark.ml_prep import label_market_path
+    lab = label_market_path(df.fillna({"market_absolute_path": 0.0}))
+    assert [r.market_path_flag for r in lab.orderBy("d").collect()] == [1, 0, 0]
+    oh = one_hot(df, "weekday", ["Monday", "Tuesday"])
+    assert "weekday_monday" in oh.columns and "weekday" not in oh.columns
+    imp = impute_median(df, ["x"])
+    assert imp.filter(F.col("x").isNull()).count() == 0
+    train, test = temporal_holdout(df, "d", "2024-01-07")
+    assert train.count() == 2 and test.count() == 1
+    trimmed = trim_warmup(df, "sym", "d", n=1)
+    assert trimmed.count() == 1  # sym1 keeps 1 of 2, sym2 keeps 0 of 1
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
+    out = decode_media(attach_binary_payload(docs)).orderBy("doc_id").collect()
+    for row, text in zip(out, ["hello world", "abc"]):
+        w, h, m = _decode_payload(text.encode())
+        assert (row.width, row.height) == (w, h)
+        assert abs(row.mean_intensity - m) < 1e-12
+        assert row.payload_bytes == len(text.encode())
