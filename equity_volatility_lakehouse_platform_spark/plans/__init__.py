@@ -23,6 +23,8 @@ def load_all() -> None:
         text,
         multimodal,
         streaming_plans,
+        silver,
+        mlprep_plans,
     )
 
 

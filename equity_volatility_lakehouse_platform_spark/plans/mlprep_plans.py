@@ -1,0 +1,67 @@
+"""ML data-contract queries (SURVEY.md §2.12): splits, encoding, label."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+
+@register(
+    "ml01_temporal_splits",
+    oracle="""
+    SELECT split,
+           CAST(count_if(o_orderdate <  TIMESTAMP '2000-01-01') AS BIGINT) AS n_train,
+           CAST(count_if(o_orderdate >= TIMESTAMP '2000-01-01') AS BIGINT) AS n_test,
+           CAST(min(EXTRACT(year FROM o_orderdate)) AS BIGINT)  AS first_year,
+           CAST(max(EXTRACT(year FROM o_orderdate)) AS BIGINT)  AS last_year
+    FROM (SELECT o_orderdate,
+                 CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997 THEN 'early'
+                      ELSE 'late' END AS split
+          FROM orders)
+    GROUP BY split
+    """,
+)
+def ml01_temporal_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temporal holdout + year-based split accounting (my_model.py:426-513):
+    # pure date filters — never random row shuffles (leakage-safe).
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    split = F.when(F.year("o_orderdate") <= 1997, "early").otherwise("late")
+    return (
+        orders.select("o_orderdate", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count_if(F.col("o_orderdate") < cutoff).alias("n_train"),
+            F.count_if(F.col("o_orderdate") >= cutoff).alias("n_test"),
+            F.min(F.year("o_orderdate")).cast("long").alias("first_year"),
+            F.max(F.year("o_orderdate")).cast("long").alias("last_year"),
+        )
+    )
+
+
+@register(
+    "ml02_onehot_label",
+    oracle="""
+    SELECT event_id,
+           CAST(event_type = 'click'    AS INT) AS type_click,
+           CAST(event_type = 'error'    AS INT) AS type_error,
+           CAST(event_type = 'purchase' AS INT) AS type_purchase,
+           CAST(event_type = 'signup'   AS INT) AS type_signup,
+           CAST(event_type = 'view'     AS INT) AS type_view,
+           CAST(value >= 150 AS INT)            AS label
+    FROM events
+    """,
+)
+def ml02_onehot_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-hot encoding with an explicit category list + threshold label
+    # (my_model.py:50-57) — single map stage, stable schema.
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return ev.select(
+        "event_id",
+        *[(F.col("event_type") == c).cast("int").alias(f"type_{c}") for c in cats],
+        (F.col("value") >= 150).cast("int").alias("label"),
+    )

@@ -1110,3 +1110,120 @@ def s13_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_day.alias("last_seen_day"),
         (last_day + F.expr("INTERVAL 1 DAY")).alias("fetch_from"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late additions: A7 horizon returns, J7 daily alignment, O1 sort, SQL CTAS
+# ---------------------------------------------------------------------------
+
+@register(
+    "a07_horizon_returns",
+    oracle="""
+    WITH tail7 AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn <= 7
+    )
+    SELECT user_id,
+           ROUND(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1, 6) AS ret_7,
+           ROUND(stddev_samp(value) / NULLIF(arg_min(value, ts), 0), 6)     AS std_rel_7,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tail7 GROUP BY user_id
+    """,
+)
+def a07_horizon_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-map horizon returns (alpa.py:319-336,364-381): tail(d) ->
+    # last/first - 1 and std(value/first). std(v/first) == std(v)/first, so
+    # the whole thing stays a plain aggregate — no applyInPandas needed.
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    tail7 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7)
+    first_v = F.min_by("value", "ts")
+    return tail7.groupBy("user_id").agg(
+        _r6(F.max_by("value", "ts") / F.nullif(first_v, F.lit(0.0)) - 1).alias("ret_7"),
+        _r6(F.stddev_samp("value") / F.nullif(first_v, F.lit(0.0))).alias("std_rel_7"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "j07_daily_alignment_join",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+    ), pm_first AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(arg_min(value, ts), 6) AS first_pm_value
+      FROM events WHERE EXTRACT(hour FROM ts) < 9 GROUP BY 1
+    ), last_close AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(arg_max(value, ts), 6) AS last_value
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, p.first_pm_value, l.last_value
+    FROM days d
+    LEFT JOIN pm_first p ON d.day = p.day
+    LEFT JOIN last_close l ON d.day = l.day
+    """,
+)
+def j07_daily_alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily alignment joins (my_stock_functions.py:242-252,636,765): the
+    # all-days spine left-joined with per-day first-premarket and last-close.
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    days = ev.select(day).distinct()
+    pm_first = (
+        ev.filter(F.hour("ts") < 9)
+        .groupBy(day)
+        .agg(_r6(F.min_by("value", "ts")).alias("first_pm_value"))
+    )
+    last_close = ev.groupBy(day).agg(_r6(F.max_by("value", "ts")).alias("last_value"))
+    return days.join(pm_first, "day", "left").join(last_close, "day", "left")
+
+
+@register(
+    "o01_multikey_sort",
+    oracle="""
+    SELECT user_id, ts, event_id, value
+    FROM events
+    ORDER BY user_id, ts
+    """,
+)
+def o01_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pervasive (symbol, timestamp) semantic sort (my_alpaca.py:122 etc.).
+    # Global orderBy is for export/display only — inside the engine, order
+    # lives in window specs (SURVEY §4: avoid range-partition exchanges).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "ts", "event_id", "value").orderBy("user_id", "ts")
+
+
+@register(
+    "sql01_ctas_typed_parse",
+    oracle="""
+    SELECT event_id,
+           strptime(replace(ts_raw, ' ', 'T'), '%Y-%m-%dT%H:%M:%S') AS ts_typed
+    FROM (SELECT event_id,
+                 strftime(CAST(date_trunc('second', ts) AS TIMESTAMP),
+                          '%Y-%m-%d %H:%M:%S') AS ts_raw
+          FROM events)
+    """,
+)
+def sql01_ctas_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Athena CTAS typing step (docx): bronze stores the timestamp as a
+    # string; from_iso8601_timestamp(regexp_replace(ts,' ','T')) types it.
+    # Round-trips through a string column to exercise the real parse path.
+    ev = load_table(spark, sf_dir, "events")
+    bronze = ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("second", "ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_raw"),
+    )
+    return bronze.select(
+        "event_id",
+        F.to_timestamp(
+            F.regexp_replace("ts_raw", " ", "T"), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("ts_typed"),
+    )

@@ -1,0 +1,73 @@
+"""Silver grid-fill query over the events stream (SURVEY.md §3.2 traced
+end-to-end on driver testdata): dense per-key hourly grid -> left join ->
+forward fill — the distributed replacement for the reference's driver-loop
+grid + crossJoin (Procesamiento_fase_1.ipynb cells 11-18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+
+@register(
+    "g01_grid_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             arg_max(value, ts) AS close, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.h, o.close, COALESCE(o.n, 0) AS n_events,
+             o.close IS NULL AS is_filled
+      FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id, h, n_events, is_filled,
+           ROUND(last_value(close IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS close_ffill
+    FROM joined
+    """,
+)
+def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grid rows are generated on executors via explode(sequence(lo, hi)) per
+    # key — already partitioned by the join key, so no crossJoin blow-up and
+    # no driver materialization at any scale.
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.max_by("value", "ts").alias("close"), F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("close").isNull().alias("is_filled"),
+        "close",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        "n_events",
+        "is_filled",
+        F.round(F.last("close", ignorenulls=True).over(w), 6).alias("close_ffill"),
+    )
