@@ -30,6 +30,13 @@ HEADLINE = [
     "w04_lag_ladder",
     "w08_rolling_median",
     "o04_topk",
+    "f12_z_pm_comp",
+    "g01_grid_fill_hourly",
+    "d01_exact_dedup",
+    "d03_minhash_lsh_pairs",
+    "sim01_bruteforce_topk",
+    "t02_quality_score",
+    "st01_tumbling_window",
 ]
 
 

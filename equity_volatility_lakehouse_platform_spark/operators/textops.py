@@ -59,10 +59,12 @@ def minhash_signature(
         df.select(id_col, tok.alias("_tok"))
         .filter(F.size("_tok") >= n)
         .select(id_col, F.explode(shingles(F.col("_tok"), n)).alias("_sh"))
+        # materialize the base hash ONCE: the 8 permutation aggregates below
+        # are then pure integer arithmetic (one md5 per shingle, not eight).
+        .select(id_col, (token_hash(F.col("_sh")) % HASH_P).alias("_h32"))
     )
-    h32 = token_hash(F.col("_sh")) % HASH_P
     aggs = [
-        F.min((F.lit(a) * h32 + F.lit(b)) % HASH_P).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % HASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return sh.groupBy(id_col).agg(*aggs)

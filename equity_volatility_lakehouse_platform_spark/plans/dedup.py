@@ -108,37 +108,41 @@ def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH banding: 4 bands x 2 rows; docs colliding on any band become
     # candidate pairs, scored by signature agreement. The candidate join is
     # an equi-join on (band, x, y) — linear in collisions, not O(n^2).
-    sig = d02_minhash_signatures(spark, sf_dir)
-    bands = None
-    for band in range(4):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.col(f"mh{2 * band}").alias("x"),
-            F.col(f"mh{2 * band + 1}").alias("y"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.x") == F.col("b.x"))
-            & (F.col("a.y") == F.col("b.y"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Physical shape: signatures are computed ONCE (cached — at scale they'd
+    # be a materialized table) and carried through the band explode, so the
+    # pair join immediately yields both sides' signatures; duplicate pairs
+    # from multiple colliding bands dedupe in the final groupBy.
+    sig = d02_minhash_signatures(spark, sf_dir).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("x"),
+                F.col(f"mh{2 * band + 1}").alias("y"),
+            )
+            for band in range(4)
+        ]
     )
-    sa = sig.select([F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select([F.col(c).alias(f"b_{c}") for c in sig.columns])
+    bands = sig.select("doc_id", *[f"mh{i}" for i in range(8)], F.explode(band_structs).alias("b")).select(
+        "doc_id", *[f"mh{i}" for i in range(8)], "b.band", "b.x", "b.y"
+    )
+    a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
     agree = sum(
         (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
     )
     return (
-        cand.join(sa, cand.doc_a == sa.a_doc_id)
-        .join(sb, cand.doc_b == sb.b_doc_id)
-        .select("doc_a", "doc_b", F.round(agree / 8.0, 6).alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_x") == F.col("b_x"))
+            & (F.col("a_y") == F.col("b_y"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .groupBy(
+            F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
+        )
+        .agg(F.round(F.max(agree) / 8.0, 6).alias("est_jaccard"))
     )
 
 
