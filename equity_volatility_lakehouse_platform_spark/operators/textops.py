@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 # 2^31-1 (Mersenne prime): keeps a*h+b inside int64 (a,h < 2^31 => a*h < 2^62).
 HASH_P = 2147483647
+# Horner base for combining token hashes into a shingle hash:
+# acc*B + h stays < 2^31 * 2^20 + 2^31 < 2^52 — no int64 overflow.
+SHINGLE_B = 1000003
 # Permutation constants: fixed primes < 2^31 (a_i) and a linear ramp (b_i).
 MINHASH_A = (1000000007, 998244353, 754974721, 167772161,
              469762049, 1004535809, 1224736769, 2013265921)
@@ -49,25 +52,53 @@ def shingles(tok: Column, n: int = 3) -> Column:
     )
 
 
+def token_hash_array(tok: Column) -> Column:
+    """Per-token 31-bit hashes — the only md5 work in the MinHash path
+    (one digest per token, not per shingle)."""
+    return F.transform(tok, lambda t: token_hash(t) % HASH_P)
+
+
+def shingle_hash_array(th: Column, n: int = 3) -> Column:
+    """n-gram shingle hashes from the token-hash array via Horner fold
+    (((h_i*B + h_{i+1}) % P)*B + h_{i+2}) % P — pure integer arithmetic,
+    reproducible in any SQL engine with list_transform."""
+    idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for k in range(1, n):
+            acc = (acc * SHINGLE_B + F.element_at(th, i + F.lit(k))) % HASH_P
+        return acc
+
+    return F.transform(idx, combine)
+
+
 def minhash_signature(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature (8 permutations) over word-3-gram
-    shingles. One explode + one groupBy: linear, fully distributed."""
+    shingle hashes.
+
+    Entirely per-row: tokenize -> hash tokens -> Horner-combine into
+    shingle hashes -> array_min of each permuted array. No explode, no
+    groupBy — the plan is a narrow projection (zero shuffles), so at
+    100 TB it scales with input partitions alone. Separate selects keep
+    the token-hash array a named attribute, so CollapseProject won't
+    re-inline (and re-md5) it into the n element_at references."""
     tok = tokens(F.col(text_col))
-    sh = (
+    base = (
         df.select(id_col, tok.alias("_tok"))
         .filter(F.size("_tok") >= n)
-        .select(id_col, F.explode(shingles(F.col("_tok"), n)).alias("_sh"))
-        # materialize the base hash ONCE: the 8 permutation aggregates below
-        # are then pure integer arithmetic (one md5 per shingle, not eight).
-        .select(id_col, (token_hash(F.col("_sh")) % HASH_P).alias("_h32"))
+        .select(id_col, token_hash_array(F.col("_tok")).alias("_th"))
+        .select(id_col, shingle_hash_array(F.col("_th"), n).alias("_sh"))
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("_h32") + F.lit(b)) % HASH_P).alias(f"mh{i}")
+    mins = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(id_col, *mins)
 
 
 def fingerprint(tok: Column) -> Column:

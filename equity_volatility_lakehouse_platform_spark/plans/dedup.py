@@ -4,9 +4,9 @@ embedding-cosine near-dup).
 
 All hashing uses the cross-engine md5-prefix hash (operators.textops) so
 every stage — including the LSH banding join — is oracle-checkable in
-DuckDB. At 100 TB these plans stay linear: explode -> partial-agg
-signatures, band-key equi-joins for candidates; never an all-pairs cross
-join.
+DuckDB. At 100 TB these plans stay linear: signatures are a zero-shuffle
+per-row projection, band-key equi-joins find candidates; never an
+all-pairs cross join.
 """
 
 from __future__ import annotations
@@ -18,7 +18,8 @@ from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
 
-# DuckDB mirror of tokens/shingles/h32 (see operators/textops.py).
+# DuckDB mirror of tokens/shingles (see operators/textops.py). Used by the
+# shingle-STRING consumers (d05 exact Jaccard).
 _SH_CTE = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -28,25 +29,37 @@ WITH toks AS (
          list_transform(range(1, len(t) - 1),
                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
   FROM toks WHERE len(t) >= 3
-), h AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(s.sh), 1, 15)) AS BIGINT) % 2147483647 AS h32
-  FROM sh, LATERAL unnest(sh.shingles) AS s(sh)
 )
 """
 
-_SIG_SQL = _SH_CTE + """
-, sig AS (
+# DuckDB mirror of token_hash_array/shingle_hash_array/minhash_signature:
+# md5 once per TOKEN, Horner-combined per 3-gram, list_min per permutation.
+_SIG_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), th AS (
   SELECT doc_id,
-         min((1000000007  * h32 + 1)        % 2147483647) AS mh0,
-         min((998244353   * h32 + 15485864) % 2147483647) AS mh1,
-         min((754974721   * h32 + 30971727) % 2147483647) AS mh2,
-         min((167772161   * h32 + 46457590) % 2147483647) AS mh3,
-         min((469762049   * h32 + 61943453) % 2147483647) AS mh4,
-         min((1004535809  * h32 + 77429316) % 2147483647) AS mh5,
-         min((1224736769  * h32 + 92915179) % 2147483647) AS mh6,
-         min((2013265921  * h32 + 108401042) % 2147483647) AS mh7
-  FROM h GROUP BY doc_id
+         list_transform(t, s ->
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS h
+  FROM toks WHERE len(t) >= 3
+), shh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(h) - 1),
+           i -> ((h[i] * 1000003 + h[i+1]) % 2147483647 * 1000003 + h[i+2])
+                % 2147483647) AS sh
+  FROM th
+), sig AS (
+  SELECT doc_id,
+         list_min(list_transform(sh, x -> (1000000007  * x + 1)        % 2147483647)) AS mh0,
+         list_min(list_transform(sh, x -> (998244353   * x + 15485864) % 2147483647)) AS mh1,
+         list_min(list_transform(sh, x -> (754974721   * x + 30971727) % 2147483647)) AS mh2,
+         list_min(list_transform(sh, x -> (167772161   * x + 46457590) % 2147483647)) AS mh3,
+         list_min(list_transform(sh, x -> (469762049   * x + 61943453) % 2147483647)) AS mh4,
+         list_min(list_transform(sh, x -> (1004535809  * x + 77429316) % 2147483647)) AS mh5,
+         list_min(list_transform(sh, x -> (1224736769  * x + 92915179) % 2147483647)) AS mh6,
+         list_min(list_transform(sh, x -> (2013265921  * x + 108401042) % 2147483647)) AS mh7
+  FROM shh
 )
 """
 
