@@ -1,0 +1,118 @@
+"""Trend/threshold event segmentation (reference: build_event_df,
+data_apis/my_alpaca.py:19-111).
+
+Each emitted row is one full trend: a run of consecutive bars from a
+reference price until the price crosses the dynamic target band given by
+the tiered threshold function (my_helper.py:2-24 — relative factor 12%/
+8%/5%/3%/2% by price tier, with tier-dependent rounding). On a hit the
+event closes, the reference resets to the hit price, and scanning
+continues; a trailing partial segment is always emitted.
+
+Deviations from the reference, by design:
+- No 1-minute drill-down (my_alpaca.py:73-95): hits resolve at the input
+  bar granularity. The drill-down is an external-API refinement, not an
+  engine operator.
+- No split-factor ratio (close_adj/close): the synthetic series has a
+  single value column, so factor_ratio == 1 throughout.
+
+Scale: the scan is inherently sequential *within* a key (every reset
+depends on the previous hit), so it runs as applyInPandas — one Arrow
+batch per key, parallel across keys. That is the correct 100 TB shape:
+state never leaves the executor, and no driver materialization occurs.
+A key's full history must fit in one task (same constraint the window
+feature library already has).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEGMENT_SCHEMA = (
+    "user_id bigint, start_time timestamp, end_time timestamp, "
+    "open double, high double, low double, close double, "
+    "pct_change double, n_bars bigint"
+)
+
+
+def min_max_target(price: float) -> tuple[float, float]:
+    """Tiered dynamic target band (mirrors my_helper.py:2-24)."""
+    if price <= 0.1:
+        factor, dp = 0.12, 4
+    elif price <= 0.5:
+        factor, dp = 0.08, 4
+    elif price <= 2:
+        factor, dp = 0.05, 3
+    elif price <= 10:
+        factor, dp = 0.03, 2
+    else:
+        factor, dp = 0.02, 2
+    price = round(price, dp)
+    lo = round(price * (1 - factor), dp)
+    hi = (price - lo) + price
+    return lo, hi
+
+
+def _segment_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    uid = pdf.loc[0, "user_id"]
+    vals = pdf["value"].to_numpy()
+    times = pdf["ts"].to_numpy()
+
+    events: list[dict] = []
+    ref = float(vals[0])
+    lo = hi = ref
+    start = times[0]
+    n = 0
+    for i in range(len(vals)):
+        v = float(vals[i])
+        lo = min(lo, v)
+        hi = max(hi, v)
+        n += 1
+        min_t, max_t = min_max_target(ref)
+        if v <= min_t or v >= max_t:
+            events.append(
+                {
+                    "user_id": uid,
+                    "start_time": start,
+                    "end_time": times[i],
+                    "open": ref,
+                    "high": hi,
+                    "low": lo,
+                    "close": v,
+                    "pct_change": (v - ref) / ref,
+                    "n_bars": n,
+                }
+            )
+            ref = v
+            lo = hi = ref
+            start = times[i]
+            n = 0
+    # Trailing partial trend (my_alpaca.py:98-110).
+    v = float(vals[-1])
+    events.append(
+        {
+            "user_id": uid,
+            "start_time": start,
+            "end_time": times[-1],
+            "open": ref,
+            "high": hi,
+            "low": lo,
+            "close": v,
+            "pct_change": (v - ref) / ref,
+            "n_bars": n,
+        }
+    )
+    return pd.DataFrame(events)
+
+
+def segment_events(events: DataFrame) -> DataFrame:
+    """Per-key trend segmentation of the (user_id, ts, value) series."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(_segment_group, SEGMENT_SCHEMA)
+        .withColumn("pct_change", F.round("pct_change", 6))
+    )

@@ -336,3 +336,15 @@ def f18_market_path_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.market_path_label(_daily(spark, sf_dir)),
         "market_absolute_path", "market_path_flag",
     )
+
+
+@register("f19_event_segmentation")  # no SQL oracle: data-dependent resets
+def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # build_event_df trend/threshold segmentation (my_alpaca.py:19-111):
+    # a stateful per-key scan whose segment boundaries depend on every
+    # previous hit — inherently recursive, so rows-only check. Semantics
+    # are pinned by a pandas differential test (tests/test_domain.py).
+    from equity_volatility_lakehouse_platform_spark.operators.events_seg import segment_events
+
+    ev = load_table(spark, sf_dir, "events")
+    return segment_events(ev)

@@ -1227,3 +1227,27 @@ def sql01_ctas_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("ts_raw", " ", "T"), "yyyy-MM-dd'T'HH:mm:ss"
         ).alias("ts_typed"),
     )
+
+
+@register(
+    "o02_sort_by_value",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value), 6) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    """,
+)
+def o02_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort_values('importance', ascending=False) (my_model.py:103-110) —
+    # value-ordered export of an aggregate. Full sort is intentional here
+    # (export surface); analytical top-k uses o04 instead.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+    )

@@ -192,3 +192,46 @@ def test_multimodal_decode_stub(spark):
         assert (row.width, row.height) == (w, h)
         assert abs(row.mean_intensity - m) < 1e-12
         assert row.payload_bytes == len(text.encode())
+
+
+def test_event_segmentation_matches_pandas(spark, sf_dir):
+    # Differential test for the stateful trend segmentation (f19): an
+    # independent plain-pandas scan with the same tiered-band semantics
+    # (my_alpaca.py:19-111 without the 1-minute drill-down).
+    from equity_volatility_lakehouse_platform_spark.operators.events_seg import (
+        min_max_target,
+        segment_events,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = (
+        segment_events(ev)
+        .orderBy("user_id", "start_time", "end_time")
+        .toPandas()
+    )
+
+    pdf = ev.select("user_id", "event_id", "ts", "value").toPandas()
+    expected_rows = []
+    for uid, g in pdf.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        vals = g["value"].tolist()
+        times = g["ts"].tolist()
+        ref, lo, hi, start, n = vals[0], vals[0], vals[0], times[0], 0
+        for t, v in zip(times, vals):
+            lo, hi, n = min(lo, v), max(hi, v), n + 1
+            mn, mx = min_max_target(ref)
+            if v <= mn or v >= mx:
+                expected_rows.append((uid, start, t, ref, hi, lo, v, n))
+                ref, lo, hi, start, n = v, v, v, t, 0
+        expected_rows.append((uid, start, times[-1], ref, hi, lo, vals[-1], n))
+
+    assert len(got) == len(expected_rows)
+    exp = pd.DataFrame(
+        expected_rows,
+        columns=["user_id", "start_time", "end_time", "open", "high", "low", "close", "n_bars"],
+    ).sort_values(["user_id", "start_time", "end_time"]).reset_index(drop=True)
+    for col in ("user_id", "n_bars"):
+        assert got[col].tolist() == exp[col].tolist(), col
+    for col in ("open", "high", "low", "close"):
+        pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
+    assert (got["pct_change"] - (exp["close"] / exp["open"] - 1)).abs().max() < 1e-6
