@@ -71,12 +71,27 @@ def daily_bars(
     ts: str = "ts",
     value: str = "value",
 ) -> DataFrame:
-    """Full daily frame: roll-up left-joined with premarket aggregates.
+    """Full daily frame: roll-up plus premarket aggregates in ONE pass.
 
-    Left join keeps days with no premarket rows (nulls there drive the
-    reference's gap_pct=0 / HHI-null semantics,
-    my_stock_functions.py:243,571-573).
+    The premarket bucket is folded into the same groupBy via aggregate
+    FILTER clauses instead of a second scan + left join — one shuffle on
+    (key, day) total, which matters at 100 TB (the join variant reads the
+    fact table twice and shuffles three times). Days with no premarket
+    rows keep the left-join null semantics (NULLIF on the count; filtered
+    min_by/sum are already null there) that drive the reference's
+    gap_pct=0 / HHI-null rules (my_stock_functions.py:243,571-573).
     """
-    base = daily_rollup(df, key, ts, value)
-    pm = premarket_rollup(df, key, ts, value)
-    return base.join(pm, [key, "day"], "left")
+    pm = f"hour({ts}) < 9"
+    return df.groupBy(key, F.date_trunc("day", ts).alias("day")).agg(
+        F.min_by(value, ts).alias("open"),
+        F.max(value).alias("high"),
+        F.min(value).alias("low"),
+        F.max_by(value, ts).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value).alias("dollar_vol"),
+        F.expr(f"min_by({value}, {ts}) FILTER (WHERE {pm})").alias("pm_open"),
+        F.expr(f"max_by({value}, {ts}) FILTER (WHERE {pm})").alias("pm_close"),
+        F.expr(f"sum({value}) FILTER (WHERE {pm})").alias("pm_vol"),
+        F.expr(f"sum({value} * {value}) FILTER (WHERE {pm})").alias("pm_wvol"),
+        F.nullif(F.expr(f"count(1) FILTER (WHERE {pm})"), F.lit(0)).alias("pm_n"),
+    )

@@ -25,6 +25,7 @@ def load_all() -> None:
         streaming_plans,
         silver,
         mlprep_plans,
+        sinks_plans,
     )
 
 
