@@ -65,3 +65,71 @@ def ml02_onehot_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.col("event_type") == c).cast("int").alias(f"type_{c}") for c in cats],
         (F.col("value") >= 150).cast("int").alias("label"),
     )
+
+
+@register(
+    "ml03_rolling_origin_splits",
+    oracle="""
+    WITH by_month AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS origin,
+             CAST(count(*) AS BIGINT) AS n_test
+      FROM orders GROUP BY 1
+    )
+    SELECT origin, n_test,
+           CAST(COALESCE(SUM(n_test) OVER (ORDER BY origin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS n_train
+    FROM by_month
+    """,
+)
+def ml03_rolling_origin_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-origin evaluation splits (my_model.py:446-482): for every
+    # monthly origin, train = all history before it, test = that month.
+    # One groupBy + one cumulative window — the split table is tiny (one
+    # row per month) regardless of fact scale.
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    by_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("origin")
+    ).agg(F.count(F.lit(1)).alias("n_test"))
+    w = Window.orderBy("origin").rowsBetween(Window.unboundedPreceding, -1)
+    return by_month.select(
+        "origin",
+        "n_test",
+        F.coalesce(F.sum("n_test").over(w), F.lit(0)).alias("n_train"),
+    )
+
+
+@register(
+    "ml04_median_impute",
+    oracle="""
+    WITH holey AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ), med AS (
+      SELECT median(value) AS m FROM holey
+    )
+    SELECT h.event_id,
+           ROUND(COALESCE(h.value, med.m), 6) AS value_imputed,
+           CAST(h.value IS NULL AS INT) AS was_imputed
+    FROM holey h CROSS JOIN med
+    """,
+)
+def ml04_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median imputation (my_model.py:63-66). The exact median reduces to a
+    # single scalar (one aggregate), broadcast back over the facts — no
+    # per-row subquery. A deterministic subset is nulled first so the
+    # imputation path is actually exercised.
+    ev = load_table(spark, sf_dir, "events")
+    holey = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    med = holey.agg(F.median("value").alias("m"))
+    return holey.crossJoin(F.broadcast(med)).select(
+        "event_id",
+        F.round(F.coalesce("value", "m"), 6).alias("value_imputed"),
+        F.col("value").isNull().cast("int").alias("was_imputed"),
+    )

@@ -68,14 +68,22 @@ def _projection(v: Column, j: int) -> Column:
 def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact kNN baseline: tiny query set broadcast against the corpus, then
     # per-query top-k (window on the query key — k small, no global sort).
-    emb = _emb(spark, sf_dir)
+    # Norms are projected BEFORE the join, so each corpus vector's norm is
+    # computed once, not once per query (Q-fold savings; float-identical:
+    # dot/(sqrt*sqrt) evaluates in the same order).
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
     q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .select("q_id", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -148,14 +156,21 @@ def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
     b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
-    bucketed = emb.select("vec_id", "v", (b1 + b2).alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", "v", (b1 + b2).alias("bucket"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
     q = bucketed.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (
         F.broadcast(q)
         .join(bucketed, (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("q_id")))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .select("q_id", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (

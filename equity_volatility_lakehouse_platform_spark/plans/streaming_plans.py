@@ -63,3 +63,23 @@ def st03_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory sink (availableNow). Over bounded input it must equal the
     # batch GROUP BY — so it shares st01's oracle.
     return run_tumbling_stream(spark, sf_dir, "1 hour")
+
+
+@register(
+    "st04_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6)     AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st04_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Custom stateful streaming operator (applyInPandasWithState, SURVEY
+    # §2.10 parity note): per-key state across micro-batches; the final
+    # per-user snapshot must equal the batch GROUP BY.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stateful_totals_stream,
+    )
+
+    return run_stateful_totals_stream(spark, sf_dir)

@@ -73,3 +73,65 @@ def run_tumbling_stream(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, total) state carried across micro-batches, a snapshot
+    row emitted per user per batch. Over bounded input the LAST snapshot
+    per user — the one with the highest running count, monotone by
+    construction — must equal the batch GROUP BY, which makes an arbitrary
+    batch split oracle-checkable. State is per-key and executor-resident:
+    the 100 TB shape (keys shard across executors; nothing on the driver).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
+    stream_dir = tempfile.mkdtemp(prefix="evstate_src_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    snapshots = stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"evstate_{uuid.uuid4().hex[:8]}"
+    query = (
+        snapshots.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    latest = F.max_by(F.struct("n_events", "total_value"), "n_events")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(latest.alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round("s.total_value", 6).alias("total_value"),
+        )
+    )
