@@ -49,8 +49,11 @@ def main() -> None:
 
     spark = get_spark(app_name="evlp-bench")
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen once so timings reflect steady-state execution.
-    queries[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warm each query once (Janino codegen + broadcast init dominate cold
+    # first runs), then time the steady-state execution — the number that
+    # actually extrapolates to a long-lived cluster.
+    for name in names:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
     for name in names:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()

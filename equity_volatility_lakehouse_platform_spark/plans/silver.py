@@ -40,34 +40,37 @@ from equity_volatility_lakehouse_platform_spark.sources.readers import load_tabl
     """,
 )
 def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Grid rows are generated on executors via explode(sequence(lo, hi)) per
-    # key — already partitioned by the join key, so no crossJoin blow-up and
-    # no driver materialization at any scale.
+    # Gap-fill by explode: every observed hour emits itself plus the empty
+    # slots up to (excluding) the NEXT observed hour (lead), carrying its
+    # own close — the forward fill falls out of the generation, so there is
+    # no dense-grid build, no grid<->observed join, and no fill window.
+    # Two shuffles total (hourly agg, lead window); grid rows are generated
+    # on executors, never the driver — the distributed replacement for the
+    # reference's driver-loop grid + crossJoin (fase_1 cells 11-18).
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
         F.max_by("value", "ts").alias("close"), F.count(F.lit(1)).alias("n")
     )
-    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
-    )
-    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    slots = hourly.withColumn("next_h", F.lead("h").over(w)).select(
         "user_id",
         "h",
-        F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.col("close").isNull().alias("is_filled"),
         "close",
+        "n",
+        F.explode(
+            F.sequence(
+                "h",
+                F.coalesce(
+                    F.col("next_h") - F.expr("interval 1 hour"), F.col("h")
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("slot"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    return slots.select(
         "user_id",
-        "h",
-        "n_events",
-        "is_filled",
-        F.round(F.last("close", ignorenulls=True).over(w), 6).alias("close_ffill"),
+        F.col("slot").alias("h"),
+        F.when(F.col("slot") == F.col("h"), F.col("n")).otherwise(F.lit(0)).alias("n_events"),
+        (F.col("slot") != F.col("h")).alias("is_filled"),
+        F.round("close", 6).alias("close_ffill"),
     )

@@ -235,3 +235,77 @@ def test_event_segmentation_matches_pandas(spark, sf_dir):
     for col in ("open", "high", "low", "close"):
         pd.testing.assert_series_equal(got[col], exp[col], check_names=False)
     assert (got["pct_change"] - (exp["close"] / exp["open"] - 1)).abs().max() < 1e-6
+
+
+def test_api_sources_with_injected_fetchers(spark):
+    # S1/S2/S3/S5 driver-side sources (my_eodhd.py, alpa.py, my_ishares.py)
+    # exercised with fixture payloads instead of network/SDK clients.
+    from equity_volatility_lakehouse_platform_spark.sources.api_sources import (
+        excel_holdings_source,
+        historical_constituents_source,
+        index_list_source,
+        sdk_bars_source,
+    )
+
+    # S1 with the 403-fallback path: primary fetch raises, cache serves.
+    def boom():
+        raise RuntimeError("403")
+
+    idx = index_list_source(
+        spark,
+        fetch=boom,
+        fallback=lambda: [
+            {"ID": "GSPC.INDX", "Code": "GSPC", "Name": "S&P 500",
+             "Constituents": 503, "Value": 5000.0, "MarketCap": 4.5e13,
+             "CurrencyCode": "USD", "LastUpdate": None},
+        ],
+    )
+    row = idx.first()
+    assert row.full_symbol == "GSPC.INDX" and row.constituents_count == 503
+
+    # S2: dict-of-dicts payload, open intervals closed with sentinels.
+    payload = {
+        "HistoricalTickerComponents": {
+            "0": {"Code": "AAA", "Name": "Alpha", "StartDate": "2020-01-02",
+                  "EndDate": "", "Weight": 1.5, "Exchange": "NYSE",
+                  "Industry": "Tech", "Sector": "IT",
+                  "IsActiveNow": True, "IsDelisted": False},
+            "1": {"Code": "BBB", "Name": "Beta", "StartDate": None,
+                  "EndDate": "2021-06-30", "Weight": 0.5, "Exchange": "NYSE",
+                  "Industry": "Energy", "Sector": "EN",
+                  "IsActiveNow": False, "IsDelisted": True},
+        }
+    }
+    cons = historical_constituents_source(spark, ["GSPC.INDX"], lambda code: payload)
+    got = {r.symbol: r for r in cons.collect()}
+    assert str(got["AAA"].end_date) == "2199-12-31"       # sentinel close
+    assert str(got["BBB"].start_date) == "1950-01-01"     # sentinel open
+    assert got["AAA"].index_symbol == "GSPC.INDX"
+    assert got["BBB"].is_delisted is True
+
+    # S3: batching — 5 symbols at batch_size=2 => 3 fetch calls.
+    calls = []
+
+    def fetch_batch(batch):
+        calls.append(list(batch))
+        return [
+            {"symbol": s, "timestamp": "2024-03-04 09:30:00", "open": 10.0,
+             "high": 11.0, "low": 9.5, "close": 10.5, "volume": 100,
+             "trade_count": 7, "vwap": 10.2}
+            for s in batch
+        ]
+
+    bars = sdk_bars_source(spark, ["A", "B", "C", "D", "E"], fetch_batch, batch_size=2)
+    assert len(calls) == 3 and bars.count() == 5
+    assert dict(bars.dtypes)["timestamp"] == "timestamp"
+
+    # S5: Excel holdings with an injected reader; dedup on Ticker.
+    def fake_reader(path):
+        return pd.DataFrame(
+            [{"Ticker": "AAA", "Name": "Alpha", "Weight": 2.0, "Sector": "IT"},
+             {"Ticker": "AAA", "Name": "Alpha dup", "Weight": 2.0, "Sector": "IT"},
+             {"Ticker": "BBB", "Name": "Beta", "Weight": 1.0, "Sector": "EN"}]
+        )
+
+    etf = excel_holdings_source(spark, "fixture.xlsx", reader=fake_reader)
+    assert etf.count() == 2
