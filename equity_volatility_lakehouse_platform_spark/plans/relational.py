@@ -1251,3 +1251,55 @@ def o02_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_value"), "user_id")
     )
+
+
+@register(
+    "j13_bucketed_interval_join",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, t.tier
+    FROM part p
+    LEFT JOIN (VALUES (0.0, 500.0, 'budget'),
+                      (500.0, 1000.0, 'mid'),
+                      (1000.0, 1500.0, 'premium'),
+                      (1500.0, 2500.0, 'luxury')) AS t(lo, hi, tier)
+      ON p.p_retailprice >= t.lo AND p.p_retailprice < t.hi
+    """,
+)
+def j13_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The NON-broadcast interval join (scale path for J5): when the
+    # interval dimension is too big to broadcast, explode each [lo, hi)
+    # interval into fixed-width buckets and equi-join points on
+    # floor(value/width) — a plain shuffled hash join, linear in
+    # points + interval-bucket pairs, never a nested-loop scan. The
+    # residual range predicate filters within the bucket.
+    part = load_table(spark, sf_dir, "part")
+    width = 250.0
+    tiers = spark.createDataFrame(
+        [(0.0, 500.0, "budget"), (500.0, 1000.0, "mid"),
+         (1000.0, 1500.0, "premium"), (1500.0, 2500.0, "luxury")],
+        "lo double, hi double, tier string",
+    )
+    # Interval side: one row per bucket the interval overlaps. hi is
+    # exclusive, so the last bucket is floor((hi - width*1e-9)/width);
+    # use ceil(hi/width)-1 via integer arithmetic on cents-free doubles.
+    buckets = tiers.select(
+        "lo", "hi", "tier",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                (F.ceil(F.col("hi") / width) - 1).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    pts = part.select(
+        "p_partkey", "p_retailprice",
+        F.floor(F.col("p_retailprice") / width).cast("long").alias("bucket"),
+    )
+    joined = pts.join(
+        buckets,
+        (pts.bucket == buckets.bucket)
+        & (pts.p_retailprice >= buckets.lo)
+        & (pts.p_retailprice < buckets.hi),
+        "left",
+    )
+    return joined.select("p_partkey", "p_retailprice", "tier")

@@ -377,3 +377,57 @@ def j09_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(_w_key().rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("last_error_ts"),
     )
+
+
+@register(
+    "j12_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT user_id, ts, max(value) AS quote
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), trades AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT t.event_id, t.user_id, t.ts, ROUND(t.value, 6) AS trade_value,
+           ROUND(q.quote, 6) AS asof_quote
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-table as-of join (generalizes J9; pandas merge_asof semantics):
+    # each trade takes the latest quote at-or-before its timestamp. Spark
+    # has no ASOF JOIN, so it's the union+window formulation: tag both
+    # sides, sort quotes ahead of trades at equal ts, forward-carry the
+    # quote — ONE shuffle on the key, no range join, no per-row subquery.
+    # The scale-canonical shape (a broadcast/range join explodes at 100 TB;
+    # this stays linear). Oracle is DuckDB's native ASOF JOIN.
+    ev = load_table(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("quote"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("value"), "quote",
+                F.lit(0).alias("is_trade"))
+    )
+    trades = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value",
+        F.lit(None).cast("double").alias("quote"), F.lit(1).alias("is_trade"),
+    )
+    unioned = quotes.unionByName(trades)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_trade")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("asof_quote", F.last("quote", ignorenulls=True).over(w))
+        .filter(F.col("is_trade") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            _r6(F.col("value")).alias("trade_value"),
+            _r6(F.col("asof_quote")).alias("asof_quote"),
+        )
+    )
