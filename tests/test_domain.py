@@ -309,3 +309,21 @@ def test_api_sources_with_injected_fetchers(spark):
 
     etf = excel_holdings_source(spark, "fixture.xlsx", reader=fake_reader)
     assert etf.count() == 2
+
+
+def test_csv_bars_roundtrip(spark, bars):
+    # S4: CSV scan with explicit schema + timestamp parsing
+    # (my_alpaca.py:120-122 pd.read_csv(parse_dates=['timestamp'])).
+    from equity_volatility_lakehouse_platform_spark.sources.readers import read_csv_bars
+
+    out = tempfile.mkdtemp(prefix="evlp_csv_")
+    src = bars.withColumn(
+        "timestamp", F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss")
+    )
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = read_csv_bars(spark, out, bars.schema)
+    assert back.count() == bars.count()
+    assert dict(back.dtypes)["timestamp"] == "timestamp"
+    a = bars.agg(F.sum("volume"), F.round(F.sum("close"), 6)).first()
+    b = back.agg(F.sum("volume"), F.round(F.sum("close"), 6)).first()
+    assert a == b
