@@ -25,8 +25,10 @@ load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing-summary roll-up) on /root/testdata/sf0.001."""
-    return all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the full Gold feature
+    matrix — daily ordered roll-up + every windowed feature in one DAG
+    (one shuffle + one window sort)."""
+    return all_queries()["f20_gold_matrix"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

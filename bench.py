@@ -31,6 +31,8 @@ HEADLINE = [
     "w08_rolling_median",
     "o04_topk",
     "f12_z_pm_comp",
+    "f20_gold_matrix",
+    "j12_asof_join",
     "g01_grid_fill_hourly",
     "d01_exact_dedup",
     "d03_minhash_lsh_pairs",

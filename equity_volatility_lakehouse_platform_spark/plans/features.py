@@ -348,3 +348,103 @@ def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return segment_events(ev)
+
+
+@register(
+    "f20_gold_matrix",
+    oracle=DAILY_CTE + f"""
+    , enr AS (
+      SELECT user_id, day, open, high, low, close, n_events, dollar_vol,
+             pm_open, pm_close, pm_vol, pm_wvol,
+             lag(close) OVER {W} AS prev_close,
+             close / NULLIF(lag(close) OVER {W}, 0) - 1 AS dr,
+             ln(close / NULLIF(open, 0)) AS dlr,
+             pm_close / NULLIF(pm_open, 0) - 1 AS pm_ret,
+             dollar_vol / n_events AS ats
+      FROM daily
+    )
+    SELECT user_id, day,
+           ROUND(lag(dr) OVER w, 6) AS prev_day_return,
+           ROUND(CASE WHEN count(dlr) OVER w5 = 5
+                      THEN stddev_samp(dlr) OVER w5 END, 6) AS std_return_last5d,
+           ROUND(lag((high - low) / NULLIF(close, 0)) OVER w, 6) AS range_rel_last1d,
+           ROUND(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20
+                                          THEN AVG(dollar_vol) OVER wx END, 0), 6) AS rvol_20d,
+           ROUND(CASE WHEN prev_close IS NULL THEN NULL
+                      ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0)
+                 END, 6) AS gap_pct,
+           ROUND((prev_close - CASE WHEN count(close) OVER wx = 20
+                                    THEN max(close) OVER wx END)
+                 / NULLIF(CASE WHEN count(close) OVER wx = 20
+                               THEN max(close) OVER wx END, 0), 6) AS dist_max_20d,
+           ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
+                          ELSE (high - greatest(open, close)) / (high - low)
+                     END) OVER w, 6) AS upper_wick_ratio_last1d,
+           ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
+                          ELSE (least(open, close) - low) / (high - low)
+                     END) OVER w, 6) AS lower_wick_ratio_last1d,
+           dayname(day) AS weekday,
+           ROUND(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) AS weekday_sin,
+           ROUND(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) AS weekday_cos,
+           ROUND(pm_wvol / NULLIF(pm_vol * pm_vol, 0), 6) AS hhi_premarket_volume,
+           ROUND((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END)
+                 / NULLIF(CASE WHEN count(dr) OVER wz = 20
+                               THEN stddev_samp(dr) OVER wz END, 0), 6) AS z_pm_comp,
+           ROUND(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wz = 20
+                                         THEN median(ats) OVER wz END + 0.01)), 6)
+             AS pm_rts_hist,
+           ROUND((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(prev_close, 0) - 1, 6)
+             AS pm_vwap_return,
+           ROUND((high - low) / NULLIF(low, 0) * 100, 6)    AS pct_change_low_high,
+           ROUND((close - open) / NULLIF(open, 0) * 100, 6) AS pct_change_open_close,
+           ROUND((open - prev_close) / NULLIF(prev_close, 0) * 100, 6)
+             AS pct_gap_open_prev_close,
+           ROUND(close / NULLIF(prev_close, 0) - 1, 6)              AS pct_change_1d,
+           ROUND(close / NULLIF(lag(close, 7)  OVER w, 0) - 1, 6)   AS pct_change_7d,
+           ROUND(close / NULLIF(lag(close, 14) OVER w, 0) - 1, 6)   AS pct_change_14d,
+           ROUND(greatest(high, COALESCE(prev_close, open))
+                 - least(low, COALESCE(prev_close, open)), 6) AS tr,
+           ROUND((greatest(high, COALESCE(prev_close, open))
+                  - least(low, COALESCE(prev_close, open))) / NULLIF(close, 0), 6)
+             AS rel_tr,
+           ROUND(abs(close / NULLIF(open, 0) - 1), 6) AS market_absolute_path,
+           CAST(abs(close / NULLIF(open, 0) - 1) >= 0.06 AS INTEGER) AS market_path_flag
+    FROM enr
+    WINDOW w  AS (PARTITION BY user_id ORDER BY day),
+           w5 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           wz AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           wx AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def f20_gold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Gold assembly (SURVEY §3.1 stage 4 / §7.2 step 6): EVERY feature
+    # chained over one daily frame and ONE window spec, so the whole matrix
+    # costs one groupBy shuffle + one window sort regardless of how many
+    # features stack (SURVEY §4 physical notes). days_since_holiday joins
+    # in at deploy time via operators.calendar_ops (environment-supplied
+    # holiday dim), and EWM via functions.lookbacks — both excluded here to
+    # keep the matrix purely windowed.
+    df = _daily(spark, sf_dir)
+    for fn in (
+        feat.prev_day_return, feat.std_return_last5d, feat.range_rel_last1d,
+        feat.rvol_20d, feat.gap_pct, feat.dist_max_20d,
+        feat.upper_wick_ratio_last1d, feat.lower_wick_ratio_last1d,
+        feat.weekday_features, feat.hhi_premarket, feat.z_pm,
+        feat.pm_rts_hist, feat.pm_vwap_return, feat.fase2_ratios,
+        feat.true_range, feat.market_path_label,
+    ):
+        df = fn(df)
+    df = feat.lookback_ladder(df, lags=(1, 7, 14))
+    return _out(
+        df,
+        "prev_day_return", "std_return_last5d", "range_rel_last1d", "rvol_20d",
+        "gap_pct", "dist_max_20d", "upper_wick_ratio_last1d",
+        "lower_wick_ratio_last1d", "weekday", "weekday_sin", "weekday_cos",
+        "hhi_premarket_volume", "z_pm_comp", "pm_rts_hist", "pm_vwap_return",
+        "pct_change_low_high", "pct_change_open_close", "pct_gap_open_prev_close",
+        "pct_change_1d", "pct_change_7d", "pct_change_14d", "tr", "rel_tr",
+        "market_absolute_path", "market_path_flag",
+    )
