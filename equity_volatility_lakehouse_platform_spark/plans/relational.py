@@ -1303,3 +1303,57 @@ def j13_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.select("p_partkey", "p_retailprice", "tier")
+
+
+@register(
+    "j14_salted_skew_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_extendedprice, o.o_orderstatus,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 45
+    """,
+)
+def j14_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-mitigation pattern (SURVEY §4 / guide): when one join key is hot,
+    # salt the big side with floor(rand*K) — here a deterministic
+    # hash-derived salt so the oracle matches — and replicate the other
+    # side K times, turning one monster partition into K even ones. The
+    # result set is IDENTICAL to the plain equi-join, which is exactly what
+    # the oracle asserts. (AQE skew-join does this adaptively; the explicit
+    # form is for engines/paths where it can't, e.g. pre-AQE or streaming.)
+    K = 8
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    orders = load_table(spark, sf_dir, "orders")
+    salted_li = li.select(
+        "l_orderkey", "l_extendedprice",
+        (F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), F.lit(K))).alias("_salt"),
+    )
+    replicated = orders.select(
+        "o_orderkey", "o_orderstatus", "o_custkey",
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("_salt"),
+    )
+    return (
+        salted_li.join(
+            replicated,
+            (salted_li.l_orderkey == replicated.o_orderkey)
+            & (salted_li._salt == replicated._salt),
+        )
+        .select("l_orderkey", "l_extendedprice", "o_orderstatus", "o_custkey")
+    )
+
+
+@register("a15_approx_sketches")  # rows-only: sketch estimates are engine-specific
+def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch aggregates for 100 TB interactive profiling: HyperLogLog++
+    # distinct counts and streaming t-digest quantiles — constant memory
+    # per group vs exact shuffles. Estimates are engine-specific (no
+    # value-hash oracle); tests/test_domain.py bounds the relative error
+    # against the exact answers.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -327,3 +327,27 @@ def test_csv_bars_roundtrip(spark, bars):
     a = bars.agg(F.sum("volume"), F.round(F.sum("close"), 6)).first()
     b = back.agg(F.sum("volume"), F.round(F.sum("close"), 6)).first()
     assert a == b
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    # a15 rows-only query: sketches must land within published error bounds
+    # of the exact answers (HLL++ rsd=0.02; t-digest with 10k centroids).
+    from equity_volatility_lakehouse_platform_spark.plans import all_queries, load_all
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    load_all()
+    got = {r.event_type: r for r in all_queries()["a15_approx_sketches"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.median("value").alias("med"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g.approx_users - e.users) <= max(3, 0.1 * e.users), et
+        assert abs(g.approx_median_value - e.med) <= max(5.0, 0.1 * abs(e.med)), et
