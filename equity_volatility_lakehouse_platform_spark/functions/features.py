@@ -39,7 +39,12 @@ def std_return_last5d(df: DataFrame, key: str = "user_id") -> DataFrame:
     # my_stock_functions.py:50-107: std of the 5 last daily log-return sums;
     # the within-day sum of intraday log-returns telescopes to ln(close/open).
     w = w_key(key)
-    df = df.withColumn("_dlr", F.log(F.col("close") / F.nullif(F.col("open"), F.lit(0.0))))
+    # NULLIF(ratio, 0): a zero price makes the ratio 0 — Spark log(0) is
+    # NULL already, but DuckDB ln(0) errors, so both sides guard explicitly.
+    df = df.withColumn(
+        "_dlr",
+        F.log(F.nullif(F.col("close") / F.nullif(F.col("open"), F.lit(0.0)), F.lit(0.0))),
+    )
     frame = w.rowsBetween(-4, 0)
     out = F.when(F.count("_dlr").over(frame) == 5, F.stddev_samp("_dlr").over(frame))
     return df.withColumn("std_return_last5d", out).drop("_dlr")

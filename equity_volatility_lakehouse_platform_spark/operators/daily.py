@@ -95,3 +95,25 @@ def daily_bars(
         F.expr(f"sum({value} * {value}) FILTER (WHERE {pm})").alias("pm_wvol"),
         F.nullif(F.expr(f"count(1) FILTER (WHERE {pm})"), F.lit(0)).alias("pm_n"),
     )
+
+
+def daily_ohlcv(
+    bars: DataFrame,
+    key: str = "symbol",
+    ts: str = "local_timestamp",
+) -> DataFrame:
+    """Daily consolidation of real OHLCV bars (my_alpaca.py:267-280): per
+    (key, day) open=first open, high=max high, low=min low, close=last
+    close (min_by/max_by on the bar timestamp — order-deterministic),
+    volume/trade_count summed, stamped with the reference's canonical
+    04:00 day timestamp (my_stock_functions.py:44)."""
+    day4 = F.date_trunc("day", ts) + F.expr("interval 4 hours")
+    return bars.groupBy(key, day4.alias("timestamp")).agg(
+        F.min_by("open", ts).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts).alias("close"),
+        F.sum("volume").alias("volume"),
+        F.sum("trade_count").alias("trade_count"),
+        F.sum(F.col("volume") * F.col("vwap")).alias("dollar_volume"),
+    )

@@ -71,7 +71,7 @@ def f01_prev_day_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, day,
            ROUND(CASE WHEN count(dlr) OVER w5 = 5
                       THEN stddev_samp(dlr) OVER w5 END, 6) AS std_return_last5d
-    FROM (SELECT user_id, day, ln(close / NULLIF(open, 0)) AS dlr FROM daily)
+    FROM (SELECT user_id, day, ln(NULLIF(close / NULLIF(open, 0), 0)) AS dlr FROM daily)
     WINDOW w5 AS (PARTITION BY user_id ORDER BY day
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
@@ -358,7 +358,7 @@ def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
              pm_open, pm_close, pm_vol, pm_wvol,
              lag(close) OVER {W} AS prev_close,
              close / NULLIF(lag(close) OVER {W}, 0) - 1 AS dr,
-             ln(close / NULLIF(open, 0)) AS dlr,
+             ln(NULLIF(close / NULLIF(open, 0), 0)) AS dlr,
              pm_close / NULLIF(pm_open, 0) - 1 AS pm_ret,
              dollar_vol / n_events AS ats
       FROM daily

@@ -994,7 +994,9 @@ def sc02_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(greatest(l_discount, l_tax), 6)               AS max_rate,
            ROUND(least(l_discount, l_tax), 6)                  AS min_rate,
            CASE WHEN l_quantity = 0 THEN 0.0
-                ELSE ROUND(l_extendedprice / l_quantity, 6) END AS unit_price
+                ELSE ROUND(l_extendedprice / l_quantity
+                           - sign(l_extendedprice / l_quantity) * 0.000000001, 6)
+           END AS unit_price
     FROM lineitem
     """,
 )
@@ -1011,7 +1013,16 @@ def sc03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.greatest("l_discount", "l_tax")).alias("max_rate"),
         _r6(F.least("l_discount", "l_tax")).alias("min_rate"),
         F.when(F.col("l_quantity") == 0, F.lit(0.0))
-        .otherwise(_r6(F.col("l_extendedprice") / F.col("l_quantity")))
+        .otherwise(
+            # stable cross-engine round: price/qty can land exactly on a .5
+            # boundary where Spark HALF_UP and DuckDB binary-round disagree;
+            # a 1e-9 toward-zero nudge resolves it identically on both sides.
+            F.round(
+                F.col("l_extendedprice") / F.col("l_quantity")
+                - F.signum(F.col("l_extendedprice") / F.col("l_quantity")) * F.lit(1e-9),
+                6,
+            )
+        )
         .alias("unit_price"),
     )
 

@@ -29,6 +29,16 @@ def _r6(col):
     return F.round(col, 6)
 
 
+def _r6s(col):
+    """Stable cross-engine 6dp round: ratios of 2dp inputs can land exactly
+    on a .5 rounding boundary, where Spark (HALF_UP on the decimal) and
+    DuckDB (binary-double round) disagree by 1 ulp. A 1e-9 toward-zero
+    nudge — three orders below the precision — moves boundary values
+    decisively to one side in BOTH engines. Oracle mirror:
+    ROUND(x - sign(x) * 0.000000001, 6)."""
+    return F.round(col - F.signum(col) * F.lit(1e-9), 6)
+
+
 @register(
     "w01_forward_fill",
     oracle="""
@@ -112,9 +122,12 @@ def w03_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w04_lag_ladder",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value / NULLIF(lag(value, 1)  OVER w, 0) - 1, 6) AS pct_change_1,
-           ROUND(value / NULLIF(lag(value, 8)  OVER w, 0) - 1, 6) AS pct_change_8,
-           ROUND(value / NULLIF(lag(value, 32) OVER w, 0) - 1, 6) AS pct_change_32
+           ROUND(value / NULLIF(lag(value, 1)  OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 1)  OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_1,
+           ROUND(value / NULLIF(lag(value, 8)  OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 8)  OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_8,
+           ROUND(value / NULLIF(lag(value, 32) OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 32) OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_32
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -124,7 +137,7 @@ def w04_lag_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scaled to the events grain. All lags share ONE window spec => one sort.
     ev = load_table(spark, sf_dir, "events")
     cols = [
-        _r6(F.col("value") / F.nullif(F.lag("value", k).over(_w_key()), F.lit(0.0)) - 1).alias(
+        _r6s(F.col("value") / F.nullif(F.lag("value", k).over(_w_key()), F.lit(0.0)) - 1).alias(
             f"pct_change_{k}"
         )
         for k in (1, 8, 32)
@@ -263,8 +276,9 @@ def w09_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w10_pct_change_shift",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(pct, 6)              AS pct_change,
-           ROUND(lag(pct) OVER w2, 6) AS pct_change_lag1
+           ROUND(pct - sign(pct) * 0.000000001, 6) AS pct_change,
+           ROUND(lag(pct) OVER w2
+                 - sign(lag(pct) OVER w2) * 0.000000001, 6) AS pct_change_lag1
     FROM (
       SELECT event_id, user_id, ts,
              value / NULLIF(lag(value) OVER w, 0) - 1 AS pct
@@ -281,8 +295,8 @@ def w10_pct_change_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        _r6(pct).alias("pct_change"),
-        _r6(F.lag(pct).over(_w_key())).alias("pct_change_lag1"),
+        _r6s(pct).alias("pct_change"),
+        _r6s(F.lag(pct).over(_w_key())).alias("pct_change_lag1"),
     )
 
 
@@ -332,7 +346,7 @@ def w12_cumcount_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CASE WHEN CAST(date_trunc('day', lag(ts) OVER w) AS TIMESTAMP)
                      = CAST(date_trunc('day', ts) AS TIMESTAMP)
-                THEN ROUND(ln(value / NULLIF(lag(value) OVER w, 0)), 6) END AS intraday_log_ret
+                THEN ROUND(ln(NULLIF(value / NULLIF(lag(value) OVER w, 0), 0)), 6) END AS intraday_log_ret
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -347,9 +361,10 @@ def w13_day_boundary_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.when(same_day, _r6(F.log(F.col("value") / F.nullif(prev_v, F.lit(0.0))))).alias(
-            "intraday_log_ret"
-        ),
+        F.when(
+            same_day,
+            _r6(F.log(F.nullif(F.col("value") / F.nullif(prev_v, F.lit(0.0)), F.lit(0.0)))),
+        ).alias("intraday_log_ret"),
     )
 
 

@@ -351,3 +351,30 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         g = got[et]
         assert abs(g.approx_users - e.users) <= max(3, 0.1 * e.users), et
         assert abs(g.approx_median_value - e.med) <= max(5.0, 0.1 * abs(e.med)), et
+
+
+def test_daily_ohlcv_matches_pandas(spark, bars):
+    # A1 on the real bar schema (my_alpaca.py:267-280): ordered first/last
+    # via min_by/max_by, canonical 04:00 day stamp.
+    from equity_volatility_lakehouse_platform_spark.operators.daily import daily_ohlcv
+
+    got = daily_ohlcv(bars).orderBy("symbol", "timestamp").toPandas()
+
+    pdf = bars.toPandas().sort_values(["symbol", "local_timestamp"])
+    pdf["day"] = pdf["local_timestamp"].dt.normalize() + pd.Timedelta(hours=4)
+    exp = (
+        pdf.groupby(["symbol", "day"])
+        .agg(
+            open=("open", "first"), high=("high", "max"),
+            low=("low", "min"), close=("close", "last"),
+            volume=("volume", "sum"), trade_count=("trade_count", "sum"),
+        )
+        .reset_index()
+        .sort_values(["symbol", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for col in ("open", "high", "low", "close"):
+        assert (got[col] - exp[col]).abs().max() < 1e-9, col
+    assert got["volume"].tolist() == exp["volume"].tolist()
+    assert got["timestamp"].tolist() == exp["day"].tolist()
