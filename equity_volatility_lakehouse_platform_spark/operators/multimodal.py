@@ -81,3 +81,79 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("in_width", T.IntegerType()),
+        T.StructField("in_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+    ]
+)
+
+_FRAME_BYTES = 256  # stub: one "frame" per 256 payload bytes
+
+
+def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Arrow-batched resize: mapInPandas over the binary column with a typed
+    output schema. The resample itself is the stub codec (real impl:
+    PIL.Image.resize); the dims/scale arithmetic and the batch plumbing
+    are the real contract."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_payload(p)[:2] for p in pdf["payload"]]
+            in_w = [d[0] for d in dims]
+            in_h = [d[1] for d in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "in_width": in_w,
+                    "in_height": in_h,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "scale_x": [round(out_w / w, 6) for w in in_w],
+                    "scale_y": [round(out_h / h, 6) for h in in_h],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video-like payloads: each input row fans out to
+    one row per sampled frame (1->N inside the Arrow batch — the shape a
+    real keyframe extractor needs). Stub: a frame every _FRAME_BYTES
+    bytes, sampled every ``every_n`` frames."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + len(payload) // _FRAME_BYTES
+                for k in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_offset": pd.Series(
+                        [i * _FRAME_BYTES for i in idxs], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)

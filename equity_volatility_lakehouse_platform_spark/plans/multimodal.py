@@ -37,3 +37,45 @@ def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output is unit-tested against a pure-Python reimplementation.
     docs = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(docs))
+
+
+@register(
+    "mm03_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT)        AS in_width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS in_height,
+           CAST(32 AS INT) AS out_width,
+           CAST(32 AS INT) AS out_height,
+           ROUND(32.0 / (16 + octet_length(encode(text)) % 64), 6)  AS scale_x,
+           ROUND(32.0 / (16 + (octet_length(encode(text)) // 64) % 64), 6) AS scale_y
+    FROM documents
+    """,
+)
+def mm03_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas resize plumbing; the stub codec's dims are deterministic
+    # byte arithmetic, so the oracle can independently recompute them from
+    # octet_length — the Python path is genuinely exercised and checked.
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(attach_binary_payload(docs))
+
+
+@register(
+    "mm04_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(f.k AS BIGINT)       AS frame_idx,
+           CAST(f.k * 256 AS BIGINT) AS frame_offset
+    FROM documents,
+         LATERAL unnest(range(0, 1 + octet_length(encode(text)) // 256, 4)) AS f(k)
+    """,
+)
+def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1->N frame fan-out inside Arrow batches (keyframe-extractor shape);
+    # stub frame grid is byte arithmetic, recomputed by the oracle.
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs))
