@@ -225,3 +225,93 @@ def market_path_label(df: DataFrame, threshold: float = 0.06) -> DataFrame:
     return df.withColumn("market_absolute_path", path).withColumn(
         "market_path_flag", (path >= threshold).cast("int")
     )
+
+
+def gold_matrix(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """The full feature matrix, fused: two projection layers instead of a
+    per-feature chain, so Catalyst groups the window expressions by frame
+    (~5 Window passes instead of one per feature). Layer 1 materializes
+    the shared derived series (prev_close, daily return, log-return,
+    premarket return, avg trade size); layer 2 computes every feature over
+    four frames of ONE window spec. Values are identical to chaining the
+    individual feature functions — same expressions, same order.
+    """
+    w = w_key(key)
+    df = df.select(
+        "*",
+        F.lag("close").over(w).alias("prev_close"),
+        (F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1).alias("_dr"),
+        F.log(
+            F.nullif(F.col("close") / F.nullif(F.col("open"), F.lit(0.0)), F.lit(0.0))
+        ).alias("_dlr"),
+        (F.col("pm_close") / F.nullif(F.col("pm_open"), F.lit(0.0)) - 1).alias("_pm_ret"),
+        (F.col("dollar_vol") / F.col("n_events")).alias("_ats"),
+    )
+    w5 = w.rowsBetween(-4, 0)
+    wz = w.rowsBetween(-19, 0)
+    wx = w.rowsBetween(-20, -1)
+    pc = F.col("prev_close")
+    rvol_base = F.when(F.count("dollar_vol").over(wx) == 20, F.avg("dollar_vol").over(wx))
+    prior_max = F.when(F.count("close").over(wx) == 20, F.max("close").over(wx))
+    mu = F.when(F.count("_dr").over(wz) == 20, F.avg("_dr").over(wz))
+    sigma = F.when(F.count("_dr").over(wz) == 20, F.stddev_samp("_dr").over(wz))
+    sorted_ats = F.array_sort(F.collect_list("_ats").over(wz))
+    med = F.when(
+        F.count("_ats").over(wz) == 20, (F.get(sorted_ats, 9) + F.get(sorted_ats, 10)) / 2
+    )
+    wd = (F.dayofweek("day") + 5) % 7
+    two_pi = 2 * 3.141592653589793
+    pc_bf = F.coalesce(pc, F.col("open"))
+    tr = F.greatest("high", pc_bf) - F.least("low", pc_bf)
+    path = F.abs(F.col("close") / F.nullif(F.col("open"), F.lit(0.0)) - 1)
+    return df.select(
+        key,
+        "day",
+        F.lag("_dr").over(w).alias("prev_day_return"),
+        F.when(F.count("_dlr").over(w5) == 5, F.stddev_samp("_dlr").over(w5)).alias(
+            "std_return_last5d"
+        ),
+        F.lag((F.col("high") - F.col("low")) / F.nullif(F.col("close"), F.lit(0.0)))
+        .over(w)
+        .alias("range_rel_last1d"),
+        (F.col("dollar_vol") / F.nullif(rvol_base, F.lit(0.0))).alias("rvol_20d"),
+        F.when(pc.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.coalesce((F.col("pm_open") - pc) / F.nullif(pc, F.lit(0.0)), F.lit(0.0)))
+        .alias("gap_pct"),
+        ((pc - prior_max) / F.nullif(prior_max, F.lit(0.0))).alias("dist_max_20d"),
+        F.lag(_wick(True)).over(w).alias("upper_wick_ratio_last1d"),
+        F.lag(_wick(False)).over(w).alias("lower_wick_ratio_last1d"),
+        F.date_format("day", "EEEE").alias("weekday"),
+        F.sin(two_pi * wd / 5).alias("weekday_sin"),
+        F.cos(two_pi * wd / 5).alias("weekday_cos"),
+        (F.col("pm_wvol") / F.nullif(F.col("pm_vol") * F.col("pm_vol"), F.lit(0.0))).alias(
+            "hhi_premarket_volume"
+        ),
+        ((F.col("_pm_ret") - mu) / F.nullif(sigma, F.lit(0.0))).alias("z_pm_comp"),
+        F.log((F.col("_ats") + 0.01) / (med + 0.01)).alias("pm_rts_hist"),
+        (
+            (F.col("pm_wvol") / F.nullif(F.col("pm_vol"), F.lit(0.0)))
+            / F.nullif(pc, F.lit(0.0))
+            - 1
+        ).alias("pm_vwap_return"),
+        ((F.col("high") - F.col("low")) / F.nullif(F.col("low"), F.lit(0.0)) * 100).alias(
+            "pct_change_low_high"
+        ),
+        ((F.col("close") - F.col("open")) / F.nullif(F.col("open"), F.lit(0.0)) * 100).alias(
+            "pct_change_open_close"
+        ),
+        ((F.col("open") - pc) / F.nullif(pc, F.lit(0.0)) * 100).alias(
+            "pct_gap_open_prev_close"
+        ),
+        F.col("_dr").alias("pct_change_1d"),
+        (F.col("close") / F.nullif(F.lag("close", 7).over(w), F.lit(0.0)) - 1).alias(
+            "pct_change_7d"
+        ),
+        (F.col("close") / F.nullif(F.lag("close", 14).over(w), F.lit(0.0)) - 1).alias(
+            "pct_change_14d"
+        ),
+        tr.alias("tr"),
+        (tr / F.nullif(F.col("close"), F.lit(0.0))).alias("rel_tr"),
+        path.alias("market_absolute_path"),
+        (path >= 0.06).cast("int").alias("market_path_flag"),
+    )

@@ -421,25 +421,15 @@ def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f20_gold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Gold assembly (SURVEY §3.1 stage 4 / §7.2 step 6): EVERY feature
-    # chained over one daily frame and ONE window spec, so the whole matrix
-    # costs one groupBy shuffle + one window sort regardless of how many
-    # features stack (SURVEY §4 physical notes). days_since_holiday joins
+    # over one daily frame and ONE window spec via the fused two-layer
+    # projection (functions.features.gold_matrix) — one groupBy shuffle +
+    # one window sort, and the window expressions collapse to ~5 passes
+    # grouped by frame instead of one per feature. days_since_holiday joins
     # in at deploy time via operators.calendar_ops (environment-supplied
     # holiday dim), and EWM via functions.lookbacks — both excluded here to
     # keep the matrix purely windowed.
-    df = _daily(spark, sf_dir)
-    for fn in (
-        feat.prev_day_return, feat.std_return_last5d, feat.range_rel_last1d,
-        feat.rvol_20d, feat.gap_pct, feat.dist_max_20d,
-        feat.upper_wick_ratio_last1d, feat.lower_wick_ratio_last1d,
-        feat.weekday_features, feat.hhi_premarket, feat.z_pm,
-        feat.pm_rts_hist, feat.pm_vwap_return, feat.fase2_ratios,
-        feat.true_range, feat.market_path_label,
-    ):
-        df = fn(df)
-    df = feat.lookback_ladder(df, lags=(1, 7, 14))
     return _out(
-        df,
+        feat.gold_matrix(_daily(spark, sf_dir)),
         "prev_day_return", "std_return_last5d", "range_rel_last1d", "rvol_20d",
         "gap_pct", "dist_max_20d", "upper_wick_ratio_last1d",
         "lower_wick_ratio_last1d", "weekday", "weekday_sin", "weekday_cos",
