@@ -1368,3 +1368,128 @@ def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10000).alias("approx_p99_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dims filter EARLY (pushdown), the fact
+    # joins shuffle on the key, top-k compiles to TakeOrderedAndProject
+    # (never a global sort). customer is the small side -> broadcast.
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: a six-table join where every dimension chain
+    # (region->nation->supplier, customer) broadcasts into the fact
+    # pipeline — one shuffle for the final groupBy, zero for the joins.
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    asia = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nat = (
+        t["nation"]
+        .join(F.broadcast(asia), t["nation"].n_regionkey == asia.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(nat), t["supplier"].s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(
+            F.broadcast(sup),
+            (t["lineitem"].l_suppkey == sup.s_suppkey)
+            & (t["customer"].c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: pure filter+aggregate — every predicate reaches the
+    # parquet scan (PushedFilters), projection prunes to 4 columns, and
+    # the aggregate is a map-side partial + single-row final.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
