@@ -308,3 +308,55 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos >= 0.9).alias("is_near_dup"),
         )
     )
+
+
+@register(
+    "d07_duplicate_clusters",
+    oracle=_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + """
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                  JOIN sig sb ON c.doc_b = sb.doc_id
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM scored WHERE est >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM scored WHERE est >= 0.5
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    )
+    SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def d07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The practical dedup output: duplicate CLUSTERS, not just pairs.
+    # LSH candidate pairs scoring est_jaccard >= 0.5 become edges; an
+    # iterative min-label propagation (operators.graph) finds connected
+    # components — each cluster keeps min(doc_id) as its id (the keeper).
+    # Oracle: DuckDB recursive CTE computing the same closure. This is the
+    # engine's iterative-algorithm pattern: distributed rounds, driver only
+    # sees the convergence counter.
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(F.col("id").alias("doc_id"), "cluster_id")

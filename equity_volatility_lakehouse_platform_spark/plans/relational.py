@@ -1493,3 +1493,32 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "a16_rollup_cube",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(EXTRACT(year FROM ts) AS BIGINT), -1) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, EXTRACT(year FROM ts))
+    """,
+)
+def a16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouping-sets surface (SURVEY §2.4 note: unused by the reference,
+    # free in Spark). ROLLUP computes all prefixes of the grouping in one
+    # shuffle — the subtotal pattern the EDA notebooks emulate by re-running
+    # groupbys.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.year("ts").cast("long").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            "n",
+            "total_value",
+        )
+    )

@@ -446,3 +446,34 @@ def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("asof_quote")).alias("asof_quote"),
         )
     )
+
+
+@register(
+    "w14_ranking",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+             AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_type, event_id)
+    """,
+)
+def w14_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking surface (SURVEY §2.5 note: unused by the reference, exposed
+    # anyway). rank/dense_rank deliberately ordered on a column with ties
+    # (event_type) so the three functions genuinely differ; event_id
+    # tiebreak keeps every engine deterministic.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type", "event_id")
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
+    )
