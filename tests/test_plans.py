@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the scale properties the engine
+guarantees (pushdown, broadcast strategy, shuffle budget) asserted on the
+executed plans, so a refactor that silently de-optimizes a query fails CI
+— not just the stopwatch at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from equity_volatility_lakehouse_platform_spark.plans import all_queries, load_all
+
+load_all()
+QS = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    # "formatted" keeps full scan metadata (toString truncates PushedFilters).
+    df = QS[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall("Exchange hashpartitioning", plan))
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in scan"
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet scan"
+    # Projection pruned to the 4 referenced columns.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, "scan reads extra columns"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    # Interval tag (J5) must be a broadcast nested-loop join, and the
+    # TPC-H Q5 dimension chain must broadcast (no shuffled dim joins).
+    assert "BroadcastNestedLoopJoin" in _plan(spark, sf_dir, "j05_interval_tag_join")
+    q5 = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in q5
+    # Only the final groupBy may shuffle besides the fact-fact joins.
+    assert _exchanges(q5) <= 4
+
+
+def test_shuffle_budgets(spark, sf_dir):
+    # The numbers each plan's docstring promises.
+    budgets = {
+        "q1_pricing_summary": 1,       # one groupBy
+        "a01_ordered_ohlcv_rollup": 1, # one groupBy
+        "w04_lag_ladder": 1,           # one window spec
+        "f20_gold_matrix": 2,          # daily agg + window sort
+        "g01_grid_fill_hourly": 2,     # hourly agg + lead window
+        "d02_minhash_signatures": 0,   # zero-shuffle projection
+    }
+    for name, budget in budgets.items():
+        got = _exchanges(_plan(spark, sf_dir, name))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    # orderBy+limit must become TakeOrderedAndProject, never a global sort.
+    plan = _plan(spark, sf_dir, "o04_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    side_effectful = {
+        "snk01_partitioned_overwrite_roundtrip",
+        "snk02_upsert_insert_only",
+        "st03_streaming_tumbling",
+        "st04_stateful_running_totals",
+        "d07_duplicate_clusters",  # iterative: builds eagerly
+    }
+    explicit_cross = {"j03_cross_join"}  # the one deliberate cross join
+    for name in sorted(QS):
+        if name in side_effectful or name in explicit_cross:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
