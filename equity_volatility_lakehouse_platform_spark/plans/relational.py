@@ -1522,3 +1522,38 @@ def a16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "a17_correlation_matrix",
+    oracle="""
+    SELECT 'price_vs_quantity' AS pair,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_vs_discount',
+           ROUND(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_vs_tax',
+           ROUND(corr(l_quantity, l_tax), 6)
+    FROM lineitem
+    """,
+)
+def a17_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EDA correlation matrix (EDA - parte 2.ipynb cell 10 df.corr()): all
+    # pairwise Pearson r in ONE aggregation pass (corr is a partial-able
+    # aggregate — no per-pair scans), unpivoted to rows.
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_vs_quantity"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_vs_discount"),
+        F.round(F.corr("l_quantity", "l_tax"), 6).alias("quantity_vs_tax"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("pair"), F.col(c).alias("r"))
+            for c in ("price_vs_quantity", "price_vs_discount", "quantity_vs_tax")
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("p")).select("p.pair", "p.r")

@@ -83,3 +83,41 @@ def st04_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stateful_totals_stream(spark, sf_dir)
+
+
+@register(
+    "st05_session_candles",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 'premarket'
+                WHEN EXTRACT(hour FROM ts) < 16 THEN 'regular'
+                ELSE 'aftermarket' END AS session,
+           ROUND(arg_min(value, ts), 6) AS open,
+           ROUND(max(value), 6)         AS high,
+           ROUND(min(value), 6)         AS low,
+           ROUND(arg_max(value, ts), 6) AS close,
+           CAST(count(*) AS BIGINT)     AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st05_session_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-window CANDLES (bars.py:139-351 fetches premarket/aftermarket
+    # candles pre-aggregated from the API; here they're computed): the
+    # ordered OHLCV roll-up (A1) bucketed by time-of-day session (P6) —
+    # one shuffle, min_by/max_by for deterministic open/close.
+    ev = load_table(spark, sf_dir, "events")
+    session = (
+        F.when(F.hour("ts") < 9, "premarket")
+        .when(F.hour("ts") < 16, "regular")
+        .otherwise("aftermarket")
+    )
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), session.alias("session"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
