@@ -71,3 +71,47 @@ def snk02_upsert_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("total_price"),
     )
+
+
+@register(
+    "snk03_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 6) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def snk03_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketing for co-located joins (SURVEY §4 / guide): both tables are
+    # written bucketed+sorted on the join key, so the join AND the
+    # follow-up groupBy on that key run with ZERO exchanges — the layout
+    # investment that pays on every subsequent query at 100 TB.
+    # tests/test_plans.py asserts the no-shuffle property.
+    import tempfile
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="evlp_bucketed_")
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"evlp_{tbl}_b{suffix}"
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+    o = spark.table(names["orders"])
+    l = spark.table(names["lineitem"])
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+        )
+    )

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep catalog/warehouse state out of the repo cwd (bucketed-table
+        # queries create managed-table metadata; data goes to explicit paths).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/evlp-spark-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")

@@ -71,10 +71,18 @@ def test_topk_compiles_to_take_ordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    # snk03: bucketed+sorted layout on the join key must make the join AND
+    # the follow-up groupBy shuffle-free.
+    plan = _plan(spark, sf_dir, "snk03_bucketed_colocated_join")
+    assert _exchanges(plan) == 0, "bucketed join should not shuffle"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     side_effectful = {
         "snk01_partitioned_overwrite_roundtrip",
         "snk02_upsert_insert_only",
+        "snk03_bucketed_colocated_join",  # writes bucketed tables eagerly
         "st03_streaming_tumbling",
         "st04_stateful_running_totals",
         "d07_duplicate_clusters",  # iterative: builds eagerly
