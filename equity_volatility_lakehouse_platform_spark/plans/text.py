@@ -43,16 +43,18 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Token counting: whitespace tokenization + char stats (BPE-ish regex
     # splits reduce to the same shape).
     docs = load_table(spark, sf_dir, "documents")
-    tok = tx.tokens(F.col("text"))
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        F.size(tok).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(tx.tokens(F.col("text"))).alias("_n_tok"),  # tokenize ONCE
+        F.length("text").alias("_len"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("_len_nospace"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("_n_tok").cast("long").alias("n_tokens"),
+        F.col("_len").cast("long").alias("n_chars_measured"),
         F.round(
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            * 1.0
-            / F.nullif(F.size(tok), F.lit(0)),
-            6,
+            F.col("_len_nospace") * 1.0 / F.nullif(F.col("_n_tok"), F.lit(0)), 6
         ).alias("avg_token_len"),
     )
 
@@ -80,25 +82,36 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality scoring: length / punctuation / stopword-ratio heuristics
-    # (the C4/Gopher-style rule family), one map stage.
+    # (the C4/Gopher-style rule family), one map stage. Layered projections
+    # so the expensive text ops (split, regex, lexicon filter) evaluate
+    # ONCE per row — inlining them into every output column multiplied the
+    # per-row cost ~4x (CollapseProject keeps non-cheap exprs as columns).
     docs = load_table(spark, sf_dir, "documents")
     tok = tx.tokens(F.col("text"))
-    n_tok = F.size(tok)
-    punct_ratio = (
-        (F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", "")))
-        * 1.0
-        / F.nullif(F.length("text"), F.lit(0))
-    )
-    stop_ratio = tx.stopword_hits(tok, _LEX["en"]) * 1.0 / F.nullif(n_tok, F.lit(0))
-    score = (
-        F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-        + (1.0 - punct_ratio) * 0.2
-    )
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.size(tok).alias("_n_tok"),
+        tx.stopword_hits(tok, _LEX["en"]).alias("_n_stop"),
+        F.length("text").alias("_len"),
+        F.length(F.regexp_replace("text", r"[.,;:!?]", "")).alias("_len_nopunct"),
+    )
+    ratios = base.select(
+        "doc_id",
+        "_n_tok",
+        ((F.col("_len") - F.col("_len_nopunct")) * 1.0 / F.nullif(F.col("_len"), F.lit(0))).alias(
+            "_punct_ratio"
+        ),
+        (F.col("_n_stop") * 1.0 / F.nullif(F.col("_n_tok"), F.lit(0))).alias("_stop_ratio"),
+    )
+    score = (
+        F.least(F.col("_n_tok") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(F.col("_stop_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.col("_punct_ratio")) * 0.2
+    )
+    return ratios.select(
+        "doc_id",
+        F.round("_punct_ratio", 6).alias("punct_ratio"),
+        F.round("_stop_ratio", 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
 
@@ -131,11 +144,13 @@ def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Language-ID n-gram/stopword heuristic: per-lexicon hit counts with a
     # fixed-priority argmax (deterministic on ties).
     docs = load_table(spark, sf_dir, "documents")
-    tok = tx.tokens(F.col("text"))
-    hits = docs.select(
+    # Materialize the token array once; the four lexicon filters then read
+    # the column instead of re-running the split per lexicon.
+    toked = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("_tok"))
+    hits = toked.select(
         "doc_id",
         "lang",
-        *[tx.stopword_hits(tok, _LEX[lang]).alias(f"h_{lang}") for lang in _LEX],
+        *[tx.stopword_hits(F.col("_tok"), _LEX[lang]).alias(f"h_{lang}") for lang in _LEX],
     )
     h = {lang: F.col(f"h_{lang}") for lang in _LEX}
     pred = (
