@@ -1326,32 +1326,48 @@ def j13_bucketed_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j14_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Skew-mitigation pattern (SURVEY §4 / guide): when one join key is hot,
-    # salt the big side with floor(rand*K) — here a deterministic
-    # hash-derived salt so the oracle matches — and replicate the other
-    # side K times, turning one monster partition into K even ones. The
-    # result set is IDENTICAL to the plain equi-join, which is exactly what
-    # the oracle asserts. (AQE skew-join does this adaptively; the explicit
-    # form is for engines/paths where it can't, e.g. pre-AQE or streaming.)
+    # PARTIAL salting — the production skew pattern (SURVEY §4 / guide):
+    # find the hottest join keys (tiny, broadcastable), split both sides on
+    # that set, join the cold majority plainly, and only for the hot slice
+    # salt the fact side K ways and replicate the other side's few matching
+    # rows K times. Full-table replication (the naive form) multiplies the
+    # whole other side by K; this multiplies ~100 rows. Result set is
+    # IDENTICAL to the plain equi-join, which is what the oracle asserts.
+    # (AQE skew-join does this adaptively at shuffle time; the explicit
+    # form covers pre-AQE paths and streaming joins.)
     K = 8
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
-    orders = load_table(spark, sf_dir, "orders")
-    salted_li = li.select(
-        "l_orderkey", "l_extendedprice",
-        (F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), F.lit(K))).alias("_salt"),
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_extendedprice"
     )
-    replicated = orders.select(
-        "o_orderkey", "o_orderstatus", "o_custkey",
-        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("_salt"),
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
     )
-    return (
-        salted_li.join(
-            replicated,
-            (salted_li.l_orderkey == replicated.o_orderkey)
-            & (salted_li._salt == replicated._salt),
-        )
-        .select("l_orderkey", "l_extendedprice", "o_orderstatus", "o_custkey")
+    hot = (
+        li.groupBy("l_orderkey")
+        .count()
+        .orderBy(F.desc("count"), "l_orderkey")
+        .limit(100)
+        .select(F.col("l_orderkey").alias("hot_key"))
     )
+    li_hot = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_semi")
+    li_cold = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti")
+    ord_hot = orders.join(
+        F.broadcast(hot), orders.o_orderkey == hot.hot_key, "left_semi"
+    )
+    cold = li_cold.join(orders, li_cold.l_orderkey == orders.o_orderkey)
+    salted = li_hot.withColumn(
+        "_salt", F.pmod(F.xxhash64("l_orderkey", "l_extendedprice"), F.lit(K))
+    )
+    replicated = ord_hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(K - 1)))
+    )
+    hot_joined = salted.join(
+        replicated,
+        (salted.l_orderkey == replicated.o_orderkey)
+        & (salted._salt == replicated._salt),
+    )
+    out_cols = ["l_orderkey", "l_extendedprice", "o_orderstatus", "o_custkey"]
+    return cold.select(*out_cols).unionByName(hot_joined.select(*out_cols))
 
 
 @register("a15_approx_sketches")  # rows-only: sketch estimates are engine-specific

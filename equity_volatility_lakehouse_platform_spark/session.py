@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Split parquet scans at 16 MB so a table that arrives as one file
+        # still fans out across the local threads (default 128 MB leaves a
+        # multi-million-row file on ONE task); on a cluster this is sized
+        # to executor memory per the same rule (SURVEY §4 / guide).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
