@@ -121,6 +121,105 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim04_ivf_ann_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 17, 29, 41)
+    ), sc AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.cv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv)), 0) AS cosc
+      FROM e CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, v, cid
+      FROM (SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM sc)
+      WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS q_id, v AS qv, cid AS qcid
+      FROM (SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM sc WHERE vec_id < 3)
+      WHERE rn <= 2
+    ), cand AS (
+      SELECT p.q_id, a.vec_id,
+             list_dot_product(p.qv, a.v)
+               / NULLIF(sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.v, a.v)), 0) AS cos
+      FROM probe p JOIN assigned a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    FROM (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    """,
+)
+def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF (inverted-file) ANN — the other classic scale path next to LSH
+    # (sim03). A small coarse quantizer (4 fixed seed centroids, standing in
+    # for an offline-trained codebook) is broadcast; every vector is
+    # assigned to its nearest centroid (argmax cosine), forming inverted
+    # lists keyed by centroid id. Queries probe their nprobe=2 nearest
+    # lists and exact cosine re-ranks only those candidates. At 100 TB the
+    # corpus never shuffles for the probe: the broadcast x K expansion and
+    # the per-vector argmax collapse map-side (partial max_by), so the one
+    # shuffle is the assignment groupBy, and probing is a broadcast join of
+    # the tiny query set against the lists.
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    cent = emb.filter(F.col("vec_id").isin(5, 17, 29, 41)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("nc")
+    )
+    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("nv") * F.col("nc"), F.lit(0.0)
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nv", "cid", cosc.alias("cosc")
+    )
+    # Inverted lists: nearest centroid per vector (ties -> lowest cid,
+    # mirroring the oracle's ORDER BY cosc DESC, cid).
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("cosc"), -F.col("cid"))).alias("cid"),
+        F.first("v").alias("v"),
+        F.first("nv").alias("nv"),
+    )
+    # Query probe set: top-2 centroids per query vector.
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
+    qprobe = (
+        scored.filter(F.col("vec_id") < 3)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
+        )
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(assigned, (F.col("qcid") == F.col("cid")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
     "sim03_lsh_ann_topk",
     oracle="""
     WITH e AS (

@@ -24,7 +24,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 
 
 def _exchanges(plan: str) -> int:
-    return len(re.findall("Exchange hashpartitioning", plan))
+    # Formatted mode prints shuffle nodes as "(NN) Exchange" (arguments are
+    # listed separately), so count node headers; \b excludes
+    # BroadcastExchange, which is a different (non-shuffle) node.
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def test_q6_filters_reach_the_scan(spark, sf_dir):
@@ -58,17 +61,27 @@ def test_shuffle_budgets(spark, sf_dir):
         "f20_gold_matrix": 2,          # daily agg + window sort
         "g01_grid_fill_hourly": 2,     # hourly agg + lead window
         "d02_minhash_signatures": 0,   # zero-shuffle projection
+        "sim04_ivf_ann_topk": 3,       # assignment groupBy + 2 tiny query-side windows
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
 
 
+def test_ivf_corpus_never_shuffles_for_probe(spark, sf_dir):
+    # sim04: centroids and the probe set broadcast; the corpus's only
+    # shuffle is the assignment groupBy. No sort-merge join may appear.
+    plan = _plan(spark, sf_dir, "sim04_ivf_ann_topk")
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast the query set"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_compiles_to_take_ordered(spark, sf_dir):
     # orderBy+limit must become TakeOrderedAndProject, never a global sort.
     plan = _plan(spark, sf_dir, "o04_topk")
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange rangepartitioning" not in plan
+    assert "Arguments: rangepartitioning" not in plan
 
 
 def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
