@@ -37,6 +37,7 @@ HEADLINE = [
     "d01_exact_dedup",
     "d03_minhash_lsh_pairs",
     "sim01_bruteforce_topk",
+    "sim04_ivf_ann_topk",
     "t02_quality_score",
     "st01_tumbling_window",
 ]
