@@ -300,7 +300,27 @@ def w10_pct_change_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("w11_ewm_mean")  # no SQL oracle: EWM is inherently recursive
+@register(
+    "w11_ewm_mean",
+    # EWM is recursive (y = (1-a)*y_prev + a*x), so the oracle is a DuckDB
+    # recursive CTE stepping one row per key per iteration. The arithmetic
+    # matches pandas ewm(adjust=False) bit-for-bit: pandas computes
+    # 0.9*y + 0.1*x then divides by (0.9+0.1)==1.0 (exact), and FP addition
+    # is commutative, so 0.1*x + 0.9*y is the identical double.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, rn, value AS ewm FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.rn, 0.1 * b.value + 0.9 * rec.ewm
+      FROM base b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+    )
+    SELECT event_id, user_id, ROUND(ewm, 6) AS ewm_01 FROM rec
+    """,
+)
 def w11_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W11 ewm(adjust=False, alpha=a).mean() per key (alpa.py:49-57) — the one
     # operator with no native Spark expression (SURVEY §7.4). Implemented as
