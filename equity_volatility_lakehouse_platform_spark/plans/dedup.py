@@ -108,10 +108,10 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+           (ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
                 + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
                 + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-                + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0, 6)
+                + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0, 6) + 0.0)
              AS est_jaccard
     FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                 JOIN sig sb ON c.doc_b = sb.doc_id
@@ -224,8 +224,8 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sets
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.s, b.s)) * 1.0
-                 / NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6)
+           (ROUND(len(list_intersect(a.s, b.s)) * 1.0
+                 / NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) + 0.0)
              AS jaccard
     FROM ranked a JOIN ranked b
       ON a.source = b.source AND b.rn = a.rn + 1
@@ -275,7 +275,7 @@ def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cosine
       FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
     )
-    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine,
+    SELECT vec_a, vec_b, (ROUND(cosine, 6) + 0.0) AS cosine,
            cosine >= 0.9 AS is_near_dup
     FROM pairs
     """,

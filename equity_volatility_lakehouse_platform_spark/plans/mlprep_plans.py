@@ -112,7 +112,7 @@ def ml03_rolling_origin_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT median(value) AS m FROM holey
     )
     SELECT h.event_id,
-           ROUND(COALESCE(h.value, med.m), 6) AS value_imputed,
+           (ROUND(COALESCE(h.value, med.m), 6) + 0.0) AS value_imputed,
            CAST(h.value IS NULL AS INT) AS was_imputed
     FROM holey h CROSS JOIN med
     """,

@@ -47,8 +47,8 @@ def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS in_height,
            CAST(32 AS INT) AS out_width,
            CAST(32 AS INT) AS out_height,
-           ROUND(32.0 / (16 + octet_length(encode(text)) % 64), 6)  AS scale_x,
-           ROUND(32.0 / (16 + (octet_length(encode(text)) // 64) % 64), 6) AS scale_y
+           (ROUND(32.0 / (16 + octet_length(encode(text)) % 64), 6) + 0.0)  AS scale_x,
+           (ROUND(32.0 / (16 + (octet_length(encode(text)) // 64) % 64), 6) + 0.0) AS scale_y
     FROM documents
     """,
 )

@@ -34,13 +34,13 @@ def _r6(col):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT)                                   AS n_rows,
-           ROUND(SUM(l_quantity), 6)                                  AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6)                             AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)          AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                  AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                             AS avg_price,
-           ROUND(AVG(l_discount), 6)                                  AS avg_disc
+           (ROUND(SUM(l_quantity), 6) + 0.0)                                  AS sum_qty,
+           (ROUND(SUM(l_extendedprice), 6) + 0.0)                             AS sum_base_price,
+           (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0)          AS sum_disc_price,
+           (ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) + 0.0) AS sum_charge,
+           (ROUND(AVG(l_quantity), 6) + 0.0)                                  AS avg_qty,
+           (ROUND(AVG(l_extendedprice), 6) + 0.0)                             AS avg_price,
+           (ROUND(AVG(l_discount), 6) + 0.0)                                  AS avg_disc
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -254,7 +254,7 @@ def p10_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_discount < 0.02 OR l_discount > 0.08
-                THEN ROUND((0.02 + 0.08) / 2, 6)
+                THEN (ROUND((0.02 + 0.08) / 2, 6) + 0.0)
                 ELSE l_discount END AS discount_repaired
     FROM lineitem
     """,
@@ -303,7 +303,7 @@ def p12_interval_membership_filter(spark: SparkSession, sf_dir: str) -> DataFram
     "j01_equi_inner_join",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, l.l_linenumber,
-           ROUND(l.l_extendedprice * (1 - l.l_discount), 6) AS net_price
+           (ROUND(l.l_extendedprice * (1 - l.l_discount), 6) + 0.0) AS net_price
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'F'
     """,
@@ -431,11 +431,11 @@ def j05_interval_tag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             ROUND(SUM(o_totalprice), 6) AS total_spend
+             (ROUND(SUM(o_totalprice), 6) + 0.0) AS total_spend
       FROM orders GROUP BY o_custkey
     ),
     feat AS (
-      SELECT o_custkey, ROUND(AVG(o_totalprice), 6) AS total_spend
+      SELECT o_custkey, (ROUND(AVG(o_totalprice), 6) + 0.0) AS total_spend
       FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
     )
     SELECT b.o_custkey, b.n_orders, f.total_spend
@@ -523,12 +523,12 @@ def j11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a01_ordered_ohlcv_rollup",
     oracle="""
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           ROUND(arg_min(value, ts), 6)  AS open,
-           ROUND(max(value), 6)          AS high,
-           ROUND(min(value), 6)          AS low,
-           ROUND(arg_max(value, ts), 6)  AS close,
+           (ROUND(arg_min(value, ts), 6) + 0.0)  AS open,
+           (ROUND(max(value), 6) + 0.0)          AS high,
+           (ROUND(min(value), 6) + 0.0)          AS low,
+           (ROUND(arg_max(value, ts), 6) + 0.0)  AS close,
            CAST(count(*) AS BIGINT)      AS n_events,
-           ROUND(SUM(value), 6)          AS total_value
+           (ROUND(SUM(value), 6) + 0.0)          AS total_value
     FROM events
     GROUP BY user_id, date_trunc('day', ts)
     """,
@@ -570,9 +570,9 @@ def a02_minmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a03_stats_per_group",
     oracle="""
     SELECT event_type,
-           ROUND(AVG(value), 6)         AS avg_value,
-           ROUND(median(value), 6)      AS median_value,
-           ROUND(stddev_samp(value), 6) AS std_value
+           (ROUND(AVG(value), 6) + 0.0)         AS avg_value,
+           (ROUND(median(value), 6) + 0.0)      AS median_value,
+           (ROUND(stddev_samp(value), 6) + 0.0) AS std_value
     FROM events GROUP BY event_type
     """,
 )
@@ -620,7 +620,7 @@ def a05_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a06_hhi_concentration",
     oracle="""
     SELECT user_id,
-           ROUND(SUM(value * value) / NULLIF(SUM(value) * SUM(value), 0), 6) AS hhi
+           (ROUND(SUM(value * value) / NULLIF(SUM(value) * SUM(value), 0), 6) + 0.0) AS hhi
     FROM events
     WHERE value > 0
     GROUP BY user_id
@@ -678,11 +678,11 @@ def a09_all_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_pivot_table",
     oracle="""
     SELECT user_id,
-           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6)    AS click,
-           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6)    AS error,
-           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6)   AS signup,
-           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6)     AS view
+           (ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6) + 0.0)    AS click,
+           (ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6) + 0.0)    AS error,
+           (ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) + 0.0) AS purchase,
+           (ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) + 0.0)   AS signup,
+           (ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) + 0.0)     AS view
     FROM events GROUP BY user_id
     """,
 )
@@ -732,7 +732,7 @@ def a11_quality_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a12_argmax_per_group",
     oracle="""
-    SELECT event_type, event_id AS top_event_id, ROUND(value, 6) AS top_value
+    SELECT event_type, event_id AS top_event_id, (ROUND(value, 6) + 0.0) AS top_value
     FROM (
       SELECT event_type, event_id, value,
              row_number() OVER (PARTITION BY event_type
@@ -784,18 +784,18 @@ def a13_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'value' AS col,
            CAST(count(value) AS BIGINT) AS n,
-           ROUND(AVG(value), 6)         AS mean,
-           ROUND(stddev_samp(value), 6) AS std,
-           ROUND(min(value), 6)         AS min,
-           ROUND(max(value), 6)         AS max
+           (ROUND(AVG(value), 6) + 0.0)         AS mean,
+           (ROUND(stddev_samp(value), 6) + 0.0) AS std,
+           (ROUND(min(value), 6) + 0.0)         AS min,
+           (ROUND(max(value), 6) + 0.0)         AS max
     FROM events
     UNION ALL
     SELECT 'o_totalprice' AS col,
            CAST(count(o_totalprice) AS BIGINT),
-           ROUND(AVG(o_totalprice), 6),
-           ROUND(stddev_samp(o_totalprice), 6),
-           ROUND(min(o_totalprice), 6),
-           ROUND(max(o_totalprice), 6)
+           (ROUND(AVG(o_totalprice), 6) + 0.0),
+           (ROUND(stddev_samp(o_totalprice), 6) + 0.0),
+           (ROUND(min(o_totalprice), 6) + 0.0),
+           (ROUND(max(o_totalprice), 6) + 0.0)
     FROM orders
     """,
 )
@@ -825,7 +825,7 @@ def a14_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o04_topk",
     oracle="""
-    SELECT user_id, ROUND(SUM(value), 6) AS total_value
+    SELECT user_id, (ROUND(SUM(value), 6) + 0.0) AS total_value
     FROM events GROUP BY user_id
     ORDER BY total_value DESC, user_id
     LIMIT 5
@@ -997,14 +997,14 @@ def sc02_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sc03_math_functions",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(ln(l_extendedprice), 6)                       AS log_price,
-           ROUND(sin(2 * pi() * l_linenumber / 7), 6)          AS line_sin,
-           ROUND(cos(2 * pi() * l_linenumber / 7), 6)          AS line_cos,
-           ROUND(greatest(l_discount, l_tax), 6)               AS max_rate,
-           ROUND(least(l_discount, l_tax), 6)                  AS min_rate,
+           (ROUND(ln(l_extendedprice), 6) + 0.0)                       AS log_price,
+           ROUND(sin(2 * pi() * l_linenumber / 7), 6) + 0.0    AS line_sin,
+           ROUND(cos(2 * pi() * l_linenumber / 7), 6) + 0.0    AS line_cos,
+           (ROUND(greatest(l_discount, l_tax), 6) + 0.0)               AS max_rate,
+           (ROUND(least(l_discount, l_tax), 6) + 0.0)                  AS min_rate,
            CASE WHEN l_quantity = 0 THEN 0.0
-                ELSE ROUND(l_extendedprice / l_quantity
-                           - sign(l_extendedprice / l_quantity) * 0.000000001, 6)
+                ELSE (ROUND(l_extendedprice / l_quantity
+                           - sign(l_extendedprice / l_quantity) * 0.000000001, 6) + 0.0)
            END AS unit_price
     FROM lineitem
     """,
@@ -1017,8 +1017,11 @@ def sc03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         _r6(F.log(F.col("l_extendedprice"))).alias("log_price"),
-        _r6(F.sin(2 * 3.141592653589793 * F.col("l_linenumber") / 7)).alias("line_sin"),
-        _r6(F.cos(2 * 3.141592653589793 * F.col("l_linenumber") / 7)).alias("line_cos"),
+        # + 0.0 normalizes IEEE signed zero (-0.0 + 0.0 == +0.0): DuckDB's
+        # (ROUND(sin(2*pi),6) + 0.0) yields -0.0 where Spark yields +0.0, and a
+        # byte-exact hash comparison distinguishes them even though == doesn't.
+        (_r6(F.sin(2 * 3.141592653589793 * F.col("l_linenumber") / 7)) + F.lit(0.0)).alias("line_sin"),
+        (_r6(F.cos(2 * 3.141592653589793 * F.col("l_linenumber") / 7)) + F.lit(0.0)).alias("line_cos"),
         _r6(F.greatest("l_discount", "l_tax")).alias("max_rate"),
         _r6(F.least("l_discount", "l_tax")).alias("min_rate"),
         F.when(F.col("l_quantity") == 0, F.lit(0.0))
@@ -1148,8 +1151,8 @@ def s13_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 7
     )
     SELECT user_id,
-           ROUND(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1, 6) AS ret_7,
-           ROUND(stddev_samp(value) / NULLIF(arg_min(value, ts), 0), 6)     AS std_rel_7,
+           (ROUND(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1, 6) + 0.0) AS ret_7,
+           (ROUND(stddev_samp(value) / NULLIF(arg_min(value, ts), 0), 6) + 0.0)     AS std_rel_7,
            CAST(count(*) AS BIGINT) AS n
     FROM tail7 GROUP BY user_id
     """,
@@ -1177,11 +1180,11 @@ def a07_horizon_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
     ), pm_first AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ROUND(arg_min(value, ts), 6) AS first_pm_value
+             (ROUND(arg_min(value, ts), 6) + 0.0) AS first_pm_value
       FROM events WHERE EXTRACT(hour FROM ts) < 9 GROUP BY 1
     ), last_close AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ROUND(arg_max(value, ts), 6) AS last_value
+             (ROUND(arg_max(value, ts), 6) + 0.0) AS last_value
       FROM events GROUP BY 1
     )
     SELECT d.day, p.first_pm_value, l.last_value
@@ -1252,7 +1255,7 @@ def sql01_ctas_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o02_sort_by_value",
     oracle="""
-    SELECT user_id, ROUND(SUM(value), 6) AS total_value,
+    SELECT user_id, (ROUND(SUM(value), 6) + 0.0) AS total_value,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     ORDER BY total_value DESC, user_id
@@ -1399,7 +1402,7 @@ def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1447,7 +1450,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1492,7 +1495,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue,
+    SELECT (ROUND(SUM(l_extendedprice * l_discount), 6) + 0.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1526,7 +1529,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(event_type, '<all>') AS event_type,
            COALESCE(CAST(EXTRACT(year FROM ts) AS BIGINT), -1) AS yr,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 6) AS total_value
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
     FROM events
     GROUP BY ROLLUP (event_type, EXTRACT(year FROM ts))
     """,
@@ -1553,15 +1556,15 @@ def a16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a17_correlation_matrix",
     oracle="""
     SELECT 'price_vs_quantity' AS pair,
-           ROUND(corr(l_extendedprice, l_quantity), 6) AS r
+           (ROUND(corr(l_extendedprice, l_quantity), 6) + 0.0) AS r
     FROM lineitem
     UNION ALL
     SELECT 'price_vs_discount',
-           ROUND(corr(l_extendedprice, l_discount), 6)
+           (ROUND(corr(l_extendedprice, l_discount), 6) + 0.0)
     FROM lineitem
     UNION ALL
     SELECT 'quantity_vs_tax',
-           ROUND(corr(l_quantity, l_tax), 6)
+           (ROUND(corr(l_quantity, l_tax), 6) + 0.0)
     FROM lineitem
     """,
 )

@@ -32,9 +32,9 @@ from equity_volatility_lakehouse_platform_spark.sources.readers import load_tabl
       FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
     )
     SELECT user_id, h, n_events, is_filled,
-           ROUND(last_value(close IGNORE NULLS)
+           (ROUND(last_value(close IGNORE NULLS)
                  OVER (PARTITION BY user_id ORDER BY h
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0)
              AS close_ffill
     FROM joined
     """,

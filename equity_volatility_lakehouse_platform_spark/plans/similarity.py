@@ -57,7 +57,7 @@ def _projection(v: Column, j: int) -> Column:
                         * sqrt(list_dot_product(e.v, e.v)), 0) AS cos
       FROM q JOIN e ON e.vec_id <> q.q_id
     )
-    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
     FROM (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, vec_id) AS rn
@@ -154,7 +154,7 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * sqrt(list_dot_product(a.v, a.v)), 0) AS cos
       FROM probe p JOIN assigned a ON a.cid = p.qcid AND a.vec_id <> p.q_id
     )
-    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
     FROM (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, vec_id) AS rn
@@ -240,7 +240,7 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
       FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
     )
-    SELECT q_id, vec_id, ROUND(cos, 6) AS cosine
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
     FROM (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY cos DESC, vec_id) AS rn

@@ -27,7 +27,7 @@ from equity_volatility_lakehouse_platform_spark.sources.sinks import (
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 6) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -44,7 +44,7 @@ def snk01_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> D
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
 
 
@@ -53,7 +53,7 @@ def snk01_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> D
     oracle="""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 6) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -69,7 +69,7 @@ def snk02_upsert_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 
@@ -78,7 +78,7 @@ def snk02_upsert_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice), 6) AS total_price
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderstatus
     """,
@@ -112,6 +112,6 @@ def snk03_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 6).alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )

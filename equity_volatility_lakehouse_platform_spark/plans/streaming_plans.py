@@ -17,7 +17,7 @@ _TUMBLING_ORACLE = """
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 6)     AS total_value
+           (ROUND(SUM(value), 6) + 0.0)     AS total_value
     FROM events
     GROUP BY 1, 2
     """
@@ -38,7 +38,7 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN EXTRACT(hour FROM ts) < 16 THEN 'regular'
                 ELSE 'aftermarket' END AS session,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 6)     AS avg_value
+           (ROUND(AVG(value), 6) + 0.0)     AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -70,7 +70,7 @@ def st03_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 6)     AS total_value
+           (ROUND(SUM(value), 6) + 0.0)     AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -92,10 +92,10 @@ def st04_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN EXTRACT(hour FROM ts) < 9 THEN 'premarket'
                 WHEN EXTRACT(hour FROM ts) < 16 THEN 'regular'
                 ELSE 'aftermarket' END AS session,
-           ROUND(arg_min(value, ts), 6) AS open,
-           ROUND(max(value), 6)         AS high,
-           ROUND(min(value), 6)         AS low,
-           ROUND(arg_max(value, ts), 6) AS close,
+           (ROUND(arg_min(value, ts), 6) + 0.0) AS open,
+           (ROUND(max(value), 6) + 0.0)         AS high,
+           (ROUND(min(value), 6) + 0.0)         AS low,
+           (ROUND(arg_max(value, ts), 6) + 0.0) AS close,
            CAST(count(*) AS BIGINT)     AS n
     FROM events GROUP BY 1, 2
     """,

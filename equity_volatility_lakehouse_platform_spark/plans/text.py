@@ -33,8 +33,8 @@ def _lex_sql(lang: str) -> str:
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
-           ROUND(length(replace(text, ' ', '')) * 1.0
-                 / NULLIF(len(regexp_split_to_array(trim(lower(text)), '\s+')), 0), 6)
+           (ROUND(length(replace(text, ' ', '')) * 1.0
+                 / NULLIF(len(regexp_split_to_array(trim(lower(text)), '\s+')), 0), 6) + 0.0)
              AS avg_token_len
     FROM documents
     """,
@@ -68,15 +68,15 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                 * 1.0 / NULLIF(length(text), 0), 6) AS punct_ratio,
-           ROUND(len(list_filter(tok, x -> x IN ({_lex_sql('en')})))
-                 * 1.0 / NULLIF(len(tok), 0), 6) AS stopword_ratio,
-           ROUND(least(len(tok) / 100.0, 1.0) * 0.5
+           (ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 * 1.0 / NULLIF(length(text), 0), 6) + 0.0) AS punct_ratio,
+           (ROUND(len(list_filter(tok, x -> x IN ({_lex_sql('en')})))
+                 * 1.0 / NULLIF(len(tok), 0), 6) + 0.0) AS stopword_ratio,
+           (ROUND(least(len(tok) / 100.0, 1.0) * 0.5
                  + least(len(list_filter(tok, x -> x IN ({_lex_sql('en')})))
                          * 5.0 / NULLIF(len(tok), 0), 1.0) * 0.3
                  + (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                          * 1.0 / NULLIF(length(text), 0)) * 0.2, 6) AS quality_score
+                          * 1.0 / NULLIF(length(text), 0)) * 0.2, 6) + 0.0) AS quality_score
     FROM t
     """,
 )

@@ -35,7 +35,7 @@ def _r6s(col):
     DuckDB (binary-double round) disagree by 1 ulp. A 1e-9 toward-zero
     nudge — three orders below the precision — moves boundary values
     decisively to one side in BOTH engines. Oracle mirror:
-    ROUND(x - sign(x) * 0.000000001, 6)."""
+    (ROUND(x - sign(x) * 0.000000001, 6) + 0.0)."""
     return F.round(col - F.signum(col) * F.lit(1e-9), 6)
 
 
@@ -43,9 +43,9 @@ def _r6s(col):
     "w01_forward_fill",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+           (ROUND(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0) AS value_ffill
     FROM events
     """,
 )
@@ -70,14 +70,14 @@ def w01_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w02_backward_fill",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(COALESCE(
+           (ROUND(COALESCE(
              last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              first_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-           ), 6) AS value_filled
+           ), 6) + 0.0) AS value_filled
     FROM events
     """,
 )
@@ -100,9 +100,9 @@ def w02_backward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w03_lag_gap",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           (ROUND((value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                  / NULLIF(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
-                 * 100, 6) AS gap_pct
+                 * 100, 6) + 0.0) AS gap_pct
     FROM events
     """,
 )
@@ -122,12 +122,12 @@ def w03_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w04_lag_ladder",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value / NULLIF(lag(value, 1)  OVER w, 0) - 1
-                 - sign(value / NULLIF(lag(value, 1)  OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_1,
-           ROUND(value / NULLIF(lag(value, 8)  OVER w, 0) - 1
-                 - sign(value / NULLIF(lag(value, 8)  OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_8,
-           ROUND(value / NULLIF(lag(value, 32) OVER w, 0) - 1
-                 - sign(value / NULLIF(lag(value, 32) OVER w, 0) - 1) * 0.000000001, 6) AS pct_change_32
+           (ROUND(value / NULLIF(lag(value, 1)  OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 1)  OVER w, 0) - 1) * 0.000000001, 6) + 0.0) AS pct_change_1,
+           (ROUND(value / NULLIF(lag(value, 8)  OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 8)  OVER w, 0) - 1) * 0.000000001, 6) + 0.0) AS pct_change_8,
+           (ROUND(value / NULLIF(lag(value, 32) OVER w, 0) - 1
+                 - sign(value / NULLIF(lag(value, 32) OVER w, 0) - 1) * 0.000000001, 6) + 0.0) AS pct_change_32
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -150,7 +150,7 @@ def w04_lag_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CASE WHEN count(value) OVER w = 5
-                THEN ROUND(stddev_samp(value) OVER w, 6) END AS std_5
+                THEN (ROUND(stddev_samp(value) OVER w, 6) + 0.0) END AS std_5
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -175,7 +175,7 @@ def w05_rolling_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CASE WHEN count(value) OVER w = 20
-                THEN ROUND(AVG(value) OVER w, 6) END AS mean_20_excl
+                THEN (ROUND(AVG(value) OVER w, 6) + 0.0) END AS mean_20_excl
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -200,7 +200,7 @@ def w06_rolling_mean_excl_current(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_id, user_id,
            CASE WHEN count(value) OVER w = 20
-                THEN ROUND(max(value) OVER w, 6) END AS max_20_excl
+                THEN (ROUND(max(value) OVER w, 6) + 0.0) END AS max_20_excl
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -224,7 +224,7 @@ def w07_rolling_max_excl_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CASE WHEN count(value) OVER w = 20
-                THEN ROUND(median(value) OVER w, 6) END AS median_20
+                THEN (ROUND(median(value) OVER w, 6) + 0.0) END AS median_20
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -251,7 +251,7 @@ def w08_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CASE WHEN count(value) OVER w = 20
-                THEN ROUND((value - AVG(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 6)
+                THEN (ROUND((value - AVG(value) OVER w) / NULLIF(stddev_samp(value) OVER w, 0), 6) + 0.0)
            END AS zscore_20
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -276,9 +276,9 @@ def w09_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w10_pct_change_shift",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(pct - sign(pct) * 0.000000001, 6) AS pct_change,
-           ROUND(lag(pct) OVER w2
-                 - sign(lag(pct) OVER w2) * 0.000000001, 6) AS pct_change_lag1
+           (ROUND(pct - sign(pct) * 0.000000001, 6) + 0.0) AS pct_change,
+           (ROUND(lag(pct) OVER w2
+                 - sign(lag(pct) OVER w2) * 0.000000001, 6) + 0.0) AS pct_change_lag1
     FROM (
       SELECT event_id, user_id, ts,
              value / NULLIF(lag(value) OVER w, 0) - 1 AS pct
@@ -318,7 +318,7 @@ def w10_pct_change_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.event_id, b.user_id, b.rn, 0.1 * b.value + 0.9 * rec.ewm
       FROM base b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
     )
-    SELECT event_id, user_id, ROUND(ewm, 6) AS ewm_01 FROM rec
+    SELECT event_id, user_id, (ROUND(ewm, 6) + 0.0) AS ewm_01 FROM rec
     """,
 )
 def w11_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +366,7 @@ def w12_cumcount_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CASE WHEN CAST(date_trunc('day', lag(ts) OVER w) AS TIMESTAMP)
                      = CAST(date_trunc('day', ts) AS TIMESTAMP)
-                THEN ROUND(ln(NULLIF(value / NULLIF(lag(value) OVER w, 0), 0)), 6) END AS intraday_log_ret
+                THEN (ROUND(ln(NULLIF(value / NULLIF(lag(value) OVER w, 0), 0)), 6) + 0.0) END AS intraday_log_ret
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -424,8 +424,8 @@ def j09_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts, value FROM events
       WHERE event_type = 'purchase'
     )
-    SELECT t.event_id, t.user_id, t.ts, ROUND(t.value, 6) AS trade_value,
-           ROUND(q.quote, 6) AS asof_quote
+    SELECT t.event_id, t.user_id, t.ts, (ROUND(t.value, 6) + 0.0) AS trade_value,
+           (ROUND(q.quote, 6) + 0.0) AS asof_quote
     FROM trades t ASOF LEFT JOIN quotes q
       ON t.user_id = q.user_id AND t.ts >= q.ts
     """,

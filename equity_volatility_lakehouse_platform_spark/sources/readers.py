@@ -55,8 +55,23 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with proper TimestampType columns."""
+    """Load one testdata table with proper TimestampType columns.
+
+    Works on ANY SparkSession, not just the engine's own factory: a bare
+    session (e.g. the correctness driver's) lacks the legacy-nanos conf and
+    would fail the read outright with PARQUET_TYPE_ILLEGAL, and a session
+    with a non-UTC timezone would skew every tz-naive timestamp comparison
+    (year/hour/date_trunc vs DuckDB). Both confs are runtime-settable, so we
+    assert them here — at the read site — rather than trusting the session.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if _nano_ts_columns(path):
+        # Without this a vectorized parquet read of INT64 TIMESTAMP(NANOS)
+        # throws; with it the column arrives as a long we repair below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Oracle comparisons are tz-naive; all timestamp extraction must agree
+    # with DuckDB's wall-clock view of the same micros values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         # nanos -> micros with integer `div` (float division would lose

@@ -49,7 +49,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def compare_frames(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str, rtol=1e-9):
+def compare_frames(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str, rtol=0.0):
+    """Compare Spark vs DuckDB results.
+
+    Default is EXACT bit-level float comparison — the external driver hashes
+    canonicalized bytes, so ``-0.0 != +0.0`` and a 1-ulp drift is a FAIL
+    there; a looser local gate let exactly such a bug (sc03 signed zero)
+    survive a full round. Pass ``rtol`` explicitly only for queries whose
+    oracle is documented as approximate.
+    """
     assert len(spark_df) == len(duck_df), (
         f"{name}: row count {len(spark_df)} (spark) != {len(duck_df)} (duckdb)"
     )
@@ -60,11 +68,18 @@ def compare_frames(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str, rto
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            av = av.astype("float64").to_numpy()
-            bv = bv.astype("float64").to_numpy()
-            both_nan = np.isnan(av) & np.isnan(bv)
-            close = np.isclose(av, bv, rtol=rtol, atol=1e-12, equal_nan=True)
-            ok = both_nan | close
+            av = av.astype("float64").to_numpy().copy()
+            bv = bv.astype("float64").to_numpy().copy()
+            if rtol:
+                both_nan = np.isnan(av) & np.isnan(bv)
+                close = np.isclose(av, bv, rtol=rtol, atol=1e-12, equal_nan=True)
+                ok = both_nan | close
+            else:
+                # Canonicalize NaN payloads, then compare raw IEEE-754 bits:
+                # distinguishes -0.0 from +0.0 and any 1-ulp difference.
+                av[np.isnan(av)] = np.nan
+                bv[np.isnan(bv)] = np.nan
+                ok = av.view(np.uint64) == bv.view(np.uint64)
             assert ok.all(), (
                 f"{name}.{c}: {int((~ok).sum())} value mismatches, e.g. "
                 f"{list(zip(av[~ok][:3], bv[~ok][:3]))}"
