@@ -57,13 +57,20 @@ def main() -> None:
     # the already-analyzed plan — the component that scales with data and
     # extrapolates to a long-lived cluster; one-time driver-side analysis
     # does not.
+    # min-of-n per query: single-shot timings on a shared box are noisy
+    # (round-2 showed ±13% on byte-identical code); the minimum is the
+    # stable estimator of the true cost.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     dfs = {name: queries[name](spark, sf_dir) for name in names}
     for name in names:
         dfs[name].write.mode("overwrite").format("noop").save()
-    for name in names:
-        t0 = time.perf_counter()
-        dfs[name].write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            dfs[name].write.mode("overwrite").format("noop").save()
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     spark.stop()
 
     print(

@@ -37,20 +37,34 @@ SEGMENT_SCHEMA = (
 )
 
 
+def _round_half_up(x: float, pw: float) -> float:
+    """Explicit half-up decimal round: floor(x*pw + 0.5)/pw, pure double ops.
+
+    Used instead of Python's ``round`` so the SQL oracle can reproduce the
+    band BIT-FOR-BIT (``FLOOR(x*pw + 0.5)/pw`` evaluates the identical
+    IEEE-754 sequence in any engine); Python's banker's rounding has no
+    portable SQL equivalent on exact binary ties. Differs from the
+    reference's ``round`` only on those ties — measure-zero in practice.
+    """
+    import math
+
+    return math.floor(x * pw + 0.5) / pw
+
+
 def min_max_target(price: float) -> tuple[float, float]:
     """Tiered dynamic target band (mirrors my_helper.py:2-24)."""
     if price <= 0.1:
-        factor, dp = 0.12, 4
+        factor, pw = 0.12, 1e4
     elif price <= 0.5:
-        factor, dp = 0.08, 4
+        factor, pw = 0.08, 1e4
     elif price <= 2:
-        factor, dp = 0.05, 3
+        factor, pw = 0.05, 1e3
     elif price <= 10:
-        factor, dp = 0.03, 2
+        factor, pw = 0.03, 1e2
     else:
-        factor, dp = 0.02, 2
-    price = round(price, dp)
-    lo = round(price * (1 - factor), dp)
+        factor, pw = 0.02, 1e2
+    price = _round_half_up(price, pw)
+    lo = _round_half_up(price * (1 - factor), pw)
     hi = (price - lo) + price
     return lo, hi
 
@@ -114,5 +128,12 @@ def segment_events(events: DataFrame) -> DataFrame:
         events.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(_segment_group, SEGMENT_SCHEMA)
-        .withColumn("pct_change", F.round("pct_change", 6))
+        # toward-zero nudge before rounding: ratios of 2dp inputs can land
+        # exactly on a 6dp half boundary where engines' round modes differ.
+        .withColumn(
+            "pct_change",
+            F.round(
+                F.col("pct_change") - F.signum("pct_change") * F.lit(1e-9), 6
+            ),
+        )
     )
