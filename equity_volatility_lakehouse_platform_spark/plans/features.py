@@ -338,12 +338,94 @@ def f18_market_path_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("f19_event_segmentation")  # no SQL oracle: data-dependent resets
+@register(
+    "f19_event_segmentation",
+    # The trend/threshold scan is recursive (every reset depends on the
+    # previous hit), so the oracle — like w11's EWM — is a DuckDB recursive
+    # CTE stepping one row per key per iteration, carrying the scan state
+    # (ref, lo, hi, start_time, n). The tiered band arithmetic mirrors
+    # operators.events_seg.min_max_target bit-for-bit: every literal is
+    # forced DOUBLE so both engines run the identical IEEE-754 sequence.
+    # NB: intermediates (factor..hit) must be computed over renamed prev_*
+    # columns in a subquery — DuckDB resolves unqualified names to real
+    # columns of in-scope tables BEFORE lateral aliases, so reusing the
+    # carried column names would silently read the previous row's values.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), mx AS (
+      SELECT user_id, max(rn) AS mxrn FROM base GROUP BY user_id
+    ), scan AS (
+      SELECT user_id, rn, ts, value,
+             CASE WHEN value <= 0.1 THEN CAST(0.12 AS DOUBLE)
+                  WHEN value <= 0.5 THEN CAST(0.08 AS DOUBLE)
+                  WHEN value <= 2   THEN CAST(0.05 AS DOUBLE)
+                  WHEN value <= 10  THEN CAST(0.03 AS DOUBLE)
+                  ELSE CAST(0.02 AS DOUBLE) END AS factor,
+             CASE WHEN value <= 0.5 THEN 1e4
+                  WHEN value <= 2   THEN 1e3
+                  ELSE 1e2 END AS pw,
+             floor(value * pw + 0.5) / pw AS p,
+             floor(p * (1 - factor) * pw + 0.5) / pw AS min_t,
+             (p - min_t) + p AS max_t,
+             (value <= min_t OR value >= max_t) AS hit,
+             ts AS ev_start, value AS ev_open, value AS ev_high,
+             value AS ev_low, CAST(1 AS BIGINT) AS ev_n,
+             value AS ref, value AS lo, value AS hi, ts AS start_time,
+             CASE WHEN hit THEN CAST(0 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) END AS n
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT user_id, rn, ts, value,
+             CASE WHEN prev_ref <= 0.1 THEN CAST(0.12 AS DOUBLE)
+                  WHEN prev_ref <= 0.5 THEN CAST(0.08 AS DOUBLE)
+                  WHEN prev_ref <= 2   THEN CAST(0.05 AS DOUBLE)
+                  WHEN prev_ref <= 10  THEN CAST(0.03 AS DOUBLE)
+                  ELSE CAST(0.02 AS DOUBLE) END AS factor,
+             CASE WHEN prev_ref <= 0.5 THEN 1e4
+                  WHEN prev_ref <= 2   THEN 1e3
+                  ELSE 1e2 END AS pw,
+             floor(prev_ref * pw + 0.5) / pw AS p,
+             floor(p * (1 - factor) * pw + 0.5) / pw AS min_t,
+             (p - min_t) + p AS max_t,
+             (value <= min_t OR value >= max_t) AS hit,
+             prev_start AS ev_start, prev_ref AS ev_open,
+             greatest(prev_hi, value) AS ev_high,
+             least(prev_lo, value) AS ev_low,
+             prev_n + 1 AS ev_n,
+             CASE WHEN hit THEN value ELSE prev_ref END AS ref,
+             CASE WHEN hit THEN value ELSE least(prev_lo, value) END AS lo,
+             CASE WHEN hit THEN value ELSE greatest(prev_hi, value) END AS hi,
+             CASE WHEN hit THEN ts ELSE prev_start END AS start_time,
+             CASE WHEN hit THEN CAST(0 AS BIGINT) ELSE prev_n + 1 END AS n
+      FROM (
+        SELECT b.user_id, b.rn, b.ts, b.value,
+               s.ref AS prev_ref, s.lo AS prev_lo, s.hi AS prev_hi,
+               s.start_time AS prev_start, s.n AS prev_n
+        FROM base b JOIN scan s ON b.user_id = s.user_id AND b.rn = s.rn + 1
+      )
+    )
+    SELECT user_id, start_time, end_time, open, high, low, close,
+           (ROUND(pct_raw - sign(pct_raw) * 0.000000001, 6) + 0.0) AS pct_change,
+           n_bars
+    FROM (
+      SELECT user_id, ev_start AS start_time, ts AS end_time,
+             ev_open AS open, ev_high AS high, ev_low AS low, value AS close,
+             (value - ev_open) / ev_open AS pct_raw, ev_n AS n_bars
+      FROM scan WHERE hit
+      UNION ALL
+      SELECT s.user_id, s.start_time, s.ts, s.ref, s.hi, s.lo, s.value,
+             (s.value - s.ref) / s.ref, s.n
+      FROM scan s JOIN mx USING (user_id) WHERE s.rn = mx.mxrn
+    )
+    """,
+)
 def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build_event_df trend/threshold segmentation (my_alpaca.py:19-111):
-    # a stateful per-key scan whose segment boundaries depend on every
-    # previous hit — inherently recursive, so rows-only check. Semantics
-    # are pinned by a pandas differential test (tests/test_domain.py).
+    # a stateful per-key scan run as applyInPandas (operators/events_seg.py),
+    # also pinned by a pandas differential test (tests/test_domain.py).
     from equity_volatility_lakehouse_platform_spark.operators.events_seg import segment_events
 
     ev = load_table(spark, sf_dir, "events")

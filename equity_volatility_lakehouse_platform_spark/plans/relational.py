@@ -1382,19 +1382,70 @@ def j14_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cold.select(*out_cols).unionByName(hot_joined.select(*out_cols))
 
 
-@register("a15_approx_sketches")  # rows-only: sketch estimates are engine-specific
+@register(
+    "a15_approx_sketches",
+    # Sketch estimates are engine-specific, so the oracle checks error
+    # BOUNDS, not values: DuckDB recomputes the exact answers (count,
+    # distinct count, interpolated quantiles) and asserts the flags TRUE.
+    # If a Spark sketch drifts outside its published tolerance the flag
+    # flips FALSE and the value-hash mismatches — a real pass/fail bit.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           (ROUND(quantile_cont(value, 0.5)
+                  - sign(quantile_cont(value, 0.5)) * 0.000000001, 6) + 0.0)
+             AS exact_median_value,
+           (ROUND(quantile_cont(value, 0.99)
+                  - sign(quantile_cont(value, 0.99)) * 0.000000001, 6) + 0.0)
+             AS exact_p99_value,
+           CAST(1 AS INTEGER) AS users_in_bound,
+           CAST(1 AS INTEGER) AS median_in_bound,
+           CAST(1 AS INTEGER) AS p99_in_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch aggregates for 100 TB interactive profiling: HyperLogLog++
-    # distinct counts and streaming t-digest quantiles — constant memory
-    # per group vs exact shuffles. Estimates are engine-specific (no
-    # value-hash oracle); tests/test_domain.py bounds the relative error
-    # against the exact answers.
+    # distinct counts and streaming quantile sketches — constant memory
+    # per group vs exact shuffles. Output couples each sketch to the
+    # exact answer via an in-bound flag: HLL (rsd=0.02) within 5%
+    # relative; quantile sketches (order statistics with rank error
+    # <= 1e-4) bracketed by exact quantiles at +/-1% RANK — a value
+    # bound would be wrong for thin tails, where adjacent order stats
+    # sit far apart. The error is additionally bounded in
+    # tests/test_domain.py.
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
-        F.percentile_approx("value", 0.99, 10000).alias("approx_p99_value"),
+    qs = F.percentile("value", F.array(*[F.lit(p) for p in (0.45, 0.5, 0.55, 0.98, 0.99)]))
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        qs.alias("q"),
+        F.max("value").alias("vmax"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
+    )
+    nudge6 = lambda c: F.round(c - F.signum(c) * F.lit(1e-9), 6)  # noqa: E731
+    bracket = lambda v, lo, hi: ((v >= lo) & (v <= hi)).cast("int")  # noqa: E731
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        nudge6(F.col("q")[1]).alias("exact_median_value"),
+        nudge6(F.col("q")[4]).alias("exact_p99_value"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("users_in_bound"),
+        bracket(F.col("approx_median"), F.col("q")[0], F.col("q")[2]).alias(
+            "median_in_bound"
+        ),
+        bracket(F.col("approx_p99"), F.col("q")[3], F.col("vmax")).alias(
+            "p99_in_bound"
+        ),
     )
 
 

@@ -1,0 +1,223 @@
+"""Minimal ACID table format: snapshot-isolated parquet with a
+Delta-style commit log (SURVEY.md §2.1 S12; reference upsert semantics
+``data_alpaca/bars.py:196-198,424-428`` ON CONFLICT DO NOTHING, Iceberg
+CTAS/overwrite ``processing/Procesamiento_fase_1.ipynb`` cells 9/20).
+
+Delta/Iceberg aren't installable in this container, so this module
+implements the part of their design the engine actually needs — atomic
+commits, snapshot isolation, optimistic concurrency, time travel — as a
+file-system commit protocol over plain parquet:
+
+Layout::
+
+    table_root/
+      _commits/00000000.json     # one manifest per version
+      _commits/00000001.json
+      data/w-<uuid>/part-*.parquet   # immutable; one dir per write job
+
+* A manifest lists the RELATIVE paths of every live data file at that
+  version plus op metadata. Readers resolve the highest committed
+  version and read exactly those files — data written by in-flight or
+  crashed jobs is invisible (snapshot isolation; a crash mid-write
+  leaves only an unreferenced ``data/w-*`` dir).
+* Publishing a commit is atomic create-if-absent: the manifest is fully
+  written + fsynced to a temp name, then ``os.link``-ed to
+  ``_commits/N.json`` — hardlink creation fails if N already exists, so
+  exactly one writer wins each version (the rename-based equivalent of
+  Delta's LogStore ``putIfAbsent``; on an object store this maps to a
+  conditional PUT).
+* Losers of the race retry OPTIMISTICALLY: re-read the new snapshot,
+  recompute their change, attempt version N+1. Orphaned data dirs from
+  lost races stay unreferenced until ``vacuum()``.
+
+Only table METADATA passes through the driver (file lists; O(files) like
+every table format) — data itself moves executor-side via ordinary
+parquet jobs, so the protocol adds no data-path driver work at 100 TB.
+The file-list read (``spark.read.parquet(*files)``) keeps predicate
+pushdown and column pruning intact; at real scale the manifest would
+also carry per-file min/max stats for file skipping (noted, not needed
+at test SF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the target version first."""
+
+
+class AcidTable:
+    """Snapshot-isolated parquet table with an atomic commit log."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA), exist_ok=True)
+
+    # ------------------------------------------------------------- log --
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.root, _COMMITS, f"{version:08d}.json")
+
+    def latest_version(self) -> int | None:
+        """Highest committed version, or None for an empty log. Torn or
+        foreign files (temp names from crashed publishers) are ignored —
+        only fully-linked ``NNNNNNNN.json`` names count as committed."""
+        versions = [
+            int(f[:8])
+            for f in os.listdir(os.path.join(self.root, _COMMITS))
+            if len(f) == 13 and f.endswith(".json") and f[:8].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._commit_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """All committed manifests, oldest first (op metadata audit)."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        return [self._manifest(v) for v in range(latest + 1)]
+
+    def _try_commit(
+        self, version: int, op: str, files: list[str], schema_ddl: str
+    ) -> None:
+        """Atomically publish ``version``; raise CommitConflict if lost."""
+        manifest = {
+            "version": version,
+            "op": op,
+            "files": sorted(files),
+            "schema": schema_ddl,
+            "parent": version - 1 if version else None,
+        }
+        tmp = self._commit_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            # Hardlink = atomic create-if-absent: exactly one writer can
+            # publish each version (POSIX link(2) fails on existing dst).
+            os.link(tmp, self._commit_path(version))
+        except FileExistsError as ex:
+            raise CommitConflict(f"version {version} already committed") from ex
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------ data --
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write a job's files to a fresh immutable dir; return the
+        relative part-file paths (invisible until a commit lists them)."""
+        rel_dir = os.path.join(_DATA, f"w-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.root, rel_dir)
+        df.write.option("compression", "snappy").mode("overwrite").parquet(out)
+        return [
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+
+    # ------------------------------------------------------------ read --
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel via ``version``). Only files listed
+        in that version's manifest are scanned."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        if version is None:
+            version = latest
+        manifest = self._manifest(version)
+        schema = T._parse_datatype_string(manifest["schema"])
+        if not manifest["files"]:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in manifest["files"]]
+        # Explicit schema: skips footer-merging inference over N files.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ---------------------------------------------------------- writes --
+    def overwrite(self, df: DataFrame) -> int:
+        """CTAS / full replace as one atomic commit."""
+        return self._commit_loop("overwrite", df, lambda snap_files: [])
+
+    def append(self, df: DataFrame) -> int:
+        """Atomic append (blind insert; never conflicts logically, only
+        on version numbers — retried)."""
+        return self._commit_loop("append", df, lambda snap_files: snap_files)
+
+    def _commit_loop(self, op, df, keep_fn, max_retries: int = 10) -> int:
+        schema_ddl = df.schema.simpleString()[7:-1]  # strip struct<...>
+        files = self._write_data(df)
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            base = [] if latest is None else self._manifest(latest)["files"]
+            version = 0 if latest is None else latest + 1
+            try:
+                self._try_commit(version, op, keep_fn(base) + files, schema_ddl)
+                return version
+            except CommitConflict:
+                continue  # data files are reusable; only the log moved
+        raise CommitConflict(f"lost {max_retries} commit races on {self.root}")
+
+    def merge_insert_only(
+        self, updates: DataFrame, keys: list[str], max_retries: int = 5
+    ) -> int:
+        """Transactional MERGE ... WHEN NOT MATCHED THEN INSERT (the
+        SQLAlchemy ON CONFLICT DO NOTHING of bars.py:196-198, made
+        atomic): rows whose key exists in the CURRENT snapshot are
+        dropped, survivors become new files, and the commit publishes
+        old+new atomically. On a lost race the anti-join re-runs against
+        the WINNER's snapshot — the recheck that makes concurrent
+        insert-only merges serializable (no duplicate keys, ever)."""
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is None:
+                try:
+                    return self._commit_loop("merge", updates, lambda b: b, 1)
+                except CommitConflict:
+                    continue
+            snapshot = self._manifest(latest)
+            existing_keys = self.read(latest).select(*keys)
+            # Column-pruned existing side; anti-join broadcasts the small
+            # side under AQE — same shape as the non-ACID upsert path.
+            new_rows = updates.join(existing_keys, keys, "left_anti")
+            files = self._write_data(new_rows)
+            try:
+                self._try_commit(
+                    latest + 1,
+                    "merge",
+                    snapshot["files"] + files,
+                    snapshot["schema"],
+                )
+                return latest + 1
+            except CommitConflict:
+                continue  # recompute against the new snapshot
+        raise CommitConflict(f"lost {max_retries} merge races on {self.root}")
+
+    # ------------------------------------------------------- maintenance --
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO commit (crash debris, lost
+        races). Returns the deleted relative paths."""
+        live: set[str] = set()
+        for manifest in self.history():
+            live.update(manifest["files"])
+        deleted = []
+        data_root = os.path.join(self.root, _DATA)
+        for wdir in os.listdir(data_root):
+            for f in os.listdir(os.path.join(data_root, wdir)):
+                rel = os.path.join(_DATA, wdir, f)
+                if f.endswith(".parquet") and rel not in live:
+                    os.unlink(os.path.join(self.root, rel))
+                    deleted.append(rel)
+        return deleted
