@@ -15,19 +15,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
 from equity_volatility_lakehouse_platform_spark.sources.sinks import (
-    upsert_parquet,
     write_partitioned,
 )
 
 
+def _money(col: str):
+    # Explicit 2dp round BEFORE the decimal cast: Spark casts via the
+    # shortest decimal string (HALF_UP) while DuckDB rounds the binary
+    # double, which disagree on e.g. 2.675. Rounding the double first on
+    # BOTH sides makes the cast input exact regardless of the generator.
+    return F.sum(F.round(F.col(col), 2).cast("decimal(18,2)")).cast("double")
+
+
+# DuckDB mirror of _money (see comment above).
+_MONEY_SQL = "CAST(SUM(CAST(ROUND({col}, 2) AS DECIMAL(18,2))) AS DOUBLE)"
+
+
 @register(
     "snk01_partitioned_overwrite_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           {_MONEY_SQL.format(col="value")} AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -44,41 +56,45 @@ def snk01_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> D
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        _money("value").alias("total_value"),
     )
 
 
 @register(
     "snk02_upsert_insert_only",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def snk02_upsert_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S12: ON CONFLICT DO NOTHING (bars.py:196-198). Seed the lake with a
-    # third of the orders, upsert the full table twice; existing keys must
-    # be skipped, so the lake holds each order exactly once.
+    # S12: ON CONFLICT DO NOTHING (bars.py:196-198) as a TRANSACTIONAL
+    # MERGE on the ACID commit log (sources/acid.py): seed the table with
+    # a third of the orders, merge the full table twice; existing keys
+    # are skipped and each batch commits atomically, so the table holds
+    # each order exactly once — and a crash mid-merge would leave the
+    # previous snapshot intact (tests/test_acid.py kill-test).
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk02_") + "/orders_lake"
-    upsert_parquet(spark, orders.filter(F.col("o_orderkey") % 3 == 0), path, ["o_orderkey"])
-    upsert_parquet(spark, orders, path, ["o_orderkey"])
-    upsert_parquet(spark, orders, path, ["o_orderkey"])  # no-op batch
-    back = spark.read.parquet(path)
+    path = tempfile.mkdtemp(prefix="evlp_snk02_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    table.merge_insert_only(orders, ["o_orderkey"])
+    table.merge_insert_only(orders, ["o_orderkey"])  # no-op batch
+    back = table.read()
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        _money("o_totalprice").alias("total_price"),
     )
 
 
 @register(
     "snk03_bucketed_colocated_join",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderkey, o.o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           {_MONEY_SQL.format(col="l.l_extendedprice")} AS total_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_orderstatus
     """,
@@ -112,6 +128,39 @@ def snk03_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            _money("l_extendedprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "snk04_acid_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1 AS version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snk04_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time travel on the ACID commit log: version 0 (the seed) must stay
+    # byte-identical after a later MERGE commits version 1 — immutable
+    # data files + manifest snapshots, the Delta/Iceberg read contract.
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk04_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    table.merge_insert_only(orders, ["o_orderkey"])
+
+    def _agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money("o_totalprice").alias("total_price"),
+        ).select(F.lit(version).alias("version"), "*")
+
+    return _agg(table.read(0), 0).unionByName(_agg(table.read(1), 1))

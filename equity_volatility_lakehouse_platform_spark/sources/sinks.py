@@ -4,8 +4,10 @@ incremental upsert pattern.
 The reference writes per-symbol CSVs with skip-if-exists memoization
 (my_alpaca.py:198-215), Iceberg CTAS/overwritePartitions (fase_1 cells
 9/20), and SQLAlchemy ON CONFLICT DO NOTHING upserts (bars.py:196-198).
-Engine equivalents on plain parquet (Delta MERGE INTO / replaceWhere are
-the drop-in prod upgrades; Delta isn't in this container):
+Engine equivalents on plain parquet; for TRANSACTIONAL semantics
+(atomic MERGE, snapshot isolation, time travel) use
+``sources.acid.AcidTable`` — the commit-log table format this module's
+append-path helpers predate:
 
 * ``write_partitioned`` — symbol/date-partitioned parquet, snappy;
   idempotent dynamic partition overwrite (S7/S9/S10).

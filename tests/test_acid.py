@@ -1,0 +1,130 @@
+"""ACID commit-protocol tests (sources/acid.py): atomicity under crash
+and race, snapshot isolation, exactly-once MERGE, time travel, vacuum.
+
+Reference semantics being made transactional: ON CONFLICT DO NOTHING
+upsert (data_alpaca/bars.py:196-198,424-428) and Iceberg CTAS/overwrite
+(Procesamiento_fase_1.ipynb cells 9/20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable, CommitConflict
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="evlp_acid_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_merge_insert_only_exactly_once(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.merge_insert_only(orders, ["o_orderkey"])
+    t.merge_insert_only(orders, ["o_orderkey"])  # no-op batch
+    back = t.read()
+    assert back.count() == orders.count()
+    assert back.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    # value-level: total price identical to the source
+    a = back.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
+    b = orders.agg(F.round(F.sum("o_totalprice"), 4)).first()[0]
+    assert a == b
+
+
+def test_crash_mid_write_leaves_old_snapshot(spark, orders, root):
+    # Kill between data write and commit publish: the new files exist on
+    # disk but no manifest references them -> readers see the old version.
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    before = t.read().count()
+    t._write_data(orders)  # "crashed" merge: data landed, commit didn't
+    assert t.latest_version() == 0
+    assert t.read().count() == before
+    # ...and the table is still writable afterwards
+    t.merge_insert_only(orders, ["o_orderkey"])
+    assert t.read().count() == orders.count()
+
+
+def test_torn_commit_file_is_invisible(spark, orders, root):
+    # Kill mid-publish: a partially-written temp manifest must never be
+    # taken for a committed version (only fully-linked NNNNNNNN.json are).
+    t = AcidTable(spark, root)
+    t.overwrite(orders.limit(100))
+    torn = os.path.join(root, "_commits", "00000001.json.tmp-deadbeef")
+    with open(torn, "w") as fh:
+        fh.write('{"version": 1, "files": [')  # truncated JSON
+    assert t.latest_version() == 0
+    assert t.read().count() == 100
+
+
+def test_commit_race_retries_and_serializes(spark, orders, root):
+    # Another writer steals the next version between our read and publish;
+    # the merge must retry against the winner's snapshot and still end
+    # with exactly-once keys.
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
+    latest = t.latest_version()
+    m = t._manifest(latest)
+    t._try_commit(latest + 1, "append", m["files"], m["schema"])  # the rival
+    v = t.merge_insert_only(orders, ["o_orderkey"])
+    assert v == latest + 2  # landed after the rival
+    back = t.read()
+    assert back.count() == orders.count()
+    assert back.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+def test_conflict_on_exhausted_retries(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.limit(10))
+    m = t._manifest(0)
+    with pytest.raises(CommitConflict):
+        t._try_commit(0, "overwrite", m["files"], m["schema"])
+
+
+def test_time_travel_and_vacuum(spark, orders, root):
+    t = AcidTable(spark, root)
+    seed_n = orders.filter(F.col("o_orderkey") % 3 == 0).count()
+    t.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.merge_insert_only(orders, ["o_orderkey"])
+    t._write_data(orders.limit(5))  # crash debris
+    assert t.read(0).count() == seed_n
+    assert t.read(1).count() == orders.count()
+    deleted = t.vacuum()
+    assert deleted, "vacuum should collect the unreferenced crash debris"
+    # vacuum removes ONLY unreferenced files: every version still reads
+    assert t.read(0).count() == seed_n
+    assert t.read(1).count() == orders.count()
+
+
+def test_append_and_history(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.limit(50))
+    t.append(orders.limit(20))
+    assert t.read().count() == 70
+    ops = [m["op"] for m in t.history()]
+    assert ops == ["overwrite", "append"]
+    # manifests are self-describing (schema travels with the log)
+    assert "o_orderkey" in t._manifest(0)["schema"]
+
+
+def test_schema_round_trip_empty_table(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.lit(False)))
+    empty = t.read()
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == orders.columns
