@@ -14,6 +14,11 @@ Deviations from the reference, by design:
   engine operator.
 - No split-factor ratio (close_adj/close): the synthetic series has a
   single value column, so factor_ratio == 1 throughout.
+- ``pct_change`` gets a 1e-9 toward-zero nudge before 6dp rounding (the
+  cross-engine oracle-stability device used across the window library);
+  the reference does not round pct_change at all.
+- Band rounding is explicit half-up (``floor(x*pw + 0.5)/pw``), not
+  Python ``round`` — see ``_round_half_up`` for where they can differ.
 
 Scale: the scan is inherently sequential *within* a key (every reset
 depends on the previous hit), so it runs as applyInPandas — one Arrow
@@ -24,6 +29,8 @@ feature library already has).
 """
 
 from __future__ import annotations
+
+import math
 
 import pandas as pd
 
@@ -43,16 +50,21 @@ def _round_half_up(x: float, pw: float) -> float:
     Used instead of Python's ``round`` so the SQL oracle can reproduce the
     band BIT-FOR-BIT (``FLOOR(x*pw + 0.5)/pw`` evaluates the identical
     IEEE-754 sequence in any engine); Python's banker's rounding has no
-    portable SQL equivalent on exact binary ties. Differs from the
-    reference's ``round`` only on those ties — measure-zero in practice.
+    portable SQL equivalent. The two can disagree not only on exact
+    binary ties but whenever rounding error in the ``x*pw`` product
+    pushes the result across the .5 boundary — rare on 2dp-ish prices
+    but not measure-zero; the explicit form is the engine's defined
+    semantics, applied identically on both comparison sides.
     """
-    import math
-
     return math.floor(x * pw + 0.5) / pw
 
 
 def min_max_target(price: float) -> tuple[float, float]:
-    """Tiered dynamic target band (mirrors my_helper.py:2-24)."""
+    """Tiered dynamic target band (mirrors my_helper.py:2-24, including
+    its ValueError on non-positive prices — a zero/negative reference
+    price would otherwise produce inf/NaN pct_change downstream)."""
+    if price <= 0:
+        raise ValueError(f"price must be positive, got {price}")
     if price <= 0.1:
         factor, pw = 0.12, 1e4
     elif price <= 0.5:

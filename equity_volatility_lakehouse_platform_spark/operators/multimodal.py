@@ -3,11 +3,14 @@ binary columns with typed metadata).
 
 The Spark-side machinery is real and tested — binary payload columns,
 metadata extraction, Arrow-batched ``mapInPandas`` decode with an explicit
-output schema and batch-preserving iteration. The *codec* itself is a
-clearly-marked deterministic stub (no image/audio libraries in this
-container): it derives fake width/height/features from the payload bytes
-so tests are reproducible. Swapping in a real decoder changes only
-``_decode_payload``.
+output schema and batch-preserving iteration. The *codec* probes for PIL
+at import and uses it when present (real width/height/mean for decodable
+image payloads); otherwise — and for payloads PIL can't parse — it falls
+back to a clearly-marked deterministic stub that derives fake
+width/height/features from the payload bytes so tests are reproducible.
+This container ships no media libraries, so the stub path is the one the
+driver exercises; environments with Pillow get the real decode with no
+code change.
 
 Scale: decode is a map-only stage (no shuffle); Arrow batches amortize
 the Python boundary; binary columns stay opaque to the optimizer so
@@ -49,17 +52,43 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, float]:
-    """STUB codec — deterministic fake decode (no media libs available).
+try:  # import-probe: real codec when the environment provides it
+    from PIL import Image as _PILImage  # type: ignore
 
-    A real implementation would e.g. ``PIL.Image.open(io.BytesIO(payload))``;
-    here width/height/mean come from the byte content so results are stable.
+    _HAVE_PIL = True
+except ImportError:  # this container: no media libs — stub path active
+    _PILImage = None
+    _HAVE_PIL = False
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, float, str]:
+    """Codec: PIL when available AND the payload parses as an image;
+    deterministic stub otherwise. Returns (width, height, mean, decoder).
+
+    The stub derives fake width/height/mean from the byte content so
+    results are stable and testable without media libraries. The PIL
+    branch is the real decode (grayscale mean over the actual pixels) —
+    tests/test_domain.py covers it when Pillow is installed, with a
+    deterministic synthetic PNG oracle.
     """
+    if _HAVE_PIL:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                gray = img.convert("L")
+                width, height = gray.size
+                hist = gray.histogram()
+                total = sum(i * c for i, c in enumerate(hist))
+                npx = max(width * height, 1)
+                return width, height, (total / npx) / 255.0, "pil"
+        except Exception:  # noqa: BLE001 — not an image: fall through to stub
+            pass
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
     mean_intensity = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
-    return width, height, mean_intensity
+    return width, height, mean_intensity, "stub-v1"
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -76,7 +105,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "mean_intensity": [d[2] for d in decoded],
-                    "decoder": "stub-v1",
+                    "decoder": [d[3] for d in decoded],
                 }
             )
 

@@ -94,6 +94,23 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.minhash_signature(docs)
 
 
+def signature_table(
+    spark: SparkSession, sf_dir: str, sig_path: str | None = None
+) -> DataFrame:
+    """Signature frame for the LSH consumers (d03/d07).
+
+    Default: recompute from documents and cache — fine at test SF. The
+    100 TB shape is ``sig_path``: signatures MATERIALIZED once per corpus
+    snapshot (e.g. via ``sources.sinks.write_partitioned``) and scanned
+    from parquet by every downstream job — no recompute, no cache memory,
+    and the band explode reads a column-pruned table scan.
+    tests/test_plans.py asserts path-scan-replaces-recompute.
+    """
+    if sig_path is not None:
+        return spark.read.parquet(sig_path)
+    return d02_minhash_signatures(spark, sf_dir).cache()
+
+
 @register(
     "d03_minhash_lsh_pairs",
     oracle=_SIG_SQL + """
@@ -117,15 +134,18 @@ def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN sig sb ON c.doc_b = sb.doc_id
     """,
 )
-def d03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d03_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sig_path: str | None = None
+) -> DataFrame:
     # LSH banding: 4 bands x 2 rows; docs colliding on any band become
     # candidate pairs, scored by signature agreement. The candidate join is
     # an equi-join on (band, x, y) — linear in collisions, not O(n^2).
-    # Physical shape: signatures are computed ONCE (cached — at scale they'd
-    # be a materialized table) and carried through the band explode, so the
-    # pair join immediately yields both sides' signatures; duplicate pairs
-    # from multiple colliding bands dedupe in the final groupBy.
-    sig = d02_minhash_signatures(spark, sf_dir).cache()
+    # Physical shape: signatures are computed ONCE (cached by default, or
+    # scanned from a materialized table via ``sig_path`` — the 100 TB
+    # shape) and carried through the band explode, so the pair join
+    # immediately yields both sides' signatures; duplicate pairs from
+    # multiple colliding bands dedupe in the final groupBy.
+    sig = signature_table(spark, sf_dir, sig_path)
     band_structs = F.array(
         *[
             F.struct(
@@ -344,7 +364,9 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY id
     """,
 )
-def d07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d07_duplicate_clusters(
+    spark: SparkSession, sf_dir: str, sig_path: str | None = None
+) -> DataFrame:
     # The practical dedup output: duplicate CLUSTERS, not just pairs.
     # LSH candidate pairs scoring est_jaccard >= 0.5 become edges; an
     # iterative min-label propagation (operators.graph) finds connected
@@ -356,6 +378,8 @@ def d07_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = d03_minhash_lsh_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir, sig_path).filter(
+        F.col("est_jaccard") >= 0.5
+    )
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("id").alias("doc_id"), "cluster_id")

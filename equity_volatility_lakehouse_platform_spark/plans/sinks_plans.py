@@ -164,3 +164,40 @@ def snk04_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(version).alias("version"), "*")
 
     return _agg(table.read(0), 0).unionByName(_agg(table.read(1), 1))
+
+
+@register(
+    "snk05_acid_delete_update",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice + 1.0")} AS total_price
+    FROM orders WHERE o_orderstatus <> 'F' AND o_orderstatus = 'O'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderstatus <> 'F' AND o_orderstatus <> 'O'
+    GROUP BY o_orderstatus
+    """,
+)
+def snk05_acid_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transactional DELETE + UPDATE (docx UPDATE/DELETE parity) as
+    # copy-on-write commits: delete the 'F' orders, then bump every 'O'
+    # order's price by 1.00 — each an atomic version; files without
+    # matches carry over by reference (tests/test_acid.py asserts the
+    # minimal-rewrite property).
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk05_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders)
+    table.delete_where(F.col("o_orderstatus") == "F")
+    table.update_where(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+    )
+    return table.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money("o_totalprice").alias("total_price"),
+    )

@@ -63,6 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with a non-UTC timezone would skew every tz-naive timestamp comparison
     (year/hour/date_trunc vs DuckDB). Both confs are runtime-settable, so we
     assert them here — at the read site — rather than trusting the session.
+
+    DOCUMENTED SIDE EFFECT: this mutates the caller's session config
+    (UTC timezone + nanosAsLong) for the rest of the session — the
+    engine's contract is UTC wall-clock semantics everywhere, and the
+    driver's bare session depends on the overwrite. A co-resident
+    workload needing a different session timezone must scope its own
+    conf around its reads; the engine never restores a previous value.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if _nano_ts_columns(path):

@@ -21,11 +21,54 @@ sink; the transformation graph is unchanged.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _run_stream_scoped(
+    spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str
+) -> DataFrame:
+    """Run a file-source streaming query to a memory sink with EVERY temp
+    artifact scoped to the call: one temp root holds the source symlink
+    dir (the file source requires a directory; a real deployment streams
+    a landing dir) and the checkpoint, and both are deleted — along with
+    the memory-sink view — once the result is snapshotted off the sink
+    via an eager localCheckpoint. Repeated invocations therefore leave no
+    dirs, checkpoints, or temp views behind (tests/test_domain.py
+    asserts this)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
+    tmp_root = tempfile.mkdtemp(prefix=prefix)
+    src_dir = os.path.join(tmp_root, "src")
+    os.makedirs(src_dir)
+    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    try:
+        query = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # Detach the result from the sink (executor-side materialization,
+        # no driver collect) so the sink view can be dropped immediately.
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
 
 def tumbling_agg(df: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -49,30 +92,11 @@ def run_tumbling_stream(
 ) -> DataFrame:
     """Execute the streaming variant end-to-end: readStream (file source,
     nanos repaired) -> watermark -> tumbling agg -> memory sink; returns
-    the final result as a batch DataFrame."""
-    path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
-    # The file source requires a directory; expose the single parquet file
-    # through a temp dir symlink (a real deployment streams a landing dir).
-    stream_dir = tempfile.mkdtemp(prefix="evstream_src_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    the final result as a batch DataFrame. Temp dirs, checkpoint, and the
+    sink view are scoped to the call (_run_stream_scoped)."""
+    return _run_stream_scoped(
+        spark, sf_dir, lambda s: tumbling_agg(s, window), "evstream_", "complete"
     )
-    name = f"evstream_{uuid.uuid4().hex[:8]}"
-    query = (
-        tumbling_agg(stream, window)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
 
 
 def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,16 +111,6 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
-    stream_dir = tempfile.mkdtemp(prefix="evstate_src_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-
     def update_totals(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
@@ -107,26 +121,19 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             [{"user_id": key[0], "n_events": n, "total_value": total}]
         )
 
-    snapshots = stream.groupBy("user_id").applyInPandasWithState(
-        update_totals,
-        outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total double",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    name = f"evstate_{uuid.uuid4().hex[:8]}"
-    query = (
-        snapshots.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    def build(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    snapshots = _run_stream_scoped(spark, sf_dir, build, "evstate_", "update")
     latest = F.max_by(F.struct("n_events", "total_value"), "n_events")
     return (
-        spark.table(name)
+        snapshots
         .groupBy("user_id")
         .agg(latest.alias("s"))
         .select(

@@ -39,14 +39,30 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-    sort_cols = list(df.columns)
+    # Sort on BIT-canonical keys: float columns sort by their uint64 view
+    # (after NaN canonicalization), not their numeric value. A numeric
+    # sort treats -0.0 == +0.0, so rows tying on every key but differing
+    # in sign bits would align arbitrarily (order-dependent pass/fail
+    # under the bit-exact compare below); the bit key gives both engines
+    # the identical total order. Any deterministic order works — the key
+    # need not be numerically meaningful.
+    keys = {}
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            v = df[c].to_numpy(dtype="float64").copy()
+            v[np.isnan(v)] = np.nan  # canonical NaN payload
+            keys[c] = pd.Series(v.view(np.uint64), index=df.index)
+        else:
+            keys[c] = df[c]
+    kdf = pd.DataFrame(keys, index=df.index)
+    sort_cols = list(kdf.columns)
     try:
-        df = df.sort_values(sort_cols, kind="mergesort", na_position="last")
+        order = kdf.sort_values(sort_cols, kind="mergesort", na_position="last").index
     except TypeError:
-        df = df.sort_values(
+        order = kdf.sort_values(
             sort_cols, kind="mergesort", na_position="last", key=lambda s: s.map(str)
-        )
-    return df.reset_index(drop=True)
+        ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare_frames(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str, rtol=0.0):

@@ -128,3 +128,72 @@ def test_schema_round_trip_empty_table(spark, orders, root):
     empty = t.read()
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == orders.columns
+
+
+def _status_pure_table(spark, orders, root) -> AcidTable:
+    # One commit per status -> files are status-pure by construction, so
+    # the minimal-rewrite property is observable (a single repartition
+    # can be AQE-coalesced into one mixed file).
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter("o_orderstatus = 'F'"))
+    t.append(orders.filter("o_orderstatus = 'O'"))
+    t.append(orders.filter("o_orderstatus = 'P'"))
+    return t
+
+
+def test_delete_where_copy_on_write(spark, orders, root):
+    t = _status_pure_table(spark, orders, root)
+    pre = t.latest_version()
+    pre_files = set(t._manifest(pre)["files"])
+    v = t.delete_where(F.col("o_orderstatus") == "F")
+    back = t.read()
+    assert back.filter("o_orderstatus = 'F'").count() == 0
+    assert back.count() == orders.filter("o_orderstatus <> 'F'").count()
+    # files without matches (the O and P files) carried over by reference
+    carried = set(t._manifest(v)["files"]) & pre_files
+    assert carried, "files without matches must not be rewritten"
+    # pre-DML snapshot still time-travels
+    assert t.read(pre).count() == orders.count()
+
+
+def test_update_where_copy_on_write(spark, orders, root):
+    t = _status_pure_table(spark, orders, root)
+    n_o = orders.filter("o_orderstatus = 'O'").count()
+    t.update_where(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+    )
+    back = t.read()
+    assert back.count() == orders.count()  # UPDATE never changes cardinality
+    # matching rows: exact per-row multiset after the assignment
+    got_o = back.filter("o_orderstatus = 'O'")
+    exp_o = orders.filter("o_orderstatus = 'O'").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    assert got_o.exceptAll(exp_o).count() == 0
+    assert exp_o.exceptAll(got_o).count() == 0
+    assert got_o.count() == n_o
+    # non-matching rows: byte-identical multiset (untouched by the rewrite)
+    got_rest = back.filter("o_orderstatus <> 'O'")
+    exp_rest = orders.filter("o_orderstatus <> 'O'")
+    assert got_rest.exceptAll(exp_rest).count() == 0
+    assert exp_rest.exceptAll(got_rest).count() == 0
+
+
+def test_affected_files_probe_pushes_down(spark, orders, root):
+    # The copy-on-write probe must read ONLY the predicate column with the
+    # filter pushed to the parquet scan — at scale this is a one-column,
+    # row-group-skipping pass over the table, not a full read.
+    import re
+
+    t = AcidTable(spark, root)
+    t.overwrite(orders)
+    probe = t._probe(t._manifest(0), F.col("o_orderstatus") == "F")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = probe._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(o_orderstatus,F)" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "o_orderstatus:string", m.group(1) if m else plan

@@ -188,10 +188,32 @@ def test_multimodal_decode_stub(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
     out = decode_media(attach_binary_payload(docs)).orderBy("doc_id").collect()
     for row, text in zip(out, ["hello world", "abc"]):
-        w, h, m = _decode_payload(text.encode())
+        w, h, m, dec = _decode_payload(text.encode())
+        assert dec == "stub-v1"  # text payloads always take the stub path
         assert (row.width, row.height) == (w, h)
         assert abs(row.mean_intensity - m) < 1e-12
         assert row.payload_bytes == len(text.encode())
+
+
+def test_multimodal_decode_real_codec_when_available():
+    # Import-probe contract: with Pillow installed, a decodable image
+    # payload takes the real codec (exact dims, exact grayscale mean);
+    # everything else still falls back to the stub. Skips where the
+    # container has no media libs (the stub test above covers that path).
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import _HAVE_PIL
+
+    if not _HAVE_PIL:
+        pytest.skip("Pillow not installed; stub codec path is in effect")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (20, 10), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, m, dec = _decode_payload(buf.getvalue())
+    assert (w, h, dec) == (20, 10, "pil")
+    assert abs(m - 128 / 255.0) < 1e-12
 
 
 def test_event_segmentation_matches_pandas(spark, sf_dir):
@@ -382,3 +404,32 @@ def test_daily_ohlcv_matches_pandas(spark, bars):
         assert (got[col] - exp[col]).abs().max() < 1e-9, col
     assert got["volume"].tolist() == exp["volume"].tolist()
     assert got["timestamp"].tolist() == exp["day"].tolist()
+
+
+def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
+    # st03/st04 hygiene: every invocation must clean up its source symlink
+    # dir, checkpoint, and memory-sink view (a long-lived session calling
+    # the streaming queries repeatedly must not accumulate anything).
+    import tempfile as tf
+
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stateful_totals_stream,
+        run_tumbling_stream,
+    )
+
+    def temp_dirs():
+        root = tf.gettempdir()
+        return {
+            d for d in os.listdir(root)
+            if d.startswith(("evstream_", "evstate_"))
+        }
+
+    before_dirs = temp_dirs()
+    before_views = {t.name for t in spark.catalog.listTables()}
+    n1 = run_tumbling_stream(spark, sf_dir).count()
+    n2 = run_stateful_totals_stream(spark, sf_dir).count()
+    assert n1 > 0 and n2 > 0
+    assert temp_dirs() == before_dirs, "streaming run leaked temp dirs"
+    assert {t.name for t in spark.catalog.listTables()} == before_views, (
+        "streaming run leaked memory-sink views"
+    )

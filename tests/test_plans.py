@@ -91,11 +91,39 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
     assert _exchanges(plan) == 0, "bucketed join should not shuffle"
 
 
+def test_lsh_reads_persisted_signatures_when_given(spark, sf_dir, tmp_path):
+    # d03/d07 sig_path: a materialized signature table must REPLACE the
+    # recompute — the plan scans the signature parquet and never touches
+    # documents (no re-shingling) — and yield the identical result.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d02_minhash_signatures,
+        d03_minhash_lsh_pairs,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import write_partitioned
+
+    sig_path = str(tmp_path / "signatures")
+    write_partitioned(d02_minhash_signatures(spark, sf_dir), sig_path, [])
+
+    from_table = d03_minhash_lsh_pairs(spark, sf_dir, sig_path=sig_path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = from_table._jdf.queryExecution().explainString(mode)
+    assert "signatures" in plan, "plan must scan the materialized signature table"
+    assert "documents" not in plan, "sig_path plan must not rescan documents"
+    assert "md5" not in plan, "sig_path plan must not recompute hashes"
+
+    recomputed = QS["d03_minhash_lsh_pairs"](spark, sf_dir)
+    assert sorted(map(tuple, from_table.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    ), "persisted-signature path must be result-identical"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     side_effectful = {
         "snk01_partitioned_overwrite_roundtrip",
         "snk02_upsert_insert_only",
         "snk03_bucketed_colocated_join",  # writes bucketed tables eagerly
+        "snk04_acid_time_travel",  # commits an ACID table eagerly
+        "snk05_acid_delete_update",  # commits an ACID table eagerly
         "st03_streaming_tumbling",
         "st04_stateful_running_totals",
         "d07_duplicate_clusters",  # iterative: builds eagerly

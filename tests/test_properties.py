@@ -135,3 +135,56 @@ def test_segmentation_partitions_the_series(spark, rows):
         assert (g["start_time"].iloc[1:].values >= g["end_time"].iloc[:-1].values).all()
     ok = (seg["pct_change"] - (seg["close"] / seg["open"] - 1)).abs() < 1e-6
     assert ok.all()
+
+
+def test_gold_path_absorbs_key_skew(spark):
+    # f20 skew resilience: one user holding 50% of the raw events must not
+    # blow up the gold pipeline, because the daily groupBy(user_id, day)
+    # partially aggregates map-side (the hot user's rows spread over its
+    # days before any window sort sees them) and the window then runs on
+    # the small daily grain. Property: skewed wall-clock stays within a
+    # constant factor of uniform at equal row count — i.e. runtime tracks
+    # TOTAL rows, not the hottest key.
+    import time
+
+    from equity_volatility_lakehouse_platform_spark.functions.features import gold_matrix
+    from equity_volatility_lakehouse_platform_spark.operators.daily import daily_bars
+
+    n_rows, n_users, n_days = 240_000, 100, 250
+
+    def events(skewed: bool):
+        user = (
+            # half the rows pinned to user 0, rest uniform over 1..99
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(n_users - 1)) + 1
+            )
+            if skewed
+            else F.pmod(F.xxhash64("id"), F.lit(n_users))
+        )
+        sec_of_day = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(86_400))
+        day = F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_days))
+        return spark.range(n_rows).select(
+            F.col("id").alias("event_id"),
+            user.cast("long").alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200) + day * 86_400 + sec_of_day
+            ).alias("ts"),
+            (F.round(F.pmod(F.xxhash64("id", F.lit(13)), F.lit(9_000)) / 100, 2) + 1.0
+             ).alias("value"),
+        )
+
+    def run(skewed: bool) -> float:
+        df = gold_matrix(daily_bars(events(skewed)))
+        t0 = time.perf_counter()
+        assert df.count() > 0
+        return time.perf_counter() - t0
+
+    run(False)  # warm the JIT/codegen once; first run pays compile cost
+    uniform = min(run(False), run(False))
+    skewed = min(run(True), run(True))
+    # Generous constant: catches accidental O(hot-key^2) or single-task
+    # serialization regressions, not scheduler noise.
+    assert skewed <= max(3.0 * uniform, uniform + 2.0), (
+        f"skewed gold run {skewed:.2f}s vs uniform {uniform:.2f}s — "
+        "hot key is no longer absorbed by the daily pre-aggregation"
+    )
