@@ -271,6 +271,57 @@ class AcidTable:
                 continue  # recompute the affected set against the winner
         raise CommitConflict(f"lost {max_retries} {op} races on {self.root}")
 
+    def overwrite_partitions(self, df: DataFrame, partition_cols: list[str]) -> int:
+        """Transactional dynamic partition overwrite (Iceberg
+        ``overwritePartitions``, fase_1 cell 20): atomically replace
+        exactly the logical partitions PRESENT in ``df``. Partition
+        columns stay ordinary data columns; the partition list (small by
+        definition of a partition key) drives a copy-on-write pass that
+        drops the incoming partitions' old rows and lands the new files
+        in the SAME commit — readers see the old or new partitions, never
+        a mix, and prior versions time-travel."""
+        tuples = [tuple(r) for r in df.select(*partition_cols).distinct().collect()]
+        if not tuples:
+            raise ValueError("overwrite_partitions: input has no rows")
+        if len(partition_cols) == 1:
+            # single key: IN-list, pushed to the parquet scan as In(...)
+            cond = F.col(partition_cols[0]).isin([t[0] for t in tuples])
+        else:
+            # OR of per-tuple AND chains — parquet-pushable; the tuple
+            # count is bounded by partition cardinality by definition
+            cond = None
+            for t in tuples:
+                clause = None
+                for c, v in zip(partition_cols, t):
+                    eq = F.col(c) == F.lit(v)
+                    clause = eq if clause is None else (clause & eq)
+                cond = clause if cond is None else (cond | clause)
+        new_files = self._write_data(df)
+        for _ in range(5):
+            latest = self.latest_version()
+            if latest is None:
+                raise FileNotFoundError(f"no committed version in {self.root}")
+            manifest = self._manifest(latest)
+            affected = self._affected_files(manifest, cond)
+            kept = [f for f in manifest["files"] if f not in affected]
+            rewritten: list[str] = []
+            if affected:
+                schema = T._parse_datatype_string(manifest["schema"])
+                paths = [os.path.join(self.root, f) for f in sorted(affected)]
+                survivors = self.spark.read.schema(schema).parquet(*paths).filter(~cond)
+                rewritten = self._write_data(survivors)
+            try:
+                self._try_commit(
+                    latest + 1,
+                    "overwrite_partitions",
+                    kept + rewritten + new_files,
+                    manifest["schema"],
+                )
+                return latest + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost 5 overwrite_partitions races on {self.root}")
+
     def delete_where(self, condition: Column) -> int:
         """Transactional DELETE (docx UPDATE/DELETE parity): copy-on-write
         at file granularity — untouched files carry over by reference,
