@@ -354,7 +354,7 @@ def f18_market_path_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE base AS (
       SELECT user_id, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value > 0
     ), mx AS (
       SELECT user_id, max(rn) AS mxrn FROM base GROUP BY user_id
     ), scan AS (
@@ -426,9 +426,13 @@ def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build_event_df trend/threshold segmentation (my_alpaca.py:19-111):
     # a stateful per-key scan run as applyInPandas (operators/events_seg.py),
     # also pinned by a pandas differential test (tests/test_domain.py).
+    # Non-positive prices are gated out FIRST (mirrored in the oracle):
+    # the reference's band function raises ValueError on price <= 0
+    # (my_helper.py), i.e. such rows are invalid input by the reference's
+    # own contract — the larger test SFs contain a handful of them.
     from equity_volatility_lakehouse_platform_spark.operators.events_seg import segment_events
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return segment_events(ev)
 
 

@@ -30,7 +30,30 @@ def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_binary_payload(docs).drop("payload")
 
 
-@register("mm02_decode_stub")  # rows-only: decode itself is a stubbed codec
+@register(
+    "mm02_decode_stub",
+    # The stub codec is deterministic byte arithmetic, so it IS
+    # SQL-expressible: DuckDB recomputes width/height from the payload
+    # length and mean_intensity as the exact first-256-byte sum (the
+    # corpus is ASCII, so per-char codepoints equal utf-8 bytes; both
+    # engines then run the identical int-division-free double ops).
+    # This oracles the whole mapInPandas plumbing — batch iteration,
+    # schema, byte lengths — not just "it ran". A real-codec payload
+    # (PIL path) would be rows-only again; text payloads always stub.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+           (CAST(COALESCE(list_sum(list_transform(
+                    generate_series(1, least(octet_length(encode(text)), 256)),
+                    i -> ascii(text[i]))), 0) AS DOUBLE)
+            / greatest(least(octet_length(encode(text)), 256), 1)) / 255.0
+             AS mean_intensity,
+           'stub-v1' AS decoder
+    FROM documents
+    """,
+)
 def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-batched mapInPandas decode over the binary column; deterministic
     # fake codec (see operators/multimodal.py) — plumbing is real and the
