@@ -133,3 +133,62 @@ def ml04_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("value", "m"), 6).alias("value_imputed"),
         F.col("value").isNull().cast("int").alias("was_imputed"),
     )
+
+
+# Per-stratum sampling rates for ml05 (lang -> keep probability), applied
+# as integer thresholds on a 32-bit salted-md5 uniform so BOTH engines
+# evaluate the identical keep/drop decision per row — reproducible,
+# seedable (the salt), and cluster-deterministic (no RNG, no partition
+# order dependence), which random sample()/TABLESAMPLE cannot promise.
+_ML05_RATES = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.1}
+_ML05_SALT = "s1"
+_ML05_THRESHOLDS = {k: int(v * 2**32) for k, v in _ML05_RATES.items()}
+
+
+@register(
+    "ml05_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM (
+      SELECT lang, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_ML05_SALT}'), 1, 8))
+                  AS BIGINT) AS u32
+      FROM documents
+    )
+    WHERE u32 < CASE lang
+        {" ".join(f"WHEN '{k}' THEN {t}" for k, t in _ML05_THRESHOLDS.items())}
+        ELSE 0 END
+    GROUP BY lang
+    """,
+)
+def ml05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stratified corpus sampling (training-data curation): keep each doc
+    # iff its salted-md5 32-bit uniform falls under the stratum's
+    # threshold. Map-only (no shuffle for the decision), exactly
+    # reproducible across engines/cluster layouts, rerunnable with a new
+    # salt for a fresh draw. Summarized per stratum with a doc_id sum so
+    # the oracle pins the exact membership, not just the counts.
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_ML05_SALT}"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    threshold = F.create_map(
+        *[F.lit(x) for kv in _ML05_THRESHOLDS.items() for x in kv]
+    )[F.col("lang")]
+    return (
+        docs.select("lang", "doc_id", u32.alias("u32"))
+        .filter(F.col("u32") < F.coalesce(threshold, F.lit(0)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+    )

@@ -31,16 +31,26 @@ def _r6(col):
 
 @register(
     "q1_pricing_summary",
+    # Money aggregates accumulate in EXACT DECIMAL on both engines (the
+    # inputs are 2dp; the discount/tax products are <= 6dp), converting
+    # to double only at the end: a double SUM over ~millions of rows is
+    # summation-order-dependent, and at 4e9 magnitude the double spacing
+    # IS the 6th decimal — a 1-ulp drift flips the rounded value (seen
+    # at sf0.1). Averages divide the exact decimal sum by the count so
+    # both engines run one identical double division.
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(count(*) AS BIGINT)                                   AS n_rows,
-           (ROUND(SUM(l_quantity), 6) + 0.0)                                  AS sum_qty,
-           (ROUND(SUM(l_extendedprice), 6) + 0.0)                             AS sum_base_price,
-           (ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0)          AS sum_disc_price,
-           (ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) + 0.0) AS sum_charge,
-           (ROUND(AVG(l_quantity), 6) + 0.0)                                  AS avg_qty,
-           (ROUND(AVG(l_extendedprice), 6) + 0.0)                             AS avg_price,
-           (ROUND(AVG(l_discount), 6) + 0.0)                                  AS avg_disc
+           CAST(count(*) AS BIGINT) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(8,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(13,4))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+           (ROUND(SUM(l_quantity) / count(*), 6) + 0.0) AS avg_qty,
+           (ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) + 0.0) AS avg_price,
+           (ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) + 0.0) AS avg_disc
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -48,27 +58,45 @@ def _r6(col):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Money-sum strategy, exact at ANY scale and engine-identical:
+    # * quantities are small integers — a double SUM of exact integers
+    #   stays exact (far below 2^53), so no conversion at all;
+    # * plain money sums accumulate BIGINT cents (round(x*100) is
+    #   engine-identical on 2dp inputs; the final /100.0 divides an
+    #   exactly-representable integer — one correctly-rounded op);
+    # * the discount/tax PRODUCT sums are the one place integer cents
+    #   would overflow a per-row long at 1e4 scale, so they accumulate
+    #   exact DECIMAL, precision-tuned to Spark's Long-backed fast path
+    #   ((8,2)x(4,2)->(13,4); lossless down-cast keeps the second
+    #   multiply at (18,6) rather than (22,6)'s Int128 slow path), and
+    #   round to 2dp (money grain) BEFORE the double cast so the int128
+    #   -> double conversion is exact on both engines.
+    # A plain double SUM is summation-order-dependent: at 4e9 magnitude
+    # the double spacing IS the 6th decimal (1-ulp flips seen at sf0.1),
+    # and at cluster scale it isn't even run-to-run deterministic.
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    price8 = F.col("l_extendedprice").cast("decimal(8,2)")
+    disc_f = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax_f = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-            _r6(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                )
-            ).alias("sum_charge"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            n.alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            F.round(F.sum(price8 * disc_f), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum((price8 * disc_f).cast("decimal(13,4)") * tax_f), 2
+            ).cast("double").alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(F.sum(cents("l_extendedprice")) / 100.0 / n, 6).alias("avg_price"),
+            F.round(F.sum(cents("l_discount")) / 100.0 / n, 6).alias("avg_disc"),
         )
     )
 
 
-# ---------------------------------------------------------------------------
 # §2.2 Projections / filters / predicates
 # ---------------------------------------------------------------------------
 

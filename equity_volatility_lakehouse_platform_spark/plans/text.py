@@ -186,3 +186,88 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", tx.fingerprint(tx.tokens(F.col("text"))).alias("fingerprint")
     )
+
+
+@register(
+    "t05_contamination_screen",
+    # Benchmark-contamination screening (training-data hygiene): which
+    # corpus docs share 3-gram shingles with a held-out benchmark set
+    # (deterministic pseudo-benchmark: doc_id % 97 == 0). The flag
+    # compares integers (2*overlap >= total) so no float boundary can
+    # split the engines.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), bench AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, s FROM ex WHERE doc_id % 97 <> 0
+    ), tot AS (
+      SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shingles
+      FROM corpus GROUP BY doc_id
+    ), hit AS (
+      SELECT c.doc_id, CAST(count(DISTINCT c.s) AS BIGINT) AS n_overlap
+      FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(h.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+           (ROUND(COALESCE(h.n_overlap, 0) * 1.0 / t.n_shingles
+                  - sign(COALESCE(h.n_overlap, 0)) * 0.000000001, 6) + 0.0)
+             AS overlap_ratio,
+           CAST(COALESCE(h.n_overlap, 0) * 2 >= t.n_shingles AS INTEGER)
+             AS contaminated
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def t05_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shingle-overlap contamination screen: explode 3-gram shingles on
+    # both sides, equi-join corpus shingles against the (broadcast,
+    # distinct) benchmark shingle set — linear in collisions, never
+    # doc x doc. The same shape screens a 100 TB corpus against a fixed
+    # eval suite: the benchmark side stays tiny and broadcast while the
+    # corpus side is a map + one aggregation.
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.filter(F.size(tx.tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.explode(tx.shingles(tx.tokens(F.col("text")))).alias("s"),
+        )
+    )
+    bench = F.broadcast(
+        ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    corpus = ex.filter(F.col("doc_id") % 97 != 0)
+    tot = corpus.groupBy("doc_id").agg(
+        F.count_distinct(F.col("s")).alias("n_shingles")
+    )
+    hit = (
+        corpus.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("s")).alias("n_overlap"))
+    )
+    joined = tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap") * 1.0 / F.col("n_shingles")
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(ratio - F.signum(F.col("n_overlap")) * F.lit(1e-9), 6).alias(
+            "overlap_ratio"
+        ),
+        (F.col("n_overlap") * 2 >= F.col("n_shingles")).cast("int").alias(
+            "contaminated"
+        ),
+    )

@@ -348,6 +348,24 @@ class AcidTable:
         return self._rewrite("update", condition, transform)
 
     # ------------------------------------------------------- maintenance --
+    def compact(self, target_files: int = 1) -> int:
+        """OPTIMIZE / bin-packing compaction: rewrite the current
+        snapshot's many small files into ``target_files`` larger ones as
+        a new commit. Row-identical by construction (one coalesced pass,
+        no shuffle); prior versions still reference the old files until
+        ``vacuum()`` after they expire. The small-files problem is the
+        classic failure mode of frequent small MERGEs at scale."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        manifest = self._manifest(latest)
+        files = self._write_data(self.read(latest).coalesce(target_files))
+        # No blind retry here: compacting a STALE snapshot would drop a
+        # concurrent writer's rows. On conflict the caller re-invokes
+        # against the new latest (CommitConflict propagates).
+        self._try_commit(latest + 1, "compact", files, manifest["schema"])
+        return latest + 1
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO commit (crash debris, lost
         races). Returns the deleted relative paths."""

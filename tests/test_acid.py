@@ -251,3 +251,26 @@ def test_incremental_sync_loop_on_acid(spark, sf_dir, root):
     back = t.read()
     assert back.count() == ev.count()
     assert back.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_compact_is_row_identical_and_shrinks_files(spark, orders, root):
+    # OPTIMIZE parity: many small files (one per append) -> one file,
+    # same rows, prior versions untouched until vacuum.
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter("o_orderkey % 4 = 0"))
+    for k in (1, 2, 3):
+        t.append(orders.filter(f"o_orderkey % 4 = {k}"))
+    pre = t.latest_version()
+    n_files_before = len(t._manifest(pre)["files"])
+    v = t.compact()
+    assert len(t._manifest(v)["files"]) < n_files_before
+    back = t.read()
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+    assert t.read(pre).count() == orders.count()  # old snapshot intact
+    # compacting a stale snapshot must refuse, not clobber
+    m = t._manifest(v)
+    t._try_commit(v + 1, "append", m["files"], m["schema"])  # rival moves table
+    with pytest.raises(CommitConflict):
+        t._try_commit(v + 1, "compact", m["files"], m["schema"])
