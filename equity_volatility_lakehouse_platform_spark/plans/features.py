@@ -45,8 +45,17 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _out(df: DataFrame, *cols: str) -> DataFrame:
+    # Toward-zero 1e-9 nudge before the 6dp round (mirrored as
+    # `ROUND(x - sign(x) * 1e-9, 6)` in every oracle): quotient features
+    # can land exactly on a 6dp .5 boundary where Spark (HALF_UP on the
+    # shortest decimal repr) and DuckDB (binary-double round) disagree,
+    # and the same margin absorbs sub-1e-9 summation-order drift in the
+    # aggregated inputs (dollar_vol / pm sums). Same device as
+    # plans/windows._r6s; boundary hits were observed at the 10x SF.
     rounded = [
-        F.round(c, 6).alias(c) if dict(df.dtypes)[c] == "double" else F.col(c)
+        F.round(F.col(c) - F.signum(c) * F.lit(1e-9), 6).alias(c)
+        if dict(df.dtypes)[c] == "double"
+        else F.col(c)
         for c in cols
     ]
     return df.select("user_id", "day", *rounded)
@@ -55,7 +64,7 @@ def _out(df: DataFrame, *cols: str) -> DataFrame:
 @register(
     "f01_prev_day_return",
     oracle=DAILY_CTE + f"""
-    SELECT user_id, day, (ROUND(lag(pct) OVER {W}, 6) + 0.0) AS prev_day_return
+    SELECT user_id, day, (ROUND((lag(pct) OVER {W}) - sign(lag(pct) OVER {W}) * 0.000000001, 6) + 0.0) AS prev_day_return
     FROM (SELECT user_id, day,
                  close / NULLIF(lag(close) OVER {W}, 0) - 1 AS pct
           FROM daily)
@@ -69,8 +78,7 @@ def f01_prev_day_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f02_std_return_last5d",
     oracle=DAILY_CTE + """
     SELECT user_id, day,
-           (ROUND(CASE WHEN count(dlr) OVER w5 = 5
-                      THEN stddev_samp(dlr) OVER w5 END, 6) + 0.0) AS std_return_last5d
+           (ROUND((CASE WHEN count(dlr) OVER w5 = 5 THEN stddev_samp(dlr) OVER w5 END) - sign(CASE WHEN count(dlr) OVER w5 = 5 THEN stddev_samp(dlr) OVER w5 END) * 0.000000001, 6) + 0.0) AS std_return_last5d
     FROM (SELECT user_id, day, ln(NULLIF(close / NULLIF(open, 0), 0)) AS dlr FROM daily)
     WINDOW w5 AS (PARTITION BY user_id ORDER BY day
                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
@@ -84,7 +92,7 @@ def f02_std_return_last5d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f03_range_rel_last1d",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(lag((high - low) / NULLIF(close, 0)) OVER {W}, 6) + 0.0) AS range_rel_last1d
+           (ROUND((lag((high - low) / NULLIF(close, 0)) OVER {W}) - sign(lag((high - low) / NULLIF(close, 0)) OVER {W}) * 0.000000001, 6) + 0.0) AS range_rel_last1d
     FROM daily
     """,
 )
@@ -96,8 +104,7 @@ def f03_range_rel_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f04_rvol_20d",
     oracle=DAILY_CTE + """
     SELECT user_id, day,
-           (ROUND(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20
-                                          THEN AVG(dollar_vol) OVER wx END, 0), 6) + 0.0) AS rvol_20d
+           (ROUND((dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20 THEN AVG(dollar_vol) OVER wx END, 0)) - sign(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20 THEN AVG(dollar_vol) OVER wx END, 0)) * 0.000000001, 6) + 0.0) AS rvol_20d
     FROM daily
     WINDOW wx AS (PARTITION BY user_id ORDER BY day
                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -111,9 +118,7 @@ def f04_rvol_20d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f05_gap_pct",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(CASE WHEN prev_close IS NULL THEN NULL
-                      ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0)
-                 END, 6) + 0.0) AS gap_pct
+           (ROUND((CASE WHEN prev_close IS NULL THEN NULL ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0) END) - sign(CASE WHEN prev_close IS NULL THEN NULL ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0) END) * 0.000000001, 6) + 0.0) AS gap_pct
     FROM (SELECT user_id, day, pm_open, lag(close) OVER {W} AS prev_close FROM daily)
     """,
 )
@@ -125,10 +130,7 @@ def f05_gap_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f06_dist_max_20d",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND((lag(close) OVER {W}
-                  - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END)
-                 / NULLIF(CASE WHEN count(close) OVER wx = 20
-                               THEN max(close) OVER wx END, 0), 6) + 0.0) AS dist_max_20d
+           (ROUND(((lag(close) OVER {W} - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END) / NULLIF(CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END, 0)) - sign((lag(close) OVER {W} - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END) / NULLIF(CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END, 0)) * 0.000000001, 6) + 0.0) AS dist_max_20d
     FROM daily
     WINDOW wx AS (PARTITION BY user_id ORDER BY day
                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -142,9 +144,7 @@ def f06_dist_max_20d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f07_upper_wick_ratio_last1d",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
-                          ELSE (high - greatest(open, close)) / (high - low)
-                     END) OVER {W}, 6) + 0.0) AS upper_wick_ratio_last1d
+           (ROUND((lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (high - greatest(open, close)) / (high - low) END) OVER {W}) - sign(lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (high - greatest(open, close)) / (high - low) END) OVER {W}) * 0.000000001, 6) + 0.0) AS upper_wick_ratio_last1d
     FROM daily
     """,
 )
@@ -158,9 +158,7 @@ def f07_upper_wick_ratio_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f08_lower_wick_ratio_last1d",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
-                          ELSE (least(open, close) - low) / (high - low)
-                     END) OVER {W}, 6) + 0.0) AS lower_wick_ratio_last1d
+           (ROUND((lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (least(open, close) - low) / (high - low) END) OVER {W}) - sign(lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (least(open, close) - low) / (high - low) END) OVER {W}) * 0.000000001, 6) + 0.0) AS lower_wick_ratio_last1d
     FROM daily
     """,
 )
@@ -175,8 +173,8 @@ def f08_lower_wick_ratio_last1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=DAILY_CTE + """
     SELECT user_id, day,
            dayname(day) AS weekday,
-           (ROUND(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) + 0.0) AS weekday_sin,
-           (ROUND(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) + 0.0) AS weekday_cos
+           (ROUND((sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) - sign(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) * 0.000000001, 6) + 0.0) AS weekday_sin,
+           (ROUND((cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) - sign(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) * 0.000000001, 6) + 0.0) AS weekday_cos
     FROM daily
     """,
 )
@@ -216,7 +214,7 @@ def f10_days_since_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f11_hhi_premarket_volume",
     oracle=DAILY_CTE + """
     SELECT user_id, day,
-           (ROUND(pm_wvol / NULLIF(pm_vol * pm_vol, 0), 6) + 0.0) AS hhi_premarket_volume
+           (ROUND((pm_wvol / NULLIF(pm_vol * pm_vol, 0)) - sign(pm_wvol / NULLIF(pm_vol * pm_vol, 0)) * 0.000000001, 6) + 0.0) AS hhi_premarket_volume
     FROM daily
     """,
 )
@@ -228,9 +226,7 @@ def f11_hhi_premarket_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f12_z_pm_comp",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END)
-                 / NULLIF(CASE WHEN count(dr) OVER wz = 20
-                               THEN stddev_samp(dr) OVER wz END, 0), 6) + 0.0) AS z_pm_comp
+           (ROUND(((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END) / NULLIF(CASE WHEN count(dr) OVER wz = 20 THEN stddev_samp(dr) OVER wz END, 0)) - sign((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END) / NULLIF(CASE WHEN count(dr) OVER wz = 20 THEN stddev_samp(dr) OVER wz END, 0)) * 0.000000001, 6) + 0.0) AS z_pm_comp
     FROM (SELECT user_id, day,
                  close / NULLIF(lag(close) OVER {W}, 0) - 1 AS dr,
                  pm_close / NULLIF(pm_open, 0) - 1          AS pm_ret
@@ -247,8 +243,7 @@ def f12_z_pm_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13_pm_rts_hist",
     oracle=DAILY_CTE + """
     SELECT user_id, day,
-           (ROUND(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wm = 20
-                                         THEN median(ats) OVER wm END + 0.01)), 6) + 0.0) AS pm_rts_hist
+           (ROUND((ln((ats + 0.01) / (CASE WHEN count(ats) OVER wm = 20 THEN median(ats) OVER wm END + 0.01))) - sign(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wm = 20 THEN median(ats) OVER wm END + 0.01))) * 0.000000001, 6) + 0.0) AS pm_rts_hist
     FROM (SELECT user_id, day, dollar_vol / n_events AS ats FROM daily)
     WINDOW wm AS (PARTITION BY user_id ORDER BY day
                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -262,7 +257,7 @@ def f13_pm_rts_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f14_pm_vwap_return",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(lag(close) OVER {W}, 0) - 1, 6) + 0.0)
+           (ROUND(((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(lag(close) OVER {W}, 0) - 1) - sign((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(lag(close) OVER {W}, 0) - 1) * 0.000000001, 6) + 0.0)
              AS pm_vwap_return
     FROM daily
     """,
@@ -275,9 +270,9 @@ def f14_pm_vwap_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f15_fase2_ratios",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND((high - low) / NULLIF(low, 0) * 100, 6) + 0.0)    AS pct_change_low_high,
-           (ROUND((close - open) / NULLIF(open, 0) * 100, 6) + 0.0) AS pct_change_open_close,
-           (ROUND((open - lag(close) OVER {W}) / NULLIF(lag(close) OVER {W}, 0) * 100, 6) + 0.0)
+           (ROUND(((high - low) / NULLIF(low, 0) * 100) - sign((high - low) / NULLIF(low, 0) * 100) * 0.000000001, 6) + 0.0)    AS pct_change_low_high,
+           (ROUND(((close - open) / NULLIF(open, 0) * 100) - sign((close - open) / NULLIF(open, 0) * 100) * 0.000000001, 6) + 0.0) AS pct_change_open_close,
+           (ROUND(((open - lag(close) OVER {W}) / NULLIF(lag(close) OVER {W}, 0) * 100) - sign((open - lag(close) OVER {W}) / NULLIF(lag(close) OVER {W}, 0) * 100) * 0.000000001, 6) + 0.0)
              AS pct_gap_open_prev_close
     FROM daily
     """,
@@ -293,9 +288,9 @@ def f15_fase2_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f16_lookback_ladder",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(close / NULLIF(lag(close, 1) OVER {W}, 0) - 1, 6) + 0.0)  AS pct_change_1d,
-           (ROUND(close / NULLIF(lag(close, 7) OVER {W}, 0) - 1, 6) + 0.0)  AS pct_change_7d,
-           (ROUND(close / NULLIF(lag(close, 14) OVER {W}, 0) - 1, 6) + 0.0) AS pct_change_14d
+           (ROUND((close / NULLIF(lag(close, 1) OVER {W}, 0) - 1) - sign(close / NULLIF(lag(close, 1) OVER {W}, 0) - 1) * 0.000000001, 6) + 0.0)  AS pct_change_1d,
+           (ROUND((close / NULLIF(lag(close, 7) OVER {W}, 0) - 1) - sign(close / NULLIF(lag(close, 7) OVER {W}, 0) - 1) * 0.000000001, 6) + 0.0)  AS pct_change_7d,
+           (ROUND((close / NULLIF(lag(close, 14) OVER {W}, 0) - 1) - sign(close / NULLIF(lag(close, 14) OVER {W}, 0) - 1) * 0.000000001, 6) + 0.0) AS pct_change_14d
     FROM daily
     """,
 )
@@ -310,9 +305,8 @@ def f16_lookback_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f17_true_range",
     oracle=DAILY_CTE + f"""
     SELECT user_id, day,
-           (ROUND(greatest(high, prev_close) - least(low, prev_close), 6) + 0.0) AS tr,
-           (ROUND((greatest(high, prev_close) - least(low, prev_close))
-                 / NULLIF(close, 0), 6) + 0.0) AS rel_tr
+           (ROUND((greatest(high, prev_close) - least(low, prev_close)) - sign(greatest(high, prev_close) - least(low, prev_close)) * 0.000000001, 6) + 0.0) AS tr,
+           (ROUND(((greatest(high, prev_close) - least(low, prev_close)) / NULLIF(close, 0)) - sign((greatest(high, prev_close) - least(low, prev_close)) / NULLIF(close, 0)) * 0.000000001, 6) + 0.0) AS rel_tr
     FROM (SELECT user_id, day, open, high, low, close,
                  COALESCE(lag(close) OVER {W}, open) AS prev_close
           FROM daily)
@@ -326,7 +320,7 @@ def f17_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f18_market_path_label",
     oracle=DAILY_CTE + """
     SELECT user_id, day,
-           (ROUND(abs(close / NULLIF(open, 0) - 1), 6) + 0.0) AS market_absolute_path,
+           (ROUND((abs(close / NULLIF(open, 0) - 1)) - sign(abs(close / NULLIF(open, 0) - 1)) * 0.000000001, 6) + 0.0) AS market_absolute_path,
            CAST(abs(close / NULLIF(open, 0) - 1) >= 0.06 AS INTEGER) AS market_path_flag
     FROM daily
     """,
@@ -450,50 +444,34 @@ def f19_event_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT user_id, day,
-           (ROUND(lag(dr) OVER w, 6) + 0.0) AS prev_day_return,
-           (ROUND(CASE WHEN count(dlr) OVER w5 = 5
-                      THEN stddev_samp(dlr) OVER w5 END, 6) + 0.0) AS std_return_last5d,
-           (ROUND(lag((high - low) / NULLIF(close, 0)) OVER w, 6) + 0.0) AS range_rel_last1d,
-           (ROUND(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20
-                                          THEN AVG(dollar_vol) OVER wx END, 0), 6) + 0.0) AS rvol_20d,
-           (ROUND(CASE WHEN prev_close IS NULL THEN NULL
-                      ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0)
-                 END, 6) + 0.0) AS gap_pct,
-           (ROUND((prev_close - CASE WHEN count(close) OVER wx = 20
-                                    THEN max(close) OVER wx END)
-                 / NULLIF(CASE WHEN count(close) OVER wx = 20
-                               THEN max(close) OVER wx END, 0), 6) + 0.0) AS dist_max_20d,
-           (ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
-                          ELSE (high - greatest(open, close)) / (high - low)
-                     END) OVER w, 6) + 0.0) AS upper_wick_ratio_last1d,
-           (ROUND(lag(CASE WHEN high - low = 0 THEN 0.0
-                          ELSE (least(open, close) - low) / (high - low)
-                     END) OVER w, 6) + 0.0) AS lower_wick_ratio_last1d,
+           (ROUND((lag(dr) OVER w) - sign(lag(dr) OVER w) * 0.000000001, 6) + 0.0) AS prev_day_return,
+           (ROUND((CASE WHEN count(dlr) OVER w5 = 5 THEN stddev_samp(dlr) OVER w5 END) - sign(CASE WHEN count(dlr) OVER w5 = 5 THEN stddev_samp(dlr) OVER w5 END) * 0.000000001, 6) + 0.0) AS std_return_last5d,
+           (ROUND((lag((high - low) / NULLIF(close, 0)) OVER w) - sign(lag((high - low) / NULLIF(close, 0)) OVER w) * 0.000000001, 6) + 0.0) AS range_rel_last1d,
+           (ROUND((dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20 THEN AVG(dollar_vol) OVER wx END, 0)) - sign(dollar_vol / NULLIF(CASE WHEN count(dollar_vol) OVER wx = 20 THEN AVG(dollar_vol) OVER wx END, 0)) * 0.000000001, 6) + 0.0) AS rvol_20d,
+           (ROUND((CASE WHEN prev_close IS NULL THEN NULL ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0) END) - sign(CASE WHEN prev_close IS NULL THEN NULL ELSE COALESCE((pm_open - prev_close) / NULLIF(prev_close, 0), 0) END) * 0.000000001, 6) + 0.0) AS gap_pct,
+           (ROUND(((prev_close - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END) / NULLIF(CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END, 0)) - sign((prev_close - CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END) / NULLIF(CASE WHEN count(close) OVER wx = 20 THEN max(close) OVER wx END, 0)) * 0.000000001, 6) + 0.0) AS dist_max_20d,
+           (ROUND((lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (high - greatest(open, close)) / (high - low) END) OVER w) - sign(lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (high - greatest(open, close)) / (high - low) END) OVER w) * 0.000000001, 6) + 0.0) AS upper_wick_ratio_last1d,
+           (ROUND((lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (least(open, close) - low) / (high - low) END) OVER w) - sign(lag(CASE WHEN high - low = 0 THEN 0.0 ELSE (least(open, close) - low) / (high - low) END) OVER w) * 0.000000001, 6) + 0.0) AS lower_wick_ratio_last1d,
            dayname(day) AS weekday,
-           (ROUND(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) + 0.0) AS weekday_sin,
-           (ROUND(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5), 6) + 0.0) AS weekday_cos,
-           (ROUND(pm_wvol / NULLIF(pm_vol * pm_vol, 0), 6) + 0.0) AS hhi_premarket_volume,
-           (ROUND((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END)
-                 / NULLIF(CASE WHEN count(dr) OVER wz = 20
-                               THEN stddev_samp(dr) OVER wz END, 0), 6) + 0.0) AS z_pm_comp,
-           (ROUND(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wz = 20
-                                         THEN median(ats) OVER wz END + 0.01)), 6) + 0.0)
+           (ROUND((sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) - sign(sin(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) * 0.000000001, 6) + 0.0) AS weekday_sin,
+           (ROUND((cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) - sign(cos(2 * pi() * ((dayofweek(day) + 6) % 7) / 5)) * 0.000000001, 6) + 0.0) AS weekday_cos,
+           (ROUND((pm_wvol / NULLIF(pm_vol * pm_vol, 0)) - sign(pm_wvol / NULLIF(pm_vol * pm_vol, 0)) * 0.000000001, 6) + 0.0) AS hhi_premarket_volume,
+           (ROUND(((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END) / NULLIF(CASE WHEN count(dr) OVER wz = 20 THEN stddev_samp(dr) OVER wz END, 0)) - sign((pm_ret - CASE WHEN count(dr) OVER wz = 20 THEN AVG(dr) OVER wz END) / NULLIF(CASE WHEN count(dr) OVER wz = 20 THEN stddev_samp(dr) OVER wz END, 0)) * 0.000000001, 6) + 0.0) AS z_pm_comp,
+           (ROUND((ln((ats + 0.01) / (CASE WHEN count(ats) OVER wz = 20 THEN median(ats) OVER wz END + 0.01))) - sign(ln((ats + 0.01) / (CASE WHEN count(ats) OVER wz = 20 THEN median(ats) OVER wz END + 0.01))) * 0.000000001, 6) + 0.0)
              AS pm_rts_hist,
-           (ROUND((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(prev_close, 0) - 1, 6) + 0.0)
+           (ROUND(((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(prev_close, 0) - 1) - sign((pm_wvol / NULLIF(pm_vol, 0)) / NULLIF(prev_close, 0) - 1) * 0.000000001, 6) + 0.0)
              AS pm_vwap_return,
-           (ROUND((high - low) / NULLIF(low, 0) * 100, 6) + 0.0)    AS pct_change_low_high,
-           (ROUND((close - open) / NULLIF(open, 0) * 100, 6) + 0.0) AS pct_change_open_close,
-           (ROUND((open - prev_close) / NULLIF(prev_close, 0) * 100, 6) + 0.0)
+           (ROUND(((high - low) / NULLIF(low, 0) * 100) - sign((high - low) / NULLIF(low, 0) * 100) * 0.000000001, 6) + 0.0)    AS pct_change_low_high,
+           (ROUND(((close - open) / NULLIF(open, 0) * 100) - sign((close - open) / NULLIF(open, 0) * 100) * 0.000000001, 6) + 0.0) AS pct_change_open_close,
+           (ROUND(((open - prev_close) / NULLIF(prev_close, 0) * 100) - sign((open - prev_close) / NULLIF(prev_close, 0) * 100) * 0.000000001, 6) + 0.0)
              AS pct_gap_open_prev_close,
-           (ROUND(close / NULLIF(prev_close, 0) - 1, 6) + 0.0)              AS pct_change_1d,
-           (ROUND(close / NULLIF(lag(close, 7)  OVER w, 0) - 1, 6) + 0.0)   AS pct_change_7d,
-           (ROUND(close / NULLIF(lag(close, 14) OVER w, 0) - 1, 6) + 0.0)   AS pct_change_14d,
-           (ROUND(greatest(high, COALESCE(prev_close, open))
-                 - least(low, COALESCE(prev_close, open)), 6) + 0.0) AS tr,
-           (ROUND((greatest(high, COALESCE(prev_close, open))
-                  - least(low, COALESCE(prev_close, open))) / NULLIF(close, 0), 6) + 0.0)
+           (ROUND((close / NULLIF(prev_close, 0) - 1) - sign(close / NULLIF(prev_close, 0) - 1) * 0.000000001, 6) + 0.0)              AS pct_change_1d,
+           (ROUND((close / NULLIF(lag(close, 7) OVER w, 0) - 1) - sign(close / NULLIF(lag(close, 7) OVER w, 0) - 1) * 0.000000001, 6) + 0.0)   AS pct_change_7d,
+           (ROUND((close / NULLIF(lag(close, 14) OVER w, 0) - 1) - sign(close / NULLIF(lag(close, 14) OVER w, 0) - 1) * 0.000000001, 6) + 0.0)   AS pct_change_14d,
+           (ROUND((greatest(high, COALESCE(prev_close, open)) - least(low, COALESCE(prev_close, open))) - sign(greatest(high, COALESCE(prev_close, open)) - least(low, COALESCE(prev_close, open))) * 0.000000001, 6) + 0.0) AS tr,
+           (ROUND(((greatest(high, COALESCE(prev_close, open)) - least(low, COALESCE(prev_close, open))) / NULLIF(close, 0)) - sign((greatest(high, COALESCE(prev_close, open)) - least(low, COALESCE(prev_close, open))) / NULLIF(close, 0)) * 0.000000001, 6) + 0.0)
              AS rel_tr,
-           (ROUND(abs(close / NULLIF(open, 0) - 1), 6) + 0.0) AS market_absolute_path,
+           (ROUND((abs(close / NULLIF(open, 0) - 1)) - sign(abs(close / NULLIF(open, 0) - 1)) * 0.000000001, 6) + 0.0) AS market_absolute_path,
            CAST(abs(close / NULLIF(open, 0) - 1) >= 0.06 AS INTEGER) AS market_path_flag
     FROM enr
     WINDOW w  AS (PARTITION BY user_id ORDER BY day),

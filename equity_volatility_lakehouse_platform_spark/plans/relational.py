@@ -706,11 +706,21 @@ def a09_all_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_pivot_table",
     oracle="""
     SELECT user_id,
-           (ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6) + 0.0)    AS click,
-           (ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6) + 0.0)    AS error,
-           (ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) + 0.0) AS purchase,
-           (ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) + 0.0)   AS signup,
-           (ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) + 0.0)     AS view
+           (ROUND(SUM(CASE WHEN event_type = 'click' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) / 100.0
+                 / COUNT(CASE WHEN event_type = 'click' THEN value END)
+                 - 0.000000001, 6) + 0.0) AS "click",
+           (ROUND(SUM(CASE WHEN event_type = 'error' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) / 100.0
+                 / COUNT(CASE WHEN event_type = 'error' THEN value END)
+                 - 0.000000001, 6) + 0.0) AS "error",
+           (ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) / 100.0
+                 / COUNT(CASE WHEN event_type = 'purchase' THEN value END)
+                 - 0.000000001, 6) + 0.0) AS "purchase",
+           (ROUND(SUM(CASE WHEN event_type = 'signup' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) / 100.0
+                 / COUNT(CASE WHEN event_type = 'signup' THEN value END)
+                 - 0.000000001, 6) + 0.0) AS "signup",
+           (ROUND(SUM(CASE WHEN event_type = 'view' THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) / 100.0
+                 / COUNT(CASE WHEN event_type = 'view' THEN value END)
+                 - 0.000000001, 6) + 0.0) AS "view"
     FROM events GROUP BY user_id
     """,
 )
@@ -718,11 +728,17 @@ def a10_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot_table(index=year, columns=month, values=..., aggfunc=mean)
     # (EDA - parte 1.ipynb:640 cell 17). Explicit pivot values keep the plan
     # single-pass (no extra distinct job) — required practice at scale.
+    # Exact averages: BIGINT-cents sum / count (a double AVG is
+    # summation-order-dependent; 1-ulp drift flips 6dp rounding at the
+    # boundary — caught by the 10x sweep).
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(_r6(F.avg("value")))
+        # values are positive, so the toward-zero boundary nudge (_r6s
+        # rationale) is a plain subtraction
+        .agg(F.round(F.sum(cents) / 100.0 / F.count("value") - F.lit(1e-9), 6))
     )
 
 
@@ -786,7 +802,7 @@ def a12_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_type, event_id,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY (event_id * 2654435761) % 1000000007, event_id) AS rn
+                                ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000007, event_id) AS rn
       FROM events
     ) WHERE rn <= 3
     """,
@@ -798,7 +814,11 @@ def a13_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproducible across engines and retries (critical for 100 TB re-runs).
     from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events")
-    key = (F.col("event_id") * F.lit(2654435761)) % F.lit(1000000007)
+    # Reduce mod p BEFORE the Knuth multiply: keeps the product under
+    # 2^63 for ANY event_id (raw 1e9-scale ids x 2654435761 overflow
+    # int64 under ANSI; DuckDB silently widens to int128 — caught by the
+    # 10x sweep). Identical ordering for ids < p.
+    key = ((F.col("event_id") % F.lit(1000000007)) * F.lit(2654435761)) % F.lit(1000000007)
     w = Window.partitionBy("event_type").orderBy(key, "event_id")
     return (
         ev.select("event_type", "event_id", F.row_number().over(w).alias("rn"))
@@ -1574,7 +1594,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT (ROUND(SUM(l_extendedprice * l_discount), 6) + 0.0) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1596,7 +1617,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _r6(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            # exact DECIMAL product sum (see q1); (8,2)x(4,2)->(13,4)
+            # stays on the Long-backed fast path. Scale-4 sums convert to
+            # double exactly below 9e14 — fine at any plausible SF.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(8,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1608,7 +1635,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(event_type, '<all>') AS event_type,
            COALESCE(CAST(EXTRACT(year FROM ts) AS BIGINT), -1) AS yr,
            CAST(count(*) AS BIGINT) AS n,
-           (ROUND(SUM(value), 6) + 0.0) AS total_value
+           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY ROLLUP (event_type, EXTRACT(year FROM ts))
     """,
@@ -1621,7 +1648,13 @@ def a16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.rollup("event_type", F.year("ts").cast("long").alias("yr"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        # BIGINT-cents sum: exact and order-independent (see a10/q1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
             F.coalesce("yr", F.lit(-1)).alias("yr"),

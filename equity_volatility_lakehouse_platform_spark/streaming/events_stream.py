@@ -27,6 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _run_stream_scoped(
@@ -41,16 +42,18 @@ def _run_stream_scoped(
     dirs, checkpoints, or temp views behind (tests/test_domain.py
     asserts this)."""
     path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema  # ts is long (nanos)
+    batch_schema = spark.read.parquet(path).schema
     tmp_root = tempfile.mkdtemp(prefix=prefix)
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     os.symlink(path, os.path.join(src_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
+    # Nanos repair ONLY when the file stores INT64 nanos (the driver
+    # testdata); a source already carrying real timestamps streams as-is.
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         query = (
