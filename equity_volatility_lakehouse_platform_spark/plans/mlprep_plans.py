@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
 
@@ -191,4 +192,47 @@ def ml05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.sum("doc_id").alias("doc_id_sum"),
         )
+    )
+
+
+@register(
+    "ml06_feature_hashing",
+    # Hashing-trick featurization (the unbounded-vocabulary path a 100 TB
+    # text pipeline uses instead of a fitted vocabulary): token ->
+    # bucket = md5-u32 % 64, per-(doc, bucket) term frequency plus the
+    # signed variant (sign from an independent md5 nibble) that debiases
+    # collisions (Weinberger et al., ICML'09). Both engines evaluate the
+    # identical salted-md5 arithmetic, so membership is exact -- no
+    # engine-specific hash (xxhash/murmur) leaks into the contract.
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sgn
+      FROM ex
+    )
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(sum(sgn) AS BIGINT) AS signed_tf
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def ml06_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode -> map-side hash -> one groupBy on (doc_id, bucket) with
+    # partial aggregation; output is the sparse COO form (doc, bucket, tf)
+    # that feeds array assembly or a trainer without ever densifying.
+    docs = load_table(spark, sf_dir, "documents")
+    tok_md5 = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(tok_md5, 1, 8), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    sgn = F.conv(F.substring(tok_md5, 9, 1), 16, 10).cast("bigint") % 2 * 2 - 1
+    return (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"), F.sum("sgn").alias("signed_tf"))
     )

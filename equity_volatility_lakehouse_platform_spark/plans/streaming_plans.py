@@ -121,3 +121,24 @@ def st05_session_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "st06_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming dedup under at-least-once redelivery: the stream source
+    # delivers every event twice; dropDuplicates(event_id) inside the
+    # stream must reduce it back to exactly one copy (oracle = batch
+    # aggregate over a single copy).
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_dedup_stream,
+    )
+
+    return run_dedup_stream(spark, sf_dir)

@@ -271,3 +271,57 @@ def t05_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+@register(
+    "t06_repetition_stats",
+    # Intra-document repetition / boilerplate detection (Gopher-style
+    # "repetitive content" rules): token count, distinct-token count, the
+    # most-frequent token's count, a duplicate-token ratio, and a
+    # repetitive flag. The flag compares integers (top_tf*5 >= n_tokens:
+    # most common token covers >= 20%) so no float boundary can split the
+    # engines; the ratio gets the standard 1e-9 toward-zero nudge.
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT)   AS top_tf,
+           (ROUND((1.0 - count(*) * 1.0 / sum(c))
+                  - sign(1.0 - count(*) * 1.0 / sum(c)) * 0.000000001, 6) + 0.0)
+             AS dup_ratio,
+           CAST(max(c) * 5 >= sum(c) AS INTEGER) AS repetitive
+    FROM tf GROUP BY doc_id
+    """,
+)
+def t06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level aggregation: explode tokens -> per-(doc,token) counts ->
+    # per-doc stats. Both groupBys get map-side partial aggregation and
+    # share the doc_id-prefixed key, so at 100 TB this is one data-sized
+    # shuffle (term frequencies) plus one doc-sized shuffle -- never a
+    # driver loop, never doc x doc.
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tf"),
+    )
+    dup = 1.0 - F.col("n_distinct") * 1.0 / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_tf",
+        F.round(dup - F.signum(dup) * F.lit(1e-9), 6).alias("dup_ratio"),
+        (F.col("top_tf") * 5 >= F.col("n_tokens")).cast("int").alias("repetitive"),
+    )

@@ -497,3 +497,59 @@ def w14_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.ntile(4).over(wq).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "w15_max_drawdown",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (ROUND(run_peak, 6) + 0.0) AS run_peak,
+           (ROUND(drawdown - sign(drawdown) * 0.000000001, 6) + 0.0) AS drawdown,
+           (ROUND(max_drawdown - sign(max_drawdown) * 0.000000001, 6) + 0.0)
+             AS max_drawdown
+    FROM (
+      SELECT event_id, user_id, ts, run_peak, drawdown,
+             min(drawdown) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS max_drawdown
+      FROM (
+        SELECT event_id, user_id, ts,
+               max(value) OVER w AS run_peak,
+               value / NULLIF(max(value) OVER w, 0) - 1.0 AS drawdown
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+    )
+    """,
+)
+def w15_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running-peak drawdown curve per key (risk analytics over the same
+    # per-key ordered stream as W1-W13): running max, per-row drawdown
+    # relative to the peak, and the running minimum of that drawdown (the
+    # max-drawdown-so-far). Three window functions over ONE shared
+    # partition/order spec -> a single shuffle + sort, same physical shape
+    # at 100 TB. Raw drawdown feeds the running min BEFORE rounding so
+    # both engines fold the identical binary doubles; NULLIF guards the
+    # value==0 rows present at sf0.1 (peak 0 -> NULL drawdown, min over a
+    # window skips NULLs in both engines).
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max("value").over(w).alias("run_peak"),
+        (
+            F.col("value") / F.nullif(F.max("value").over(w), F.lit(0.0)) - 1.0
+        ).alias("drawdown"),
+    )
+    dd = curve.withColumn("max_drawdown", F.min("drawdown").over(w))
+    return dd.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r6(F.col("run_peak")).alias("run_peak"),
+        _r6s(F.col("drawdown")).alias("drawdown"),
+        _r6s(F.col("max_drawdown")).alias("max_drawdown"),
+    )

@@ -29,9 +29,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from equity_volatility_lakehouse_platform_spark.sources.readers import _nano_ts_columns
+
 
 def _run_stream_scoped(
-    spark: SparkSession, sf_dir: str, build, prefix: str, output_mode: str
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    prefix: str,
+    output_mode: str,
+    n_copies: int = 1,
 ) -> DataFrame:
     """Run a file-source streaming query to a memory sink with EVERY temp
     artifact scoped to the call: one temp root holds the source symlink
@@ -42,11 +49,23 @@ def _run_stream_scoped(
     dirs, checkpoints, or temp views behind (tests/test_domain.py
     asserts this)."""
     path = os.path.join(sf_dir, "events.parquet")
+    # Assert session confs at the read site, exactly like load_table: a
+    # BARE session (the correctness driver's) would otherwise fail the
+    # schema probe with PARQUET_TYPE_ILLEGAL if a streaming query is the
+    # first read of the session (no ordering dependence on an earlier
+    # batch read having set the conf).
+    if _nano_ts_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch_schema = spark.read.parquet(path).schema
     tmp_root = tempfile.mkdtemp(prefix=prefix)
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
-    os.symlink(path, os.path.join(src_dir, "events.parquet"))
+    # n_copies > 1 lands the same file several times (the at-least-once
+    # redelivery a dedup stream must absorb); each symlink is a distinct
+    # source file to the stream.
+    for i in range(n_copies):
+        os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
     # Nanos repair ONLY when the file stores INT64 nanos (the driver
     # testdata); a source already carrying real timestamps streams as-is.
@@ -143,5 +162,39 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("s.n_events").alias("n_events"),
             F.round("s.total_value", 6).alias("total_value"),
+        )
+    )
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (ingestion hygiene): the source delivers
+    every event TWICE (two copies of the file land in the stream dir —
+    the at-least-once redelivery shape of any real ingestion bus);
+    ``dropDuplicates`` on the event key inside the stream keeps exactly
+    one copy. The surviving rows are summarized per event_type, so over
+    bounded input the result must equal the batch GROUP BY over ONE copy
+    — an exact oracle for the dedup operator itself.
+
+    At 100 TB: state is per-key and sharded across executors; swap plain
+    ``dropDuplicates`` for ``dropDuplicatesWithinWatermark`` so the key
+    state expires with the watermark instead of growing unboundedly.
+    Bounded replay here keeps full state so redelivery ACROSS batches is
+    also caught.
+    """
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+        )
+
+    deduped = _run_stream_scoped(
+        spark, sf_dir, build, "evdedup_", "append", n_copies=2
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
         )
     )

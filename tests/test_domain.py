@@ -413,6 +413,7 @@ def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
     import tempfile as tf
 
     from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_dedup_stream,
         run_stateful_totals_stream,
         run_tumbling_stream,
     )
@@ -421,14 +422,15 @@ def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
         root = tf.gettempdir()
         return {
             d for d in os.listdir(root)
-            if d.startswith(("evstream_", "evstate_"))
+            if d.startswith(("evstream_", "evstate_", "evdedup_"))
         }
 
     before_dirs = temp_dirs()
     before_views = {t.name for t in spark.catalog.listTables()}
     n1 = run_tumbling_stream(spark, sf_dir).count()
     n2 = run_stateful_totals_stream(spark, sf_dir).count()
-    assert n1 > 0 and n2 > 0
+    n3 = run_dedup_stream(spark, sf_dir).count()
+    assert n1 > 0 and n2 > 0 and n3 > 0
     assert temp_dirs() == before_dirs, "streaming run leaked temp dirs"
     assert {t.name for t in spark.catalog.listTables()} == before_views, (
         "streaming run leaked memory-sink views"

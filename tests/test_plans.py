@@ -62,6 +62,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "g01_grid_fill_hourly": 2,     # hourly agg + lead window
         "d02_minhash_signatures": 0,   # zero-shuffle projection
         "sim04_ivf_ann_topk": 3,       # assignment groupBy + 2 tiny query-side windows
+        "w15_max_drawdown": 1,         # one shared window spec (3 fns, 1 sort)
+        "t06_repetition_stats": 2,     # tf groupBy + per-doc groupBy
+        "ml06_feature_hashing": 1,     # one (doc,bucket) groupBy
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
