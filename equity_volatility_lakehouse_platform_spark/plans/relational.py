@@ -31,23 +31,27 @@ def _r6(col):
 
 @register(
     "q1_pricing_summary",
-    # Money aggregates accumulate in EXACT DECIMAL on both engines (the
-    # inputs are 2dp; the discount/tax products are <= 6dp), converting
-    # to double only at the end: a double SUM over ~millions of rows is
-    # summation-order-dependent, and at 4e9 magnitude the double spacing
-    # IS the 6th decimal — a 1-ulp drift flips the rounded value (seen
-    # at sf0.1). Averages divide the exact decimal sum by the count so
-    # both engines run one identical double division.
+    # Money aggregates are EXACT and order-independent on both engines:
+    # every per-row money term is an integer (cents x integer percent
+    # factors, each product <= ~1e11 so it fits a 64-bit long), and the
+    # sums accumulate in wide integer types (Spark DECIMAL(38,0) /
+    # DuckDB HUGEINT) so no per-row decimal multiply is ever run and no
+    # long-sum overflow is possible at cluster scale. Half-up rounding
+    # to the 2dp money grain happens in the INTEGER domain
+    # ((S + U/2) // U, all sums positive) before the single final
+    # double division, so the int -> double conversion is exact.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n_rows,
            SUM(l_quantity) AS sum_qty,
            SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(8,2))
-                    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(13,4))
-                    * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+           ((SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) + 50) // 100) / 100.0
+               AS sum_disc_price,
+           ((SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                 * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) + 5000) // 10000) / 100.0
+               AS sum_charge,
            (ROUND(SUM(l_quantity) / count(*), 6) + 0.0) AS avg_qty,
            (ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) + 0.0) AS avg_price,
            (ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / count(*), 6) + 0.0) AS avg_disc
@@ -61,39 +65,49 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Money-sum strategy, exact at ANY scale and engine-identical:
     # * quantities are small integers — a double SUM of exact integers
     #   stays exact (far below 2^53), so no conversion at all;
-    # * plain money sums accumulate BIGINT cents (round(x*100) is
-    #   engine-identical on 2dp inputs; the final /100.0 divides an
-    #   exactly-representable integer — one correctly-rounded op);
-    # * the discount/tax PRODUCT sums are the one place integer cents
-    #   would overflow a per-row long at 1e4 scale, so they accumulate
-    #   exact DECIMAL, precision-tuned to Spark's Long-backed fast path
-    #   ((8,2)x(4,2)->(13,4); lossless down-cast keeps the second
-    #   multiply at (18,6) rather than (22,6)'s Int128 slow path), and
-    #   round to 2dp (money grain) BEFORE the double cast so the int128
-    #   -> double conversion is exact on both engines.
+    # * each money term is a per-row LONG: cents = round(x*100) is
+    #   engine-identical on 2dp inputs, and the discount/tax factors
+    #   become integer percents, so the full charge product
+    #   cents x (100-d) x (100+t) is <= ~1e11 — long arithmetic inside
+    #   whole-stage codegen, no decimal multiply in the hot path;
+    # * only the ACCUMULATOR is decimal: sum(decimal(18..20,0)) gives a
+    #   decimal(28..30,0) buffer, so the sum cannot silently wrap the
+    #   way sum(long) would at ~sf150+ cluster scale;
+    # * half-up rounding to money grain runs in the integer domain
+    #   ((S + U/2) div U on a positive sum == round-half-up), so the
+    #   final /100.0 divides an exactly-representable integer — one
+    #   correctly-rounded double op on both engines.
     # A plain double SUM is summation-order-dependent: at 4e9 magnitude
     # the double spacing IS the 6th decimal (1-ulp flips seen at sf0.1),
     # and at cluster scale it isn't even run-to-run deterministic.
     cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
-    price8 = F.col("l_extendedprice").cast("decimal(8,2)")
-    disc_f = F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
-    tax_f = F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    ep_c = cents("l_extendedprice")
+    d100 = F.lit(100) - cents("l_discount")
+    t100 = F.lit(100) + cents("l_tax")
     n = F.count(F.lit(1))
-    return (
+    base = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             n.alias("n_rows"),
             F.sum("l_quantity").alias("sum_qty"),
-            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
-            F.round(F.sum(price8 * disc_f), 2).cast("double").alias("sum_disc_price"),
-            F.round(
-                F.sum((price8 * disc_f).cast("decimal(13,4)") * tax_f), 2
-            ).cast("double").alias("sum_charge"),
-            F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
-            F.round(F.sum(cents("l_extendedprice")) / 100.0 / n, 6).alias("avg_price"),
-            F.round(F.sum(cents("l_discount")) / 100.0 / n, 6).alias("avg_disc"),
+            F.sum(ep_c.cast("decimal(18,0)")).alias("_base_cents"),
+            F.sum((ep_c * d100).cast("decimal(18,0)")).alias("_disc_units"),
+            F.sum((ep_c * d100 * t100).cast("decimal(20,0)")).alias("_charge_units"),
+            F.sum(cents("l_discount").cast("decimal(18,0)")).alias("_disc_cents"),
         )
+    )
+    return base.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "sum_qty",
+        (F.col("_base_cents") / 100.0).alias("sum_base_price"),
+        (F.expr("(_disc_units + 50) div 100") / 100.0).alias("sum_disc_price"),
+        (F.expr("(_charge_units + 5000) div 10000") / 100.0).alias("sum_charge"),
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+        F.round(F.col("_base_cents") / 100.0 / F.col("n_rows"), 6).alias("avg_price"),
+        F.round(F.col("_disc_cents") / 100.0 / F.col("n_rows"), 6).alias("avg_disc"),
     )
 
 
