@@ -288,12 +288,19 @@ def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
+                       THEN 1 ELSE 0 END * 2
+                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      FROM e
     ), pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)
                / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
                AS cosine
-      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, (ROUND(cosine, 6) + 0.0) AS cosine,
            cosine >= 0.9 AS is_near_dup
@@ -301,26 +308,40 @@ def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Embedding-cosine near-dup check over a bounded candidate set
-    # (successive ids here; LSH buckets at scale). Dot products fold
-    # JVM-side over the double-cast arrays — no UDF.
+    # Embedding-cosine near-dup, composed END-TO-END over the LSH bucket
+    # candidates (the same random-hyperplane buckets as sim02) — the
+    # cosine mirror of how d07 composes d03's MinHash candidates: bucket
+    # equi-join proposes, exact cosine verifies. Each vector lands in
+    # exactly ONE bucket, so every candidate pair appears once (no
+    # DISTINCT). Dot products fold JVM-side — no UDF. At 100 TB the
+    # hyperplane count rises with corpus size (more bits -> smaller
+    # buckets) so the within-bucket self-join stays linear in collisions,
+    # and the bucket key doubles as the shuffle/partition key.
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _projection,
+        dot,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-        )
-
+    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
+    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
+    bucketed = emb.select("vec_id", "v", (b1 + b2).alias("bucket"))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("bucket").alias("bkt_a"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("bucket").alias("bkt_b"),
+    )
     cos = dot(F.col("va"), F.col("vb")) / F.nullif(
         F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb"))),
         F.lit(0.0),
     )
     return (
-        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select(
             "vec_a", "vec_b",
             F.round(cos, 6).alias("cosine"),

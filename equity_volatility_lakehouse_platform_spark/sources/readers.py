@@ -84,6 +84,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos -> micros with integer `div` (float division would lose
         # precision on epoch-scale int64); timestamp_micros -> TimestampType.
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    for field in df.schema.fields:
+        # Files written as isAdjustedToUTC=false micros arrive as
+        # TIMESTAMP_NTZ under Spark's NTZ inference. The engine contract
+        # is TimestampType with UTC wall-clock semantics (streaming
+        # watermarks and from_utc_timestamp require it); with the session
+        # pinned to UTC above, the cast preserves the wall-clock value
+        # exactly — same micros DuckDB sees.
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

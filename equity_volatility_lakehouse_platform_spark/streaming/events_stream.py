@@ -67,12 +67,17 @@ def _run_stream_scoped(
     for i in range(n_copies):
         os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
     stream = spark.readStream.schema(batch_schema).parquet(src_dir)
-    # Nanos repair ONLY when the file stores INT64 nanos (the driver
-    # testdata); a source already carrying real timestamps streams as-is.
+    # Timestamp repair matches load_table: INT64-nanos files arrive as
+    # long (repaired via timestamp_micros), NTZ-micros files arrive as
+    # TIMESTAMP_NTZ (cast to TimestampType — watermarks require LTZ; the
+    # UTC session makes the cast wall-clock-exact). A source already
+    # carrying real timestamps streams as-is.
     if isinstance(batch_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         query = (
