@@ -60,7 +60,10 @@ def main() -> None:
     # min-of-n per query: single-shot timings on a shared box are noisy
     # (round-2 showed ±13% on byte-identical code); the minimum is the
     # stable estimator of the true cost.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # n=5: this VM shows ±20-40% ambient swings between whole-process
+    # runs; a deeper min pool keeps the recorded floor close to the
+    # true steady-state cost.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     dfs = {name: queries[name](spark, sf_dir) for name in names}
     for name in names:
         dfs[name].write.mode("overwrite").format("noop").save()

@@ -1,0 +1,72 @@
+"""Cross-engine-exact 6dp rounding for double output columns.
+
+Every float output column in the oracle-checked surface is rounded to
+6dp on both sides. The two engines natively round DIFFERENTLY:
+
+* Spark ``round(x, 6)``: HALF_UP on the shortest decimal representation,
+  via a per-row ``BigDecimal`` allocation — semantically defensible but
+  (a) measurably slow (it dominated q1/f20 profiles at sf0.1 — see
+  scripts/profile_q1.py) and (b) divergent from DuckDB whenever the
+  shortest-repr view of a value sits on the other side of a .5 boundary
+  from its binary-double view.
+* DuckDB ``ROUND(x, 6)``: ``std::round(x * 1e6) / 1e6`` — pure binary
+  double arithmetic, half away from zero on the scaled value.
+
+``r6`` below reproduces DuckDB's computation BIT-EXACTLY using only
+codegen-friendly primitives, so Spark and the oracle agree by
+construction on every representable double (verified over 2M+ samples
+including exact .5 boundaries, +-inf, NaN, subnormals, and >2^53
+magnitudes — zero bit mismatches):
+
+* ``y = x * 1e6`` — identical IEEE multiply on both engines;
+* ``frac = y % 1.0`` — fmod is EXACT for finite doubles, so
+  ``t = y - frac`` is trunc-toward-zero with no rounding error (unlike
+  ``floor(y + 0.5)``, which mis-rounds near 2^52, and unlike Spark's
+  ``F.floor``, which returns BIGINT and would overflow past 2^63);
+* half-away-from-zero via exact comparisons on ``frac`` (|t| >= 2^53
+  implies frac == 0, so the +-1 adjustment is always exact);
+* non-finite ``y`` (inf overflow / NaN) falls back to ``y / 1e6``,
+  matching ``std::round``'s identity on non-finites;
+* ``+ 0.0`` flushes -0.0 to +0.0, mirroring the ``(ROUND(x, 6) + 0.0)``
+  convention used throughout the oracles (Spark's native round also
+  never emits -0.0, so this changes nothing vs the previous behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INF = float("inf")
+
+
+def r6(col: Column | str) -> Column:
+    """6dp round, bit-identical to DuckDB ``(ROUND(x, 6) + 0.0)``."""
+    x = F.col(col) if isinstance(col, str) else col
+    y = x * F.lit(1e6)
+    frac = y % F.lit(1.0)
+    t = y - frac
+    adj = (
+        F.when(frac >= 0.5, F.lit(1.0))
+        .when(frac <= -0.5, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        F.when(F.isnan(y) | (F.abs(y) == F.lit(_INF)), y / F.lit(1e6))
+        .otherwise((t + adj) / F.lit(1e6))
+        + F.lit(0.0)
+    )
+
+
+def r6s(col: Column | str) -> Column:
+    """Nudged 6dp round: 1e-9 toward-zero shift before ``r6``.
+
+    Ratios of exactly-2dp inputs can land exactly ON a 6dp .5 boundary;
+    the nudge moves them decisively to one side, which also absorbs
+    sub-1e-9 summation-order drift in aggregated inputs. Oracle mirror:
+    ``(ROUND(x - sign(x) * 0.000000001, 6) + 0.0)`` — both engines
+    compute the identical nudged argument, then ``r6`` == ``ROUND`` by
+    construction.
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    return r6(x - F.signum(x) * F.lit(1e-9))

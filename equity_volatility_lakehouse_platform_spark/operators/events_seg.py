@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
 SEGMENT_SCHEMA = (
     "user_id bigint, start_time timestamp, end_time timestamp, "
     "open double, high double, low double, close double, "
@@ -141,11 +143,7 @@ def segment_events(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_segment_group, SEGMENT_SCHEMA)
         # toward-zero nudge before rounding: ratios of 2dp inputs can land
-        # exactly on a 6dp half boundary where engines' round modes differ.
-        .withColumn(
-            "pct_change",
-            F.round(
-                F.col("pct_change") - F.signum("pct_change") * F.lit(1e-9), 6
-            ),
-        )
+        # exactly on a 6dp half boundary; r6s resolves it identically on
+        # both engines (functions/rounding.py).
+        .withColumn("pct_change", r6s("pct_change"))
     )

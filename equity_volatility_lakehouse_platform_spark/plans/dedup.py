@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 # DuckDB mirror of tokens/shingles (see operators/textops.py). Used by the
 # shingle-STRING consumers (d05 exact Jaccard).
@@ -175,7 +176,7 @@ def d03_minhash_lsh_pairs(
         .groupBy(
             F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
         )
-        .agg(F.round(F.max(agree) / 8.0, 6).alias("est_jaccard"))
+        .agg(r6(F.max(agree) / 8.0).alias("est_jaccard"))
     )
 
 
@@ -278,7 +279,7 @@ def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("rn_b") == F.col("rn_a") + 1))
         .select(
             "doc_a", "doc_b",
-            F.round(inter * 1.0 / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
+            r6(inter * 1.0 / F.nullif(union, F.lit(0))).alias("jaccard"),
         )
     )
 
@@ -344,7 +345,7 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select(
             "vec_a", "vec_b",
-            F.round(cos, 6).alias("cosine"),
+            r6(cos).alias("cosine"),
             (cos >= 0.9).alias("is_near_dup"),
         )
     )

@@ -16,6 +16,7 @@ from equity_volatility_lakehouse_platform_spark.functions import features as fea
 from equity_volatility_lakehouse_platform_spark.operators.daily import daily_bars
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 # Shared SQL mirror of operators.daily.daily_bars (the oracle-side pipeline).
 DAILY_CTE = """
@@ -46,14 +47,13 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _out(df: DataFrame, *cols: str) -> DataFrame:
     # Toward-zero 1e-9 nudge before the 6dp round (mirrored as
-    # `ROUND(x - sign(x) * 1e-9, 6)` in every oracle): quotient features
-    # can land exactly on a 6dp .5 boundary where Spark (HALF_UP on the
-    # shortest decimal repr) and DuckDB (binary-double round) disagree,
-    # and the same margin absorbs sub-1e-9 summation-order drift in the
-    # aggregated inputs (dollar_vol / pm sums). Same device as
-    # plans/windows._r6s; boundary hits were observed at the 10x SF.
+    # `ROUND(x - sign(x) * 1e-9, 6)` in every oracle). r6 itself is
+    # bit-identical to DuckDB ROUND (functions/rounding.py), so the
+    # nudge's remaining job is absorbing sub-1e-9 summation-order drift
+    # in the aggregated inputs (dollar_vol / pm sums) near .5 boundaries.
+    # Same device as plans/windows._r6s; hits were observed at 10x SF.
     rounded = [
-        F.round(F.col(c) - F.signum(c) * F.lit(1e-9), 6).alias(c)
+        r6(F.col(c) - F.signum(c) * F.lit(1e-9)).alias(c)
         if dict(df.dtypes)[c] == "double"
         else F.col(c)
         for c in cols

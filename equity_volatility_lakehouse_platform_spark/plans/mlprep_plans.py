@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
 @register(
@@ -131,7 +132,7 @@ def ml04_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = holey.agg(F.median("value").alias("m"))
     return holey.crossJoin(F.broadcast(med)).select(
         "event_id",
-        F.round(F.coalesce("value", "m"), 6).alias("value_imputed"),
+        r6(F.coalesce("value", "m")).alias("value_imputed"),
         F.col("value").isNull().cast("int").alias("was_imputed"),
     )
 

@@ -18,10 +18,11 @@ from pyspark.sql import types as T
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 
 def _r6(col):
-    return F.round(col, 6)
+    return r6(col)
 
 
 # ---------------------------------------------------------------------------
@@ -62,52 +63,78 @@ def _r6(col):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # Money-sum strategy, exact at ANY scale and engine-identical:
-    # * quantities are small integers — a double SUM of exact integers
-    #   stays exact (far below 2^53), so no conversion at all;
-    # * each money term is a per-row LONG: cents = round(x*100) is
-    #   engine-identical on 2dp inputs, and the discount/tax factors
-    #   become integer percents, so the full charge product
-    #   cents x (100-d) x (100+t) is <= ~1e11 — long arithmetic inside
-    #   whole-stage codegen, no decimal multiply in the hot path;
-    # * only the ACCUMULATOR is decimal: sum(decimal(18..20,0)) gives a
-    #   decimal(28..30,0) buffer, so the sum cannot silently wrap the
-    #   way sum(long) would at ~sf150+ cluster scale;
+    # Money-sum strategy, exact at ANY scale, engine-identical, and cheap:
+    # * each money term is a per-row LONG: for positive exactly-2dp
+    #   inputs trunc(x*100 + 0.5) is the same integer as round(x*100)
+    #   (the product sits within ~1e-8 of the integer grid) without
+    #   Spark Round's per-row BigDecimal allocation; discount/tax become
+    #   integer percents, so the full charge product
+    #   cents x (100-d) x (100+t) is <= ~1.3e11 — long arithmetic inside
+    #   whole-stage codegen, no decimal op anywhere in the hot path;
+    # * accumulation stays in LONGS via a hi/lo split: each wide term is
+    #   summed as (x >> 20) and (x & 0xFFFFF), recombined in DECIMAL(38,0)
+    #   over the handful of OUTPUT groups. sum(lo) < n*2^20 and
+    #   sum(hi) < n*1.3e11/2^20, so both fit a long up to ~9e12 rows PER
+    #   GROUP — beyond the 100 TB design point (~6e11); past it, ANSI
+    #   sum(long) fails loudly rather than wrapping;
     # * half-up rounding to money grain runs in the integer domain
     #   ((S + U/2) div U on a positive sum == round-half-up), so the
     #   final /100.0 divides an exactly-representable integer — one
     #   correctly-rounded double op on both engines.
     # A plain double SUM is summation-order-dependent: at 4e9 magnitude
     # the double spacing IS the 6th decimal (1-ulp flips seen at sf0.1),
-    # and at cluster scale it isn't even run-to-run deterministic.
-    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    # and at cluster scale it isn't even run-to-run deterministic. A
+    # DECIMAL accumulator is exact too but costs ~3x wall (profiled in
+    # scripts/profile_q1.py); the split-long plan is exact at long speed.
+    cents = lambda c: (F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
     ep_c = cents("l_extendedprice")
     d100 = F.lit(100) - cents("l_discount")
     t100 = F.lit(100) + cents("l_tax")
-    n = F.count(F.lit(1))
-    base = (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            n.alias("n_rows"),
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum(ep_c.cast("decimal(18,0)")).alias("_base_cents"),
-            F.sum((ep_c * d100).cast("decimal(18,0)")).alias("_disc_units"),
-            F.sum((ep_c * d100 * t100).cast("decimal(20,0)")).alias("_charge_units"),
-            F.sum(cents("l_discount").cast("decimal(18,0)")).alias("_disc_cents"),
-        )
+    # Pre-project the shared products so codegen evaluates each ONCE per
+    # row (the hi and lo aggregates both consume them).
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        ep_c.alias("_ep_c"),
+        (ep_c * d100).alias("_disc_u"),
+        (ep_c * d100 * t100).alias("_charge_u"),
+        cents("l_discount").alias("_disc_c"),
+    )
+    LO = F.lit((1 << 20) - 1)
+    base = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("_ep_c").alias("_base_lo"),  # <= 1.3e7/row: longs to ~7e11 rows
+        F.sum(F.col("_disc_u").bitwiseAND(LO)).alias("_disc_lo"),
+        F.sum(F.shiftright("_disc_u", 20)).alias("_disc_hi"),
+        F.sum(F.col("_charge_u").bitwiseAND(LO)).alias("_charge_lo"),
+        F.sum(F.shiftright("_charge_u", 20)).alias("_charge_hi"),
+        F.sum("_disc_c").alias("_disc_cents"),
+    )
+    # Recombine hi/lo in DECIMAL(38,0) — runs once per output group.
+    def _recombine(hi: str, lo: str):
+        return F.col(hi).cast("decimal(38,0)") * (1 << 20) + F.col(lo)
+
+    base = base.select(
+        "l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+        "_base_lo", "_disc_cents",
+        _recombine("_disc_hi", "_disc_lo").alias("_disc_units"),
+        _recombine("_charge_hi", "_charge_lo").alias("_charge_units"),
     )
     return base.select(
         "l_returnflag",
         "l_linestatus",
         "n_rows",
         "sum_qty",
-        (F.col("_base_cents") / 100.0).alias("sum_base_price"),
+        (F.col("_base_lo") / 100.0).alias("sum_base_price"),
         (F.expr("(_disc_units + 50) div 100") / 100.0).alias("sum_disc_price"),
         (F.expr("(_charge_units + 5000) div 10000") / 100.0).alias("sum_charge"),
-        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
-        F.round(F.col("_base_cents") / 100.0 / F.col("n_rows"), 6).alias("avg_price"),
-        F.round(F.col("_disc_cents") / 100.0 / F.col("n_rows"), 6).alias("avg_disc"),
+        r6(F.col("sum_qty") / F.col("n_rows")).alias("avg_qty"),
+        r6(F.col("_base_lo") / 100.0 / F.col("n_rows")).alias("avg_price"),
+        r6(F.col("_disc_cents") / 100.0 / F.col("n_rows")).alias("avg_disc"),
     )
 
 
@@ -311,7 +338,7 @@ def p11_vwap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.when(
             (F.col("l_discount") < lo) | (F.col("l_discount") > hi),
-            F.round((lo + hi) / 2, 6),
+            r6((lo + hi) / 2),
         )
         .otherwise(F.col("l_discount"))
         .alias("discount_repaired"),
@@ -746,13 +773,15 @@ def a10_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # summation-order-dependent; 1-ulp drift flips 6dp rounding at the
     # boundary — caught by the 10x sweep).
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    # +0.5-and-truncate == round for non-negative 2dp inputs, without
+    # Spark Round's per-row BigDecimal (see q1 / functions/rounding.py).
+    cents = (F.col("value") * 100 + 0.5).cast("long")
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         # values are positive, so the toward-zero boundary nudge (_r6s
         # rationale) is a plain subtraction
-        .agg(F.round(F.sum(cents) / 100.0 / F.count("value") - F.lit(1e-9), 6))
+        .agg(r6(F.sum(cents) / 100.0 / F.count("value") - F.lit(1e-9)))
     )
 
 
@@ -1089,13 +1118,8 @@ def sc03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_quantity") == 0, F.lit(0.0))
         .otherwise(
             # stable cross-engine round: price/qty can land exactly on a .5
-            # boundary where Spark HALF_UP and DuckDB binary-round disagree;
-            # a 1e-9 toward-zero nudge resolves it identically on both sides.
-            F.round(
-                F.col("l_extendedprice") / F.col("l_quantity")
-                - F.signum(F.col("l_extendedprice") / F.col("l_quantity")) * F.lit(1e-9),
-                6,
-            )
+            # boundary; the r6s nudge resolves it identically on both sides.
+            r6s(F.col("l_extendedprice") / F.col("l_quantity"))
         )
         .alias("unit_price"),
     )
@@ -1331,7 +1355,7 @@ def o02_sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 6).alias("total_value"),
+            r6(F.sum("value")).alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy(F.desc("total_value"), "user_id")
@@ -1487,7 +1511,7 @@ def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
     )
-    nudge6 = lambda c: F.round(c - F.signum(c) * F.lit(1e-9), 6)  # noqa: E731
+    nudge6 = lambda c: r6(c - F.signum(c) * F.lit(1e-9))  # noqa: E731
     bracket = lambda v, lo, hi: ((v >= lo) & (v <= hi)).cast("int")  # noqa: E731
     return agg.select(
         "event_type",
@@ -1665,7 +1689,9 @@ def a16_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT-cents sum: exact and order-independent (see a10/q1)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            # +0.5-and-truncate cents: round-equivalent for non-negative
+            # 2dp values, no per-row BigDecimal.
+            (F.sum((F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias(
                 "total_value"
             ),
         )
@@ -1700,9 +1726,9 @@ def a17_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate — no per-pair scans), unpivoted to rows.
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_vs_quantity"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_vs_discount"),
-        F.round(F.corr("l_quantity", "l_tax"), 6).alias("quantity_vs_tax"),
+        r6(F.corr("l_extendedprice", "l_quantity")).alias("price_vs_quantity"),
+        r6(F.corr("l_extendedprice", "l_discount")).alias("price_vs_discount"),
+        r6(F.corr("l_quantity", "l_tax")).alias("quantity_vs_tax"),
     )
     pairs = F.array(
         *[

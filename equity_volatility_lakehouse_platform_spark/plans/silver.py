@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
 @register(
@@ -72,5 +73,5 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").alias("h"),
         F.when(F.col("slot") == F.col("h"), F.col("n")).otherwise(F.lit(0)).alias("n_events"),
         (F.col("slot") != F.col("h")).alias("is_filled"),
-        F.round("close", 6).alias("close_ffill"),
+        r6("close").alias("close_ffill"),
     )

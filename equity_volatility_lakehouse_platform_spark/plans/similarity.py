@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -89,7 +90,7 @@ def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+        .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )
 
 
@@ -215,7 +216,7 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+        .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )
 
 
@@ -275,5 +276,5 @@ def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+        .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
     run_tumbling_stream,
     tumbling_agg,
@@ -53,7 +54,7 @@ def st02_session_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), session.alias("session"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.avg("value")).alias("avg_value"))
     )
 
 
@@ -114,10 +115,10 @@ def st05_session_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), session.alias("session"))
         .agg(
-            F.round(F.min_by("value", "ts"), 6).alias("open"),
-            F.round(F.max("value"), 6).alias("high"),
-            F.round(F.min("value"), 6).alias("low"),
-            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            r6(F.min_by("value", "ts")).alias("open"),
+            r6(F.max("value")).alias("high"),
+            r6(F.min("value")).alias("low"),
+            r6(F.max_by("value", "ts")).alias("close"),
             F.count(F.lit(1)).alias("n"),
         )
     )

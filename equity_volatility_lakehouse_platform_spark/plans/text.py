@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 _LEX = {
     "en": ("the", "of", "and", "to", "in", "is", "for"),
@@ -53,9 +54,8 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("_n_tok").cast("long").alias("n_tokens"),
         F.col("_len").cast("long").alias("n_chars_measured"),
-        F.round(
-            F.col("_len_nospace") * 1.0 / F.nullif(F.col("_n_tok"), F.lit(0)), 6
-        ).alias("avg_token_len"),
+        r6(
+            F.col("_len_nospace") * 1.0 / F.nullif(F.col("_n_tok"), F.lit(0))).alias("avg_token_len"),
     )
 
 
@@ -110,9 +110,9 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ratios.select(
         "doc_id",
-        F.round("_punct_ratio", 6).alias("punct_ratio"),
-        F.round("_stop_ratio", 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        r6("_punct_ratio").alias("punct_ratio"),
+        r6("_stop_ratio").alias("stopword_ratio"),
+        r6(score).alias("quality_score"),
     )
 
 
@@ -264,7 +264,7 @@ def t05_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_overlap",
-        F.round(ratio - F.signum(F.col("n_overlap")) * F.lit(1e-9), 6).alias(
+        r6(ratio - F.signum(F.col("n_overlap")) * F.lit(1e-9)).alias(
             "overlap_ratio"
         ),
         (F.col("n_overlap") * 2 >= F.col("n_shingles")).cast("int").alias(
@@ -322,6 +322,6 @@ def t06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "n_distinct",
         "top_tf",
-        F.round(dup - F.signum(dup) * F.lit(1e-9), 6).alias("dup_ratio"),
+        r6(dup - F.signum(dup) * F.lit(1e-9)).alias("dup_ratio"),
         (F.col("top_tf") * 5 >= F.col("n_tokens")).cast("int").alias("repetitive"),
     )

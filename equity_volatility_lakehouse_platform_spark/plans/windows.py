@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 def _w_key():
     """The one shared per-key ordered window (SURVEY §4 physical notes).
@@ -26,17 +27,16 @@ def _w_key():
 
 
 def _r6(col):
-    return F.round(col, 6)
+    return r6(col)
 
 
 def _r6s(col):
-    """Stable cross-engine 6dp round: ratios of 2dp inputs can land exactly
-    on a .5 rounding boundary, where Spark (HALF_UP on the decimal) and
-    DuckDB (binary-double round) disagree by 1 ulp. A 1e-9 toward-zero
-    nudge — three orders below the precision — moves boundary values
-    decisively to one side in BOTH engines. Oracle mirror:
-    (ROUND(x - sign(x) * 0.000000001, 6) + 0.0)."""
-    return F.round(col - F.signum(col) * F.lit(1e-9), 6)
+    """Nudged 6dp round (functions/rounding.r6s): r6 is bit-identical to
+    DuckDB ROUND, so the 1e-9 toward-zero nudge now exists to absorb
+    sub-1e-9 summation-order drift in aggregated INPUTS (the engines may
+    feed the round 1-ulp-different sums near a .5 boundary). Oracle
+    mirror: (ROUND(x - sign(x) * 0.000000001, 6) + 0.0)."""
+    return r6(col - F.signum(col) * F.lit(1e-9))
 
 
 @register(
@@ -337,7 +337,7 @@ def w11_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="value",
         alpha=0.1,
         out="ewm_01",
-    ).select("event_id", "user_id", F.round("ewm_01", 6).alias("ewm_01"))
+    ).select("event_id", "user_id", r6("ewm_01").alias("ewm_01"))
 
 
 @register(

@@ -79,6 +79,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Oracle comparisons are tz-naive; all timestamp extraction must agree
     # with DuckDB's wall-clock view of the same micros values.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Files written as isAdjustedToUTC=false micros would otherwise infer
+    # TIMESTAMP_NTZ, and the repair cast below — while value-identical
+    # under the UTC session — blocks parquet filter pushdown on every
+    # timestamp predicate and adds a per-row cast. Reading them directly
+    # as TimestampType is free and pushdown-friendly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         # nanos -> micros with integer `div` (float division would lose

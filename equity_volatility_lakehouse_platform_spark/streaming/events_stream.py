@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from equity_volatility_lakehouse_platform_spark.sources.readers import _nano_ts_columns
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
 def _run_stream_scoped(
@@ -57,6 +58,9 @@ def _run_stream_scoped(
     if _nano_ts_columns(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Micros-NTZ files read directly as TimestampType (watermark needs
+    # LTZ); see load_table for the pushdown rationale.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(path).schema
     tmp_root = tempfile.mkdtemp(prefix=prefix)
     src_dir = os.path.join(tmp_root, "src")
@@ -108,7 +112,7 @@ def tumbling_agg(df: DataFrame, window: str = "1 hour") -> DataFrame:
         F.window("ts", window).alias("win"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        r6(F.sum("value")).alias("total_value"),
     ).select(
         F.col("win.start").alias("hour_ts"), "event_type", "n", "total_value"
     )
@@ -166,7 +170,7 @@ def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("s.n_events").alias("n_events"),
-            F.round("s.total_value", 6).alias("total_value"),
+            r6("s.total_value").alias("total_value"),
         )
     )
 
@@ -200,6 +204,6 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            r6(F.sum("value")).alias("total_value"),
         )
     )

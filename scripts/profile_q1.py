@@ -87,6 +87,65 @@ def main():
         ),
     )
 
+    disc_u = ep_c * d100
+    charge_u = ep_c * d100 * t100
+    M = F.lit(1 << 20)
+    bench(
+        "split-long sums (hi/lo)",
+        filt.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)),
+            F.sum("l_quantity"),
+            F.sum(ep_c),
+            F.sum(disc_u.bitwiseAND(F.lit((1 << 20) - 1))),
+            F.sum(F.shiftright(disc_u, 20)),
+            F.sum(charge_u.bitwiseAND(F.lit((1 << 20) - 1))),
+            F.sum(F.shiftright(charge_u, 20)),
+            F.sum(cents("l_discount")),
+        ),
+    )
+
+    # cents via +0.5-and-truncate: F.round(double) allocates a BigDecimal
+    # per row; for positive exactly-2dp inputs trunc(x*100+0.5) is the
+    # same integer at a fraction of the cost.
+    ccents = lambda c: (F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    cep = ccents("l_extendedprice")
+    cd100 = F.lit(100) - ccents("l_discount")
+    ct100 = F.lit(100) + ccents("l_tax")
+
+    bench(
+        "cheap cents, long sums",
+        filt.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)),
+            F.sum("l_quantity"),
+            F.sum(cep),
+            F.sum(cep * cd100),
+            F.sum(cep * cd100 * ct100),
+            F.sum(ccents("l_discount")),
+        ),
+    )
+
+    pre = filt.select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        cep.alias("ep_c"),
+        (cep * cd100).alias("disc_u"),
+        (cep * cd100 * ct100).alias("charge_u"),
+        ccents("l_discount").alias("disc_c"),
+    )
+    LO = F.lit((1 << 20) - 1)
+    bench(
+        "cheap cents, split sums",
+        pre.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)),
+            F.sum("l_quantity"),
+            F.sum("ep_c"),
+            F.sum(F.col("disc_u").bitwiseAND(LO)),
+            F.sum(F.shiftright("disc_u", 20)),
+            F.sum(F.col("charge_u").bitwiseAND(LO)),
+            F.sum(F.shiftright("charge_u", 20)),
+            F.sum("disc_c"),
+        ),
+    )
+
     from equity_volatility_lakehouse_platform_spark.plans.relational import (
         q1_pricing_summary,
     )
