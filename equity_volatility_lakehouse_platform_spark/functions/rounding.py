@@ -40,10 +40,11 @@ from pyspark.sql import functions as F
 _INF = float("inf")
 
 
-def r6(col: Column | str) -> Column:
-    """6dp round, bit-identical to DuckDB ``(ROUND(x, 6) + 0.0)``."""
+def _round_scaled(col: Column | str, p: float) -> Column:
+    """Round to 1/p grain, bit-identical to DuckDB ``(ROUND(x, s)+0.0)``
+    for ``p = 10**s``."""
     x = F.col(col) if isinstance(col, str) else col
-    y = x * F.lit(1e6)
+    y = x * F.lit(p)
     frac = y % F.lit(1.0)
     t = y - frac
     adj = (
@@ -52,10 +53,26 @@ def r6(col: Column | str) -> Column:
         .otherwise(F.lit(0.0))
     )
     return (
-        F.when(F.isnan(y) | (F.abs(y) == F.lit(_INF)), y / F.lit(1e6))
-        .otherwise((t + adj) / F.lit(1e6))
+        F.when(F.isnan(y) | (F.abs(y) == F.lit(_INF)), y / F.lit(p))
+        .otherwise((t + adj) / F.lit(p))
         + F.lit(0.0)
     )
+
+
+def r6(col: Column | str) -> Column:
+    """6dp round, bit-identical to DuckDB ``(ROUND(x, 6) + 0.0)``."""
+    return _round_scaled(col, 1e6)
+
+
+def r2(col: Column | str) -> Column:
+    """2dp (money-grain) round, bit-identical to DuckDB ``ROUND(x, 2)``
+    up to signed zero. Used before DECIMAL(18,2) casts so the cast input
+    is the double nearest k/100 on BOTH engines — each engine's
+    double->decimal cast then lands on exactly k/100, regardless of the
+    generator's input precision (a raw 3dp value like 2.675 would
+    otherwise round differently through Spark's shortest-repr HALF_UP
+    cast vs DuckDB's binary-double cast)."""
+    return _round_scaled(col, 1e2)
 
 
 def r6s(col: Column | str) -> Column:

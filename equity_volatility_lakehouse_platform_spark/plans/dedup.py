@@ -232,54 +232,87 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "d05_ngram_jaccard_adjacent",
-    oracle=_SH_CTE + """
-    , sets AS (
+    "d05_ngram_jaccard_lsh",
+    oracle=_SIG_SQL + """
+    , sh AS (
       SELECT doc_id,
-             (SELECT d.source FROM documents d WHERE d.doc_id = sh.doc_id) AS source,
-             list_distinct(shingles) AS s
-      FROM sh
-    ), ranked AS (
-      SELECT doc_id, source, s,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-      FROM sets
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), sets AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           (ROUND(len(list_intersect(a.s, b.s)) * 1.0
-                 / NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0), 6) + 0.0)
-             AS jaccard
-    FROM ranked a JOIN ranked b
-      ON a.source = b.source AND b.rn = a.rn + 1
+    SELECT c.doc_a, c.doc_b,
+           (ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
+                 / NULLIF(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0), 6) + 0.0)
+             AS jaccard,
+           len(list_intersect(sa.s, sb.s)) * 1.0
+             / NULLIF(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0) >= 0.8
+             AS is_near_dup
+    FROM cand c JOIN sets sa ON c.doc_a = sa.doc_id
+                JOIN sets sb ON c.doc_b = sb.doc_id
     """,
 )
-def d05_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact n-gram Jaccard between successive docs of the same source —
-    # the verification stage that LSH candidates feed at scale (bounded
-    # pair set; never all-pairs).
+def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The MinHash-LSH candidate->verify composition END-TO-END for exact
+    # n-gram Jaccard (the textual mirror of d07's cluster composition and
+    # d06's cosine one): band collisions from the SAME signatures d03
+    # scores (signature_table) propose a bounded candidate set — linear
+    # in collisions, never all-pairs — and the exact 3-gram Jaccard
+    # verifies each pair. At 100 TB the signatures come from a
+    # materialized table (sig_path), the band join shuffles 16-byte keys,
+    # and the verify join ships shingle sets only for colliding docs.
     docs = load_table(spark, sf_dir, "documents")
+    sig = signature_table(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("x"),
+                F.col(f"mh{2 * band + 1}").alias("y"),
+            )
+            for band in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    pairs = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     tok = tx.tokens(F.col("text"))
     sets = (
-        docs.select("doc_id", "source", tok.alias("t"))
+        docs.select("doc_id", tok.alias("t"))
         .filter(F.size("t") >= 3)
-        .select("doc_id", "source", F.array_distinct(tx.shingles(F.col("t"))).alias("s"))
+        .select("doc_id", F.array_distinct(tx.shingles(F.col("t"))).alias("s"))
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    ranked = sets.withColumn("rn", F.row_number().over(w))
-    a = ranked.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"),
-        F.col("s").alias("s_a"), F.col("rn").alias("rn_a"),
-    )
-    b = ranked.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"),
-        F.col("s").alias("s_b"), F.col("rn").alias("rn_b"),
-    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.size("s_a") + F.size("s_b") - inter
+    jac = inter * 1.0 / F.nullif(union, F.lit(0))
     return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("rn_b") == F.col("rn_a") + 1))
+        pairs.join(a, "doc_a").join(b, "doc_b")
         .select(
             "doc_a", "doc_b",
-            r6(inter * 1.0 / F.nullif(union, F.lit(0))).alias("jaccard"),
+            r6(jac).alias("jaccard"),
+            (jac >= 0.8).alias("is_near_dup"),
         )
     )
 

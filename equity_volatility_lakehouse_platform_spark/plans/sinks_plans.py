@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r2
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
@@ -23,11 +24,13 @@ from equity_volatility_lakehouse_platform_spark.sources.sinks import (
 
 
 def _money(col: str):
-    # Explicit 2dp round BEFORE the decimal cast: Spark casts via the
-    # shortest decimal string (HALF_UP) while DuckDB rounds the binary
-    # double, which disagree on e.g. 2.675. Rounding the double first on
-    # BOTH sides makes the cast input exact regardless of the generator.
-    return F.sum(F.round(F.col(col), 2).cast("decimal(18,2)")).cast("double")
+    # DuckDB-exact 2dp round BEFORE the decimal cast (functions/rounding
+    # .r2): both engines' cast inputs are then the identical
+    # double-nearest-k/100, so the DECIMAL(18,2) casts agree for ANY
+    # input precision — a plain F.round(col, 2) here would itself
+    # diverge from DuckDB's ROUND on 3dp boundary values like 2.675
+    # (tests/test_domain.py::test_money_guard_3dp_fixture).
+    return F.sum(r2(F.col(col)).cast("decimal(18,2)")).cast("double")
 
 
 # DuckDB mirror of _money (see comment above).

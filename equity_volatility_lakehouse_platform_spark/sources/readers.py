@@ -65,7 +65,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assert them here — at the read site — rather than trusting the session.
 
     DOCUMENTED SIDE EFFECT: this mutates the caller's session config
-    (UTC timezone + nanosAsLong) for the rest of the session — the
+    (UTC timezone + nanosAsLong + inferTimestampNTZ=false) for the rest
+    of the session — the
     engine's contract is UTC wall-clock semantics everywhere, and the
     driver's bare session depends on the overwrite. A co-resident
     workload needing a different session timezone must scope its own
