@@ -237,3 +237,134 @@ def ml06_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"), F.sum("sgn").alias("signed_tf"))
     )
+
+
+_ML07_SALT = "split1"
+_ML07_TRAIN_T = int(0.8 * 2**32)   # 3435973836
+_ML07_VAL_T = int(0.9 * 2**32)     # 3865470566
+
+
+@register(
+    "ml07_leakage_safe_split",
+    oracle=None,  # set below — needs dedup's signature CTE
+)
+def ml07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Leakage-safe train/val/test split: the assignment hash is computed
+    # on the NEAR-DUP CLUSTER REPRESENTATIVE (d07's min-label connected
+    # component, singleton docs represent themselves), so every member of
+    # a near-duplicate cluster lands in the SAME split — the train/test
+    # contamination guard a 100 TB pretraining pipeline needs (a plain
+    # per-doc hash split leaks paraphrases across splits). The
+    # n_cross_split_edges column audits the guarantee: near-dup edges
+    # whose endpoints straddle splits — ZERO by construction, verified by
+    # the oracle's recursive-CTE recomputation. Scale shape: one CC over
+    # LSH edges (d07), one broadcast-able singleton-row audit join; the
+    # hash split itself is a zero-shuffle map stage (ml05's salted-md5
+    # device on rep_id).
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d03_minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(rep.cast("string"), F.lit(f":{_ML07_SALT}"))), 1, 8
+        ),
+        16, 10,
+    ).cast("bigint")
+    split = (
+        F.when(u32 < _ML07_TRAIN_T, "train")
+        .when(u32 < _ML07_VAL_T, "val")
+        .otherwise("test")
+    )
+    assigned = docs.join(comps, "doc_id", "left").select(
+        "doc_id", split.alias("split")
+    )
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    audit = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_cross_split_edges"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+def _ml07_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import _SIG_SQL
+
+    return _SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + f"""
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                  JOIN sig sb ON c.doc_b = sb.doc_id
+    ), dedges AS (
+      SELECT doc_a, doc_b FROM scored WHERE est >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dedges
+      UNION ALL SELECT doc_b, doc_a FROM dedges
+    ), nodes AS (SELECT DISTINCT s AS id FROM edges
+    ), reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ), clusters AS (
+      SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    ), assign AS (
+      SELECT d.doc_id,
+             CASE WHEN u32 < {_ML07_TRAIN_T} THEN 'train'
+                  WHEN u32 < {_ML07_VAL_T} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+                                        || ':{_ML07_SALT}'), 1, 8)) AS BIGINT) AS u32
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      ) d
+    ), audit AS (
+      SELECT count(*) AS n_cross_split_edges
+      FROM dedges e JOIN assign a ON a.doc_id = e.doc_a
+                    JOIN assign b ON b.doc_id = e.doc_b
+      WHERE a.split != b.split
+    )
+    SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.doc_id) AS BIGINT) AS doc_id_sum,
+           (SELECT CAST(n_cross_split_edges AS BIGINT) FROM audit) AS n_cross_split_edges
+    FROM assign s GROUP BY s.split
+    """
+
+
+from equity_volatility_lakehouse_platform_spark.plans import registry as _reg  # noqa: E402
+
+_reg.set_oracle("ml07_leakage_safe_split", _ml07_oracle())

@@ -34,6 +34,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+def set_oracle(name: str, oracle: str) -> None:
+    """Attach/replace the oracle for an already-registered query — for
+    oracles assembled from other modules' CTE fragments at import time
+    (e.g. ml07 reuses dedup's signature SQL)."""
+    if name not in _QUERIES:
+        raise KeyError(f"unknown query: {name}")
+    _ORACLES[name] = oracle
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

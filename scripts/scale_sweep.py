@@ -38,9 +38,15 @@ def main() -> int:
     import __spark_entry__ as e
     from tests.hash_compare import run_hash_compare
 
-    spark = SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-    ).getOrCreate()
+    # NOT the bare driver session (that contract is the sf0.01 gate):
+    # at 10x the bucketed-table write OOMs the 1g default driver heap.
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, oracles = e.queries(), e.oracle_sql()

@@ -63,7 +63,11 @@ def _spark_canon(field):
 
     c = F.col(field.name)
     t = field.dataType
-    if isinstance(t, (T.DoubleType, T.FloatType)):
+    # DECIMAL canonicalizes as double microunits on BOTH sides: one
+    # engine frequently types a computed column DECIMAL where the other
+    # has DOUBLE (e.g. DuckDB CASE over decimal literals), and the
+    # exact comparator coerces the same way.
+    if isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
         x = c.cast("double")
         y = x * F.lit(1e6)
         frac = y % F.lit(1.0)
@@ -107,7 +111,7 @@ def _spark_canon(field):
     if isinstance(t, T.BinaryType):
         return F.lower(F.hex(c))
     if isinstance(t, (T.StringType, T.IntegerType, T.LongType, T.ShortType,
-                      T.ByteType, T.DecimalType)):
+                      T.ByteType)):
         return c.cast("string")
     raise NotImplementedError(
         f"hash_compare: unsupported Spark type {t} for column {field.name}"
@@ -215,6 +219,13 @@ def duck_digest(con, sql: str) -> tuple[int, int, int]:
 
     for batch in reader:
         tbl = pa.Table.from_batches([batch])
+        # DECIMAL -> float64 (see _spark_canon: decimals canonicalize as
+        # double microunits on both sides)
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_decimal(f.type):
+                tbl = tbl.set_column(
+                    i, f.name, tbl.column(i).cast(pa.float64())
+                )
         # validity mask BEFORE pandas conversion (NaN vs NULL distinction)
         mask_null = pd.DataFrame(
             {name: pd.Series(tbl.column(name).is_null().to_pandas())
