@@ -143,3 +143,47 @@ def st06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_dedup_stream(spark, sf_dir)
+
+
+_SLIDING_ORACLE = """
+    WITH base AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, value
+      FROM events
+    ), x AS (
+      SELECT h AS win_start, event_type, value FROM base
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR, event_type, value FROM base
+    )
+    SELECT win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM x GROUP BY 1, 2
+"""
+
+
+@register("st07_sliding_window", oracle=_SLIDING_ORACLE)
+def st07_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BATCH sliding (hopping) windows: 2h windows every 1h — each event
+    # contributes to exactly two windows (the tumbling hour and the one
+    # before). Spark's window(ts, '2 hours', '1 hour') replicates rows
+    # into covering windows BEFORE partial aggregation, so the shuffle
+    # moves 2x partials, never 2x raw events. Oracle: UNION ALL of the
+    # two slide-shifted tumbling groupings.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        sliding_agg,
+    )
+
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+@register("st08_streaming_sliding", oracle=_SLIDING_ORACLE)
+def st08_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The REAL streaming path for sliding windows: readStream ->
+    # watermark -> hopping-window agg -> memory sink (availableNow).
+    # Bounded input + complete pass => must equal the batch sliding
+    # GROUP BY, so it shares st07's oracle (same device as st03/st01).
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_sliding_stream,
+    )
+
+    return run_sliding_stream(spark, sf_dir)

@@ -130,6 +130,42 @@ def run_tumbling_stream(
     )
 
 
+def sliding_agg(
+    df: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (hopping) window aggregation — each event lands in
+    window/slide overlapping windows; Spark's window() replicates rows
+    into every covering window before the partial aggregation, so the
+    shuffle carries (window/slide)x rows of PARTIALS, not raw events."""
+    return (
+        df.withWatermark("ts", "2 hours")
+        if df.isStreaming
+        else df
+    ).groupBy(
+        F.window("ts", window, slide).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("value")).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("win_start"), "event_type", "n", "total_value"
+    )
+
+
+def run_sliding_stream(
+    spark: SparkSession, sf_dir: str,
+    window: str = "2 hours", slide: str = "1 hour",
+) -> DataFrame:
+    """Streaming sliding-window aggregation end-to-end (same scoped
+    file-source -> watermark -> memory-sink harness as the tumbling
+    variant). Over bounded input with availableNow, the result must
+    equal the batch sliding GROUP BY — the oracle states it as a
+    UNION ALL of slide-shifted tumbling groupings."""
+    return _run_stream_scoped(
+        spark, sf_dir, lambda s: sliding_agg(s, window, slide),
+        "evstream_", "complete",
+    )
+
+
 def run_stateful_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running (count, total) state carried across micro-batches, a snapshot
