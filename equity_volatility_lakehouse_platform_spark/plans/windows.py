@@ -553,3 +553,43 @@ def w15_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6s(F.col("drawdown")).alias("drawdown"),
         _r6s(F.col("max_drawdown")).alias("max_drawdown"),
     )
+
+
+@register(
+    "w16_rolling_corr",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (ROUND((CASE WHEN count(*) OVER w = 20 THEN corr(value, lag_v) OVER w END)
+                  - sign(CASE WHEN count(*) OVER w = 20 THEN corr(value, lag_v) OVER w END)
+                    * 0.000000001, 6) + 0.0) AS corr_20
+    FROM (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_v
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w16_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling 20-row correlation between the series and its own lag (the
+    # autocorrelation feature a quant pipeline derives per key; a17 is
+    # the STATIC pairwise matrix, this is the windowed variant). Two
+    # window passes over the SAME partition/order spec — lag first, then
+    # corr over the trailing frame — one shuffle + one sort. Warm-up
+    # frames yield NULL (pandas rolling(20) semantics, count gate like
+    # the F-library); r6s absorbs the engines' summation-order drift in
+    # the co-moment accumulation.
+    ev = load_table(spark, sf_dir, "events")
+    w = _w_key()
+    frame = w.rowsBetween(-19, 0)
+    lagged = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(w).alias("lag_v"),
+    )
+    corr = F.when(
+        F.count(F.lit(1)).over(frame) == 20, F.corr("value", "lag_v").over(frame)
+    )
+    return lagged.select(
+        "event_id", "user_id", "ts", _r6s(corr).alias("corr_20")
+    )
