@@ -368,3 +368,55 @@ def _ml07_oracle() -> str:
 from equity_volatility_lakehouse_platform_spark.plans import registry as _reg  # noqa: E402
 
 _reg.set_oracle("ml07_leakage_safe_split", _ml07_oracle())
+
+
+@register(
+    "ml08_oof_target_encoding",
+    # Money sums ride the q1 device (trunc(x*100+0.5) == round for the
+    # positive exactly-2dp generator values; see plans/relational.py q1),
+    # so both engines divide the SAME exact integer by the SAME exact
+    # integer — one correctly-rounded double division, no drift, no
+    # rounding column needed.
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(o_orderkey % 5 AS BIGINT) AS fold,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, fold, n_rows,
+           CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) - cents AS DOUBLE)
+             / (100.0 * (SUM(n_rows) OVER (PARTITION BY o_orderpriority) - n_rows))
+             AS oof_mean_price
+    FROM per
+    """,
+)
+def ml08_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Out-of-fold target encoding (the leakage-safe categorical encoder a
+    # training pipeline fits per fold; reference my_model.py encodes
+    # driver-side with sklearn — §2.12): each (category, fold) cell gets
+    # the target mean over the category's OTHER folds, so a row never
+    # sees its own fold's labels. Scale shape: ONE groupBy shuffle to the
+    # (category, fold) grain — cardinality |cats| x |folds|, tiny at any
+    # data scale — then a window over that grain; the per-row encode step
+    # at 100 TB is a broadcast map-side join of this table back to the
+    # fact rows (zero extra shuffle). Target sums are exact cents longs
+    # (q1's device), so the OOF mean is one exact-integer double divide.
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100 + 0.5).cast("long")
+    per = orders.groupBy(
+        "o_orderpriority", (F.col("o_orderkey") % 5).alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("_cents"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    oof_mean = (F.sum("_cents").over(w) - F.col("_cents")).cast("double") / (
+        (F.sum("n_rows").over(w) - F.col("n_rows")) * 100.0
+    )
+    return per.select(
+        "o_orderpriority", "fold", "n_rows", oof_mean.alias("oof_mean_price")
+    )

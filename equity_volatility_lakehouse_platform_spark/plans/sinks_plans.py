@@ -204,3 +204,52 @@ def snk05_acid_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _money("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "snk06_acid_change_feed",
+    # The change feed between known commits is fully predictable from the
+    # source table, so the oracle restates each step's row-level diff:
+    # v0->v1 (merge_insert_only of the full table over the even-key half)
+    # inserts exactly the odd-key orders; v1->v2 (DELETE status 'F')
+    # deletes exactly the 'F' orders.
+    oracle=f"""
+    SELECT 'v0->v1' AS step, 'insert' AS change_type, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1->v2' AS step, 'delete' AS change_type, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+)
+def snk06_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC read surface over the ACID log (AcidTable.changes): build three
+    # versions, then consume each hop as a row-level change feed. The
+    # feed scans only the file-set symmetric difference of the two
+    # manifests — change-proportional, not table-proportional (the
+    # incremental-consumption contract a 100 TB downstream sync needs).
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk06_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
+    table.merge_insert_only(orders, ["o_orderkey"])
+    table.delete_where(F.col("o_orderstatus") == "F")
+
+    def _agg(step: str, feed: DataFrame) -> DataFrame:
+        return feed.groupBy("_change_type", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _money("o_totalprice").alias("total_price"),
+        ).select(
+            F.lit(step).alias("step"),
+            F.col("_change_type").alias("change_type"),
+            "o_orderstatus",
+            "n_rows",
+            "total_price",
+        )
+
+    return _agg("v0->v1", table.changes(0, 1)).unionByName(
+        _agg("v1->v2", table.changes(1, 2))
+    )

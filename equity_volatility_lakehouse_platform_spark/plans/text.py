@@ -325,3 +325,69 @@ def t06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(dup - F.signum(dup) * F.lit(1e-9)).alias("dup_ratio"),
         (F.col("top_tf") * 5 >= F.col("n_tokens")).cast("int").alias("repetitive"),
     )
+
+
+@register(
+    "t07_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq
+    ), scored AS (
+      SELECT t.doc_id, f.c FROM toks t JOIN freq f USING (tok)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           (ROUND((ln((SELECT n FROM tot)) - SUM(ln(c)) / count(*))
+                  - sign(ln((SELECT n FROM tot)) - SUM(ln(c)) / count(*))
+                    * 0.000000001, 6) + 0.0) AS avg_logprob,
+           (ROUND((ln((SELECT n FROM tot)) - ln(min(c)))
+                  - sign(ln((SELECT n FROM tot)) - ln(min(c)))
+                    * 0.000000001, 6) + 0.0) AS max_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t07_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-LM quality scoring (the CCNet-style perplexity filter a
+    # pretraining pipeline runs per document): fit a unigram model over
+    # the WHOLE corpus (token -> count), then score each document by its
+    # mean negative log-probability, avg(-ln(c/N)) = ln(N) - avg(ln c),
+    # plus the rarest-token surprisal. Scale shape: one token-grain
+    # groupBy builds the model (map-side partial agg), the scoring join
+    # is broadcast here (vocabulary ~ millions of tokens = tens of MB at
+    # any corpus size; if a tokenizer explodes the vocab past broadcast
+    # range this becomes a plain shuffle join on tok — still linear),
+    # and the per-doc reduce is a second map-side-combined groupBy.
+    # Token ln()s can differ by 1 ulp between libm and the JVM, so both
+    # engines nudge-round the aggregate (r6s device).
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = freq.agg(F.sum("c").alias("n"))
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log("c")).alias("_sum_ln_c"),
+            F.min("c").alias("_min_c"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    avg_lp = F.log("n") - F.col("_sum_ln_c") / F.col("n_tokens")
+    max_sp = F.log("n") - F.log("_min_c")
+    raw = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        avg_lp.alias("avg_logprob"),
+        max_sp.alias("max_surprisal"),
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        r6(F.col("avg_logprob") - F.signum("avg_logprob") * F.lit(1e-9)).alias("avg_logprob"),
+        r6(F.col("max_surprisal") - F.signum("max_surprisal") * F.lit(1e-9)).alias("max_surprisal"),
+    )

@@ -152,6 +152,48 @@ class AcidTable:
         # Explicit schema: skips footer-merging inference over N files.
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level change feed between two committed snapshots (the
+        Delta-CDF / incremental-consumption analogue, the read side of
+        the reference's incremental sync planner — data_alpaca/
+        bars.py:74-137 plans "what changed since the cursor").
+
+        Scans ONLY the manifests' file-set symmetric difference: rows in
+        files carried over between versions never leave the executors'
+        scan pruning, so the cost is proportional to the CHANGE, not the
+        table (a MERGE touching 1 of 10k files reads 1 file plus its
+        rewrite, not 100 TB). Within the touched files, unchanged rows
+        of copy-on-write rewrites cancel via multiset difference:
+
+        * insert  -> row appears in (added minus removed)
+        * delete  -> row appears in (removed minus added)
+        * update  -> old image as delete + new image as insert
+
+        Returns ``v_to``'s schema plus ``_change_type``
+        ('insert' | 'delete'). Compaction (same rows, new files) yields
+        an empty feed.
+        """
+        mf_from, mf_to = self._manifest(v_from), self._manifest(v_to)
+        added = sorted(set(mf_to["files"]) - set(mf_from["files"]))
+        removed = sorted(set(mf_from["files"]) - set(mf_to["files"]))
+        schema = T._parse_datatype_string(mf_to["schema"])
+
+        def _scan(files: list[str]) -> DataFrame:
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in files]
+            )
+
+        added_df, removed_df = _scan(added), _scan(removed)
+        inserts = added_df.exceptAll(removed_df).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed_df.exceptAll(added_df).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     # ---------------------------------------------------------- writes --
     def overwrite(self, df: DataFrame) -> int:
         """CTAS / full replace as one atomic commit."""

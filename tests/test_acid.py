@@ -274,3 +274,37 @@ def test_compact_is_row_identical_and_shrinks_files(spark, orders, root):
     t._try_commit(v + 1, "append", m["files"], m["schema"])  # rival moves table
     with pytest.raises(CommitConflict):
         t._try_commit(v + 1, "compact", m["files"], m["schema"])
+
+
+def test_change_feed_insert_delete_update(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))          # v0
+    t.merge_insert_only(orders, ["o_orderkey"])                        # v1
+    t.delete_where(F.col("o_orderstatus") == "F")                      # v2
+    t.update_where(                                                    # v3
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+    )
+    n_odd = orders.filter(F.col("o_orderkey") % 2 == 1).count()
+    feed01 = t.changes(0, 1)
+    assert feed01.filter(F.col("_change_type") == "insert").count() == n_odd
+    assert feed01.filter(F.col("_change_type") == "delete").count() == 0
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    feed12 = t.changes(1, 2)
+    assert feed12.filter(F.col("_change_type") == "delete").count() == n_f
+    assert feed12.filter(F.col("_change_type") == "insert").count() == 0
+    # UPDATE shows as one delete (old image) + one insert (new image)
+    # per touched row; carried-over rows of the rewritten files cancel.
+    n_o = t.read(2).filter(F.col("o_orderstatus") == "O").count()
+    feed23 = t.changes(2, 3)
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed23.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"insert": n_o, "delete": n_o}
+
+
+def test_change_feed_compaction_is_empty(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 5 == 0))  # v0
+    t.append(orders.filter(F.col("o_orderkey") % 5 == 1))     # v1
+    t.compact()                                               # v2: same rows
+    assert t.changes(1, 2).count() == 0
