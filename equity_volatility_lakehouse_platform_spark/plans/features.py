@@ -16,7 +16,7 @@ from equity_volatility_lakehouse_platform_spark.functions import features as fea
 from equity_volatility_lakehouse_platform_spark.operators.daily import daily_bars
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 # Shared SQL mirror of operators.daily.daily_bars (the oracle-side pipeline).
 DAILY_CTE = """
@@ -53,7 +53,10 @@ def _out(df: DataFrame, *cols: str) -> DataFrame:
     # in the aggregated inputs (dollar_vol / pm sums) near .5 boundaries.
     # Same device as plans/windows._r6s; hits were observed at 10x SF.
     rounded = [
-        r6(F.col(c) - F.signum(c) * F.lit(1e-9)).alias(c)
+        # NAME into r6s: parsed-SQL fast path (one py4j round-trip per
+        # column; the Column-tree form cost ~1.4 s of driver time just
+        # CONSTRUCTING f20's 25-column projection — functions/rounding).
+        r6s(c).alias(c)
         if dict(df.dtypes)[c] == "double"
         else F.col(c)
         for c in cols
