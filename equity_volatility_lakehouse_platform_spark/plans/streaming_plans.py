@@ -187,3 +187,41 @@ def st08_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_sliding_stream(spark, sf_dir)
+
+
+@register(
+    "st09_watermark_late_data",
+    # Closed form of the dual-watermark semantics (see
+    # streaming/events_stream.run_late_data_stream): 3-day-old
+    # stragglers arrive in the last micro-batch, whose late-event filter
+    # watermark (the PREVIOUS batch's, = max(batch 0) - 2h) sits far
+    # above their window ends -> all dropped; the final no-data batch
+    # flushes every window with end <= max(ts) - 2h (inclusive bound,
+    # verified empirically). Result: on-time rows only, closed windows
+    # only.
+    oracle="""
+    WITH cl AS (
+      SELECT max(ts) - INTERVAL 3 DAY AS late_cut,
+             max(ts) - INTERVAL 2 HOUR AS wm
+      FROM events
+    )
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour_ts,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(e.value), 6) + 0.0) AS total_value
+    FROM events e, cl
+    WHERE e.ts >= cl.late_cut
+      AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= cl.wm
+    GROUP BY 1, 2
+    """,
+)
+def st09_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL Structured Streaming run in append mode with out-of-order
+    # arrival: stragglers older than the watermark are dropped, closed
+    # windows emit exactly once. The one streaming behavior st03/st08
+    # (complete-mode, in-order) cannot exercise.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_late_data_stream,
+    )
+
+    return run_late_data_stream(spark, sf_dir)

@@ -243,3 +243,103 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("value")).alias("total_value"),
         )
     )
+
+
+def run_late_data_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermark LATE-DATA semantics end-to-end, deterministically.
+
+    The bounded replay is split into three ordered micro-batches
+    (``maxFilesPerTrigger=1``; files mtime- and name-ordered):
+
+    * batch 0 — "mid" rows: ``late_cut <= ts < head_cut``
+    * batch 1 — "head" rows: ``ts >= head_cut`` (carries the global max)
+    * batch 2 — "late" rows: ``ts < late_cut`` (3-day-old stragglers)
+
+    with ``late_cut = max_ts - 3 days`` and ``head_cut = max_ts - 1 day``.
+
+    Spark's dual-watermark rule (SPARK-40925, verified empirically on
+    this engine version with boundary fixtures):
+
+    * a batch FILTERS late input against the watermark of the PREVIOUS
+      batch: batch 2's filter watermark is ``max(batch 0) - delay``,
+      far above every straggler's window end, so ALL late rows are
+      dropped (``numRowsDroppedByWatermark``), none merged;
+    * EVICTION/emission at the end of each batch uses the CURRENT
+      watermark with an inclusive bound (a window whose end EQUALS the
+      watermark is emitted — tested), and availableNow runs a final
+      no-data batch, so every window with
+      ``end <= max_ts - delay`` is flushed before the query stops.
+
+    The final append-mode table is therefore exactly: the tumbling
+    aggregation over rows with ``ts >= late_cut`` restricted to windows
+    with ``end <= max_ts - delay`` — a closed-form DuckDB oracle.
+
+    At scale this is the production shape verbatim: Kafka source, the
+    same watermark, a real sink; the split files stand in for arrival
+    order.
+    """
+    import datetime
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if _nano_ts_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    batch = spark.read.parquet(path)
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    max_ts = batch.agg(F.max("ts")).first()[0]  # one scalar, not data
+    late_cut = max_ts - datetime.timedelta(days=3)
+    head_cut = max_ts - datetime.timedelta(days=1)
+
+    tmp_root = tempfile.mkdtemp(prefix="evlate_")
+    src_dir = os.path.join(tmp_root, "src")
+    os.makedirs(src_dir)
+    splits = [
+        ("0-mid", (F.col("ts") >= F.lit(late_cut)) & (F.col("ts") < F.lit(head_cut))),
+        ("1-head", F.col("ts") >= F.lit(head_cut)),
+        ("2-late", F.col("ts") < F.lit(late_cut)),
+    ]
+    now = __import__("time").time()
+    for i, (name, pred) in enumerate(splits):
+        out = os.path.join(tmp_root, name)
+        batch.filter(pred).coalesce(1).write.parquet(out)
+        part = next(f for f in os.listdir(out) if f.endswith(".parquet"))
+        tgt = os.path.join(out, part)
+        # Distinct ascending mtimes + lexical names fix the batch order.
+        os.utime(tgt, (now - 300 + 60 * i,) * 2)
+        os.symlink(tgt, os.path.join(src_dir, f"{name}.parquet"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("total_value"))
+        .select(F.col("win.start").alias("hour_ts"), "event_type", "n", "total_value")
+    )
+    name = f"evlate_{uuid.uuid4().hex[:8]}"
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(tmp_root, ignore_errors=True)
