@@ -186,3 +186,46 @@ def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Waveform statistics over an opaque audio payload, interpreted as
+    16-bit little-endian PCM (the universal raw-audio interchange grain):
+    sample count, peak amplitude, and the EXACT integer sum of squares
+    (RMS is derived outside in one double op, keeping this stage
+    drift-free). Arrow-batched ``mapInPandas`` with numpy ``frombuffer``
+    — zero-copy per batch, no shuffle, the same plumbing a real
+    torchaudio/ffmpeg decode stage would ride.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                n = len(b) // 2
+                a = np.frombuffer(b[: n * 2], dtype="<i2").astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(np.abs(a).max()) if n else 0,
+                        int((a * a).sum()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "sum_sq"]
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, PCM_SCHEMA)

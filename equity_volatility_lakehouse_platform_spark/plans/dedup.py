@@ -438,3 +438,94 @@ def d07_duplicate_clusters(
     )
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+_D07_CLUSTER_SQL = """
+    , bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                  JOIN sig sb ON c.doc_b = sb.doc_id
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM scored WHERE est >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM scored WHERE est >= 0.5
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ), clusters AS (
+      SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id
+    )
+"""
+
+
+@register(
+    "d08_canonical_selection",
+    oracle=_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    + _D07_CLUSTER_SQL
+    + """
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           first_value(d.doc_id) OVER (
+             PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id ASC
+           ) AS kept_doc_id,
+           CAST(d.doc_id = first_value(d.doc_id) OVER (
+             PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id ASC
+           ) AS INTEGER) AS is_kept
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """,
+)
+def d08_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The retention step that completes the dedup pipeline: every doc is
+    # assigned to its near-dup cluster (d07's connected component;
+    # singletons represent themselves) and each cluster keeps ONE
+    # canonical document — the longest, ties to the smallest doc_id (the
+    # standard keep-best heuristic; swap the ordering for a model-based
+    # quality score without changing the shape). Scale: the cluster map
+    # covers only docs with near-dup edges (a small fraction of a real
+    # corpus), the doc join is key-partitioned, and the keeper choice is
+    # one window over cluster_id — no driver participation anywhere.
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    assigned = docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = F.first("doc_id").over(w)
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        kept.alias("kept_doc_id"),
+        (F.col("doc_id") == kept).cast("int").alias("is_kept"),
+    )

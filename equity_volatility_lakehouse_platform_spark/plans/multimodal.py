@@ -102,3 +102,61 @@ def mm04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_binary_payload(docs))
+
+
+@register(
+    "mm05_audio_pcm_stats",
+    # The PCM interpretation is pure byte arithmetic, so DuckDB can
+    # recompute it exactly from the text payload (ASCII corpus: char
+    # codepoints == utf-8 bytes, the mm02 device): 16-bit LE samples
+    # lo + 256*hi with two's-complement sign, integer peak and
+    # sum-of-squares, one double sqrt at the end (nudge-rounded — the
+    # engines' libm sqrt may differ by 1 ulp).
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, text, length(text) // 2 AS n FROM documents
+    ), samp AS (
+      SELECT doc_id, n,
+             list_transform(
+               generate_series(1, n),
+               i -> ascii(text[2*i-1]) + 256 * ascii(text[2*i])
+                    - CASE WHEN ascii(text[2*i]) >= 128 THEN 65536 ELSE 0 END
+             ) AS v
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_max(list_transform(v, x -> abs(x))), 0) AS BIGINT) AS peak,
+           (ROUND(sqrt(CAST(COALESCE(list_sum(list_transform(v, x -> x * x)), 0) AS DOUBLE)
+                       / NULLIF(n, 0))
+                  - sign(sqrt(CAST(COALESCE(list_sum(list_transform(v, x -> x * x)), 0) AS DOUBLE)
+                              / NULLIF(n, 0))) * 0.000000001, 6) + 0.0) AS rms
+    FROM samp
+    """,
+)
+def mm05_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Audio-column analysis: attach the opaque payload, decode PCM16LE
+    # waveform stats in an Arrow-batched map stage (integer-exact), then
+    # derive RMS with a single double sqrt. Map-only — no shuffle at any
+    # scale.
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        pcm_stats,
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = pcm_stats(attach_binary_payload(docs))
+    raw = stats.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        F.sqrt(
+            F.col("sum_sq").cast("double") / F.nullif(F.col("n_samples"), F.lit(0))
+        ).alias("rms"),
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        r6(F.col("rms") - F.signum("rms") * F.lit(1e-9)).alias("rms"),
+    )
