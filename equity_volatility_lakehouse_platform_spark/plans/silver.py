@@ -51,7 +51,12 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
         F.max_by("value", "ts").alias("close"), F.count(F.lit(1)).alias("n")
-    )
+    # Round at the HOURLY grain: identical output (the forward fill
+    # carries the rounded value unchanged), but the r6 expression lives
+    # in the aggregate stage instead of the sequence/explode stage —
+    # whose generated method is near the 8 KB JIT limit already
+    # (SCALE.md round-5 addendum 2); ~2x on the explode stage at sf0.1.
+    ).select("user_id", "h", r6("close").alias("close"), "n")
     w = Window.partitionBy("user_id").orderBy("h")
     slots = hourly.withColumn("next_h", F.lead("h").over(w)).select(
         "user_id",
@@ -73,5 +78,5 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot").alias("h"),
         F.when(F.col("slot") == F.col("h"), F.col("n")).otherwise(F.lit(0)).alias("n_events"),
         (F.col("slot") != F.col("h")).alias("is_filled"),
-        r6("close").alias("close_ffill"),
+        F.col("close").alias("close_ffill"),
     )

@@ -278,3 +278,106 @@ def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )
+
+
+@register(
+    "sim05_ann_recall",
+    # Recall@k of the LSH-ANN path against the exact baseline — the
+    # evaluation every ANN deployment runs before trusting the index.
+    # Both top-k sets are fully deterministic (ties broken by vec_id),
+    # so recall is a ratio of small exact integers.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
+                       THEN 1 ELSE 0 END * 2
+                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      FROM e
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 3
+    ), exact_topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, e.v)
+                   / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.v, e.v)), 0) DESC, e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 3
+    ), ann_topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, b.vec_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, b.v)
+                   / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(b.v, b.v)), 0) DESC, b.vec_id) AS rn
+        FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
+      ) WHERE rn <= 3
+    )
+    SELECT x.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(count(a.vec_id) * 1.0 / count(*), 6) + 0.0) AS recall_at_3
+    FROM exact_topk x
+    LEFT JOIN ann_topk a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY x.q_id
+    """,
+)
+def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composition query: exact top-3 (sim01's shape) vs LSH-bucket top-3
+    # (sim03's shape), joined per query to measure recall@3. Scale: the
+    # exact side is the expensive one by construction — in production
+    # it runs on a SAMPLE of queries (this Q=3 set), which is precisely
+    # what makes the evaluation affordable at 100 TB while the ANN path
+    # serves the full load.
+    emb = _emb(spark, sf_dir)
+    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
+    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
+    bucketed = emb.select(
+        "vec_id", "v", (b1 + b2).alias("bucket"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
+    q = bucketed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            cand.select("q_id", "vec_id", cos.alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(
+        F.broadcast(q).join(bucketed, F.col("vec_id") != F.col("q_id"))
+    )
+    ann = topk(
+        F.broadcast(q).join(
+            bucketed,
+            (F.col("qb") == F.col("bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    hit = ann.select("q_id", F.col("vec_id").alias("hit_id"))
+    return (
+        exact.join(
+            hit,
+            (exact.q_id == hit.q_id) & (exact.vec_id == hit.hit_id),
+            "left",
+        )
+        .select(exact.q_id.alias("q_id"), "vec_id", "hit_id")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit_id").alias("n_hit"),
+            r6(F.count("hit_id") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
+        )
+    )
