@@ -137,3 +137,62 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_round5_broadcast_properties(spark, sf_dir):
+    # w17: the hourly market series must broadcast (it is O(hours) at any
+    # data scale — the fact side must never shuffle for the join).
+    w17 = _plan(spark, sf_dir, "w17_rolling_beta")
+    assert "BroadcastHashJoin" in w17, "market join must broadcast"
+    assert "SortMergeJoin" not in w17
+    # t07: the unigram vocabulary join must broadcast; the scoring path
+    # shuffles only for the two groupBys (model fit + per-doc reduce).
+    t07 = _plan(spark, sf_dir, "t07_unigram_logprob")
+    assert "BroadcastHashJoin" in t07, "vocabulary join must broadcast"
+    # The only tolerated product is the broadcast of the 1-row n_total:
+    # no CartesianProduct node may appear (crossJoin of a 1-row aggregate
+    # plans as BroadcastNestedLoopJoin).
+    assert "CartesianProduct" not in t07
+    # d08: cluster assignment + keeper window — no cartesian anywhere.
+    d08 = _plan(spark, sf_dir, "d08_canonical_selection")
+    assert "CartesianProduct" not in d08
+
+
+def test_round5_shuffle_budgets(spark, sf_dir):
+    budgets = {
+        "ml08_oof_target_encoding": 2,  # (cat,fold) groupBy + tiny window
+        "mm05_audio_pcm_stats": 0,      # map-only decode stage
+        "w16_rolling_corr": 1,          # one shared window spec
+    }
+    for name, budget in budgets.items():
+        got = _exchanges(_plan(spark, sf_dir, name))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_change_feed_scans_only_touched_files(spark, sf_dir, tmp_path):
+    # snk06's contract: changes(v1, v2) reads the file-set symmetric
+    # difference, so a hop that touched one partition's files must not
+    # scan the untouched files of the table.
+    from pyspark.sql import functions as F
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = AcidTable(spark, str(tmp_path / "acid"))
+    t.overwrite(orders)                                     # v0
+    t.merge_insert_only(
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        ["o_orderkey"],
+    )                                                       # v1: new files only
+    feed = t.changes(0, 1)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = feed._jdf.queryExecution().explainString(mode)
+    v0_files = set(t._manifest(0)["files"])
+    v1_files = set(t._manifest(1)["files"])
+    added = v1_files - v0_files
+    # The added files appear in the scan; the carried-over v0 files must not.
+    assert added, "merge must add files"
+    for f in sorted(v0_files & v1_files)[:3]:
+        assert f.split("/")[-1] not in plan, "carried-over file scanned"
