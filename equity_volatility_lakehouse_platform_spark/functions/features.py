@@ -155,12 +155,18 @@ def pm_rts_hist(df: DataFrame, key: str = "user_id", n: int = 20, eps: float = 0
     # exactly n=20 rows it is the mean of sorted elements 10 and 11.
     df = df.withColumn("_ats", F.col("dollar_vol") / F.col("n_events"))
     frame = w_key(key).rowsBetween(-(n - 1), 0)
-    sorted_frame = F.array_sort(F.collect_list("_ats").over(frame))
-    med = (F.get(sorted_frame, n // 2 - 1) + F.get(sorted_frame, n // 2)) / 2
-    med = F.when(F.count("_ats").over(frame) == n, med)
+    # Materialize the frame snapshot ONCE: referencing the window expr
+    # twice (get 9 / get 10) would extract TWO identical collect_list
+    # window aggregates (seen as _we17/_we18 in the f20 plan) — the
+    # frame is collected and sorted once here, the two gets read refs.
+    df = df.withColumn(
+        "_ats_frame", F.array_sort(F.collect_list("_ats").over(frame))
+    ).withColumn("_ats_cnt", F.count("_ats").over(frame))
+    med = (F.get("_ats_frame", n // 2 - 1) + F.get("_ats_frame", n // 2)) / 2
+    med = F.when(F.col("_ats_cnt") == n, med)
     return df.withColumn(
         "pm_rts_hist", F.log((F.col("_ats") + eps) / (med + eps))
-    ).drop("_ats")
+    ).drop("_ats", "_ats_frame", "_ats_cnt")
 
 
 def pm_vwap_return(df: DataFrame, key: str = "user_id") -> DataFrame:
