@@ -1737,3 +1737,84 @@ def a17_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(pairs).alias("p")).select("p.pair", "p.r")
+
+
+@register(
+    "q4_priority_exists",
+    # TPC-H Q4's shape on this schema: per-priority order counts where a
+    # correlated EXISTS probes the fact table (returned lineitems stand
+    # in for late commits — the testdata carries no commit/receipt
+    # dates). Reference: the notebook's "orders with at least one
+    # flagged fill" screens (fase_2 filters).
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS compiles to a left-semi join: the probe side is filtered
+    # (l_returnflag pushed to the scan) and deduplicated by the semi
+    # semantics — never a row-multiplying inner join. One shuffle for
+    # the semi join (both sides key-partitioned on orderkey), one for
+    # the tiny groupBy.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    flagged = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(flagged, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q12_priority_mix",
+    # TPC-H Q12's conditional two-way aggregation, keyed on returnflag
+    # (no shipmode in this schema): per flag, how many of the matched
+    # orders are high- vs low-priority. Exercises join + CASE-counting
+    # in one pass.
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact-fact equi-join on the shared key with the date filter pushed
+    # to the lineitem scan; the CASE counters fold into ONE map-side
+    # partial aggregation (no per-branch passes).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

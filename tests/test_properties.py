@@ -188,3 +188,47 @@ def test_gold_path_absorbs_key_skew(spark):
         f"skewed gold run {skewed:.2f}s vs uniform {uniform:.2f}s — "
         "hot key is no longer absorbed by the daily pre-aggregation"
     )
+
+
+def test_rounding_fast_path_bit_identical(spark):
+    # The parsed-SQL rounding fast path (functions/rounding._round_sql)
+    # must analyze to the SAME expression as the Column-tree builders —
+    # bit-identical results on adversarial doubles including signed
+    # zeros, infinities, NaN, exact .5 boundaries, and >2^62 magnitudes.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import (
+        r2,
+        r6,
+        r6s,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e9, 1e9, 20000),
+            rng.uniform(-1, 1, 20000),
+            rng.uniform(-1e16, 1e16, 10000),
+            rng.uniform(-1e60, 1e60, 5000),
+            np.array(
+                [0.0, -0.0, 0.5e-6, -0.5e-6, 2.5e-6, -2.5e-6,
+                 float(2**52), float(2**62), float(2**63) * 1.5,
+                 float("inf"), float("-inf"), float("nan"),
+                 0.1234565, -0.1234565, 1.0000005, 2.675]
+            ),
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"x": vals})).repartition(8)
+    for fn in (r6, r6s, r2):
+        a, b = fn("x"), fn(F.col("x"))
+        same = a.eqNullSafe(b) & (
+            (a != 0)
+            | F.try_divide(F.lit(1.0), a).eqNullSafe(F.try_divide(F.lit(1.0), b))
+        )
+        nan_ok = F.isnan(a) & F.isnan(b)
+        bad = df.select(
+            F.sum(F.when(same | nan_ok, 0).otherwise(1)).alias("n")
+        ).collect()[0][0]
+        assert bad == 0, f"{fn.__name__}: {bad} bit mismatches"
