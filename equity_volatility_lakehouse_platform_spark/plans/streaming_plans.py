@@ -225,3 +225,34 @@ def st09_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_late_data_stream(spark, sf_dir)
+
+
+@register(
+    "st10_stream_stream_join",
+    # Bounded replay in one availableNow batch: the stream-stream
+    # interval join drops nothing, so the append-mode result equals the
+    # batch self-join restricted to the same time range.
+    oracle="""
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (ROUND(SUM(v.value), 6) + 0.0) AS viewed_value
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+     AND p.event_type = 'purchase'
+     AND v.event_type = 'view'
+    GROUP BY p.user_id
+    """,
+)
+def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two live feeds joined on key + bounded event-time interval, with
+    # watermarks on both sides so join state expires (the 100 TB
+    # requirement for any stream-stream join). st01-st09 cover windowed
+    # aggregation, sessionization, dedup, lateness; this is the join
+    # surface.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, sf_dir)

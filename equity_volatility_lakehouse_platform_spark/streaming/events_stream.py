@@ -70,22 +70,33 @@ def _run_stream_scoped(
     # source file to the stream.
     for i in range(n_copies):
         os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
-    stream = spark.readStream.schema(batch_schema).parquet(src_dir)
-    # Timestamp repair matches load_table: INT64-nanos files arrive as
-    # long (repaired via timestamp_micros), NTZ-micros files arrive as
-    # TIMESTAMP_NTZ (cast to TimestampType — watermarks require LTZ; the
-    # UTC session makes the cast wall-clock-exact). A source already
-    # carrying real timestamps streams as-is.
-    if isinstance(batch_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _make_stream() -> DataFrame:
+        s = spark.readStream.schema(batch_schema).parquet(src_dir)
+        # Timestamp repair matches load_table: INT64-nanos files arrive
+        # as long (repaired via timestamp_micros), NTZ-micros files
+        # arrive as TIMESTAMP_NTZ (cast to TimestampType — watermarks
+        # require LTZ; the UTC session makes the cast wall-clock-exact).
+        # A source already carrying real timestamps streams as-is.
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    # build(stream) for single-input graphs; build(stream, make_stream)
+    # when the graph needs further independent readers of the same
+    # landing dir (stream-stream joins).
+    import inspect
+
+    n_params = len(inspect.signature(build).parameters)
+    built = build(_make_stream()) if n_params == 1 else build(
+        _make_stream(), _make_stream
+    )
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
     try:
         query = (
-            build(stream)
+            built
             .writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
@@ -343,3 +354,52 @@ def run_late_data_stream(
     finally:
         spark.catalog.dropTempView(name)
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join (the enrichment join a real-time
+    pipeline runs between two live feeds): purchases join the same
+    user's views from the preceding hour. Both sides carry watermarks
+    and the join condition bounds event time on BOTH sides, so Spark can
+    expire join state — the unbounded-state trap a naive stream join
+    hits at scale. Over bounded input (availableNow, one batch) nothing
+    is dropped, so the result must equal the batch self-join — an exact
+    oracle. Aggregated per user to keep the memory-sink result small.
+    """
+
+    def build(stream: DataFrame, make_stream) -> DataFrame:
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        views = (
+            make_stream()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("value").alias("v_value"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        return purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        )
+
+    joined = _run_stream_scoped(spark, sf_dir, build, "evssj_", "append")
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            r6(F.sum("v_value")).alias("viewed_value"),
+        )
+    )
