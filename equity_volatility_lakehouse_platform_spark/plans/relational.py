@@ -1818,3 +1818,96 @@ def q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "sc07_json_extract",
+    # Semi-structured scan surface: the events.props column is a JSON
+    # string; both engines parse it per row and agree on the integer
+    # payload exactly. Spark side uses a SCHEMA'D from_json (the
+    # Catalyst-friendly path — the parsed struct prunes to the one
+    # field); the oracle uses DuckDB's JSON extension.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           (ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) + 0.0) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def sc07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema-on-read over a JSON payload column: from_json with an
+    # explicit schema keeps the parse JVM-side and lets Catalyst prune
+    # the struct to the referenced field (vs get_json_object's per-path
+    # re-parse when several fields are read). Integer payloads keep the
+    # sums exact; only the avg is rounded.
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+            r6(F.avg("_k")).alias("avg_k"),
+        )
+    )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+@register(
+    "a18_table_profile",
+    # Per-column data-quality profile in ONE scan. min/max are emitted as
+    # text — verified format-identical across engines for every profiled
+    # type (bigint, double shortest-repr, timestamp, varchar).
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_text,
+           CAST(max({c}) AS VARCHAR) AS max_text
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def a18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The profiling pass every lakehouse ingestion runs (null rates,
+    # cardinalities, value ranges per column). All six columns profile in
+    # ONE aggregation: Spark plans the multiple exact COUNT(DISTINCT)s
+    # with a single Expand (one scan, rows x |cols| expansion — the
+    # standard profiling cost; swap in approx_count_distinct to make the
+    # expansion collapse when ±2% cardinalities are acceptable at
+    # 100 TB). The single wide row is then unpivoted executor-side.
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"_cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dst_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_cnt_{c}")).alias("n_null"),
+                F.col(f"_dst_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_text"),
+                F.col(f"_max_{c}").alias("max_text"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
