@@ -253,3 +253,51 @@ def snk06_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg("v0->v1", table.changes(0, 1)).unionByName(
         _agg("v1->v2", table.changes(1, 2))
     )
+
+
+@register(
+    "snk07_schema_evolution",
+    # v0 lands even-key orders WITHOUT the channel column; v1 appends the
+    # odd-key orders WITH it. The evolved snapshot reads old files as
+    # NULL-channel (no rewrite), so the per-channel account is fully
+    # predictable from the source table.
+    oracle=f"""
+    SELECT COALESCE(channel, 'unknown') AS channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM (
+      SELECT o_totalprice, NULL AS channel FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'api' END AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY 1
+    """,
+)
+def snk07_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ADD-COLUMN schema evolution on the ACID table (the Delta/Iceberg
+    # mergeSchema contract): appending a batch that carries a new column
+    # widens the committed schema; files from before the evolution are
+    # never rewritten — the snapshot read fills the missing column with
+    # NULL. Changing an existing column's type refuses loudly
+    # (tests/test_acid.py).
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="evlp_snk07_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
+    widened = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel",
+        F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("api"),
+    )
+    table.append(widened)
+    return (
+        table.read()
+        .groupBy(F.coalesce("channel", F.lit("unknown")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money("o_totalprice").alias("total_price"),
+        )
+    )

@@ -201,16 +201,50 @@ class AcidTable:
 
     def append(self, df: DataFrame) -> int:
         """Atomic append (blind insert; never conflicts logically, only
-        on version numbers — retried)."""
-        return self._commit_loop("append", df, lambda snap_files: snap_files)
+        on version numbers — retried). New columns in ``df`` evolve the
+        table schema additively (see ``_evolved_schema_ddl``)."""
+        return self._commit_loop(
+            "append", df, lambda snap_files: snap_files, evolve=True
+        )
 
-    def _commit_loop(self, op, df, keep_fn, max_retries: int = 10) -> int:
-        schema_ddl = df.schema.simpleString()[7:-1]  # strip struct<...>
+    def _evolved_schema_ddl(self, df: DataFrame, latest: int | None) -> str:
+        """ADD-COLUMN schema evolution: the committed schema is the
+        current snapshot's fields followed by the batch's new fields.
+        Earlier files simply lack the new columns — the explicit-schema
+        snapshot read fills them with NULL, so no rewrite ever happens
+        (the Delta/Iceberg mergeSchema contract). Changing an EXISTING
+        column's type is refused loudly — evolution only widens."""
+        if latest is None:
+            return df.schema.simpleString()[7:-1]  # strip struct<...>
+        old = T._parse_datatype_string(self._manifest(latest)["schema"])
+        by_name = {f.name: f for f in old.fields}
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is not None and have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change {f.name}: "
+                    f"{have.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}"
+                )
+        merged = T.StructType(
+            list(old.fields)
+            + [f for f in df.schema.fields if f.name not in by_name]
+        )
+        return merged.simpleString()[7:-1]
+
+    def _commit_loop(
+        self, op, df, keep_fn, max_retries: int = 10, evolve: bool = False
+    ) -> int:
         files = self._write_data(df)
         for _ in range(max_retries):
             latest = self.latest_version()
             base = [] if latest is None else self._manifest(latest)["files"]
             version = 0 if latest is None else latest + 1
+            schema_ddl = (
+                self._evolved_schema_ddl(df, latest)
+                if evolve
+                else df.schema.simpleString()[7:-1]
+            )
             try:
                 self._try_commit(version, op, keep_fn(base) + files, schema_ddl)
                 return version

@@ -308,3 +308,28 @@ def test_change_feed_compaction_is_empty(spark, orders, root):
     t.append(orders.filter(F.col("o_orderkey") % 5 == 1))     # v1
     t.compact()                                               # v2: same rows
     assert t.changes(1, 2).count() == 0
+
+
+def test_schema_evolution_add_column_and_type_refusal(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.select("o_orderkey", "o_totalprice"))
+    t.append(
+        orders.select("o_orderkey", "o_totalprice")
+        .limit(10)
+        .withColumn("channel", F.lit("web"))
+    )
+    back = t.read()
+    assert "channel" in back.columns
+    # pre-evolution rows read as NULL channel, no rewrite of old files
+    assert back.filter(F.col("channel").isNull()).count() == orders.count()
+    assert back.filter(F.col("channel") == "web").count() == 10
+    v0_files = set(t._manifest(0)["files"])
+    assert v0_files <= set(t._manifest(1)["files"]), "old files must carry over"
+    # widening an existing column's type is refused
+    with pytest.raises(ValueError, match="cannot change"):
+        t.append(
+            orders.select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("string").alias("o_totalprice"),
+            ).limit(1)
+        )
