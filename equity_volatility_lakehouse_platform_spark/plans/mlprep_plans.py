@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 
 @register(
@@ -419,4 +419,55 @@ def ml08_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.select(
         "o_orderpriority", "fold", "n_rows", oof_mean.alias("oof_mean_price")
+    )
+
+
+@register(
+    "ml09_standard_scaler",
+    # Fit-and-transform in one query: per-feature mean/std from the
+    # training split (even keys) applied to EVERY row — the train/serve
+    # skew guard is that the fit never sees the odd-key "serving" rows.
+    # Both engines compute the identical (x - mu) / sigma from the same
+    # aggregate doubles; r6s absorbs the sum-order drift in mu/sigma.
+    oracle="""
+    WITH fit AS (
+      SELECT AVG(l_quantity) AS mu_q, stddev_samp(l_quantity) AS sd_q,
+             AVG(l_extendedprice) AS mu_p, stddev_samp(l_extendedprice) AS sd_p
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_orderkey % 2 = 0 AS INTEGER) AS in_fit,
+           (ROUND(((l.l_quantity - f.mu_q) / NULLIF(f.sd_q, 0))
+                  - sign((l.l_quantity - f.mu_q) / NULLIF(f.sd_q, 0))
+                    * 0.000000001, 6) + 0.0) AS quantity_z,
+           (ROUND(((l.l_extendedprice - f.mu_p) / NULLIF(f.sd_p, 0))
+                  - sign((l.l_extendedprice - f.mu_p) / NULLIF(f.sd_p, 0))
+                    * 0.000000001, 6) + 0.0) AS price_z
+    FROM lineitem l, fit f
+    """,
+)
+def ml09_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fitted stats are ONE broadcast row; the transform is a pure
+    # map stage over the fact table — zero shuffle beyond the fit
+    # aggregation at any scale.
+    li = load_table(spark, sf_dir, "lineitem")
+    fit = li.filter(F.col("l_orderkey") % 2 == 0).agg(
+        F.avg("l_quantity").alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+        F.avg("l_extendedprice").alias("mu_p"),
+        F.stddev_samp("l_extendedprice").alias("sd_p"),
+    )
+    raw = li.crossJoin(F.broadcast(fit)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 2 == 0).cast("int").alias("in_fit"),
+        ((F.col("l_quantity") - F.col("mu_q")) / F.nullif(F.col("sd_q"), F.lit(0.0))).alias("quantity_z"),
+        ((F.col("l_extendedprice") - F.col("mu_p")) / F.nullif(F.col("sd_p"), F.lit(0.0))).alias("price_z"),
+    )
+    return raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        "in_fit",
+        r6s("quantity_z").alias("quantity_z"),
+        r6s("price_z").alias("price_z"),
     )

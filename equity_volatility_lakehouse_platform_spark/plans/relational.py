@@ -1911,3 +1911,68 @@ def a18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@register(
+    "o06_keyset_pagination",
+    # Keyset (seek-method) pagination: the cursor predicate reaches the
+    # parquet scan and the page LIMIT compiles to TakeOrderedAndProject
+    # — O(page) work per request at any table size, where OFFSET-based
+    # paging degrades linearly with page number.
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 40000
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def o06_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") > 40000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "u04_union_schema_drift",
+    # Schema-drift union (two feeds of the same logical table with
+    # different column sets): unionByName(allowMissingColumns=True)
+    # pads the gaps with NULL — DuckDB's UNION ALL BY NAME is the exact
+    # mirror. The shape every multi-source ingestion hits when one
+    # upstream adds a column first.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+           CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority
+    FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def u04_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        )
+    )
