@@ -256,3 +256,58 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "st11_session_window",
+    # Gap-based sessionization (F.session_window, 30-min inactivity
+    # gap): the oracle recomputes the same sessions with the classic
+    # gaps-and-islands device — a new island starts where the gap to the
+    # previous event exceeds the threshold; session end = last event +
+    # gap (Spark's session_window.end convention).
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def st11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The REAL dynamic-gap session operator (not time-of-day buckets):
+    # one groupBy on (user, session_window) — Spark merges overlapping
+    # gap intervals inside the aggregation, one shuffle on user_id. The
+    # same graph runs under Structured Streaming with a watermark (state
+    # closes when the watermark passes session end + gap).
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
