@@ -529,3 +529,81 @@ def d08_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.alias("kept_doc_id"),
         (F.col("doc_id") == kept).cast("int").alias("is_kept"),
     )
+
+
+@register(
+    "d09_curation_pipeline",
+    oracle=None,  # set below — composes text.py's stopword lexicon
+)
+def d09_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The END-TO-END corpus curation pass a pretraining pipeline runs as
+    # ONE declarative plan: language gate (metadata lang), quality gate
+    # (length + en-stopword ratio), near-dup retention (d08's canonical
+    # keeper over the full corpus), funnel accounting at every stage
+    # plus an exact membership pin (doc_id sum) for the surviving set.
+    # Scale: the three gates are map-stage predicates over d08's output
+    # (whose cluster map covers only docs with near-dup edges); the
+    # funnel is one single-row aggregate — nothing materializes on the
+    # driver.
+    from equity_volatility_lakehouse_platform_spark.plans.text import _LEX
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = d08_canonical_selection(spark, sf_dir).select("doc_id", "is_kept")
+    toks = tx.tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*_LEX["en"])))
+    gated = docs.join(kept, "doc_id").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        ((n_tok >= 30) & (stop_cnt * 1.0 / n_tok >= 0.05)).alias("is_quality"),
+        (F.col("is_kept") == 1).alias("is_canonical"),
+    )
+    final = F.col("is_en") & F.col("is_quality") & F.col("is_canonical")
+    return gated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("is_en")).alias("n_en"),
+        F.count_if(F.col("is_en") & F.col("is_quality")).alias("n_en_quality"),
+        F.count_if(final).alias("n_final"),
+        F.sum(F.when(final, F.col("doc_id"))).alias("final_doc_id_sum"),
+    )
+
+
+def _d09_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans.text import _lex_sql
+
+    return (
+        _SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+        + _D07_CLUSTER_SQL
+        + rf"""
+    , keep AS (
+      SELECT d.doc_id,
+             CAST(d.doc_id = first_value(d.doc_id) OVER (
+               PARTITION BY COALESCE(c.cluster_id, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id ASC
+             ) AS INTEGER) AS is_kept
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ), gated AS (
+      SELECT d.doc_id,
+             d.lang = 'en' AS is_en,
+             len(regexp_split_to_array(trim(lower(d.text)), '\s+')) >= 30
+             AND len(list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+                                 x -> x IN ({_lex_sql('en')}))) * 1.0
+                 / len(regexp_split_to_array(trim(lower(d.text)), '\s+')) >= 0.05
+               AS is_quality,
+             k.is_kept = 1 AS is_canonical
+      FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(is_en) AS BIGINT) AS n_en,
+           CAST(count_if(is_en AND is_quality) AS BIGINT) AS n_en_quality,
+           CAST(count_if(is_en AND is_quality AND is_canonical) AS BIGINT) AS n_final,
+           CAST(SUM(CASE WHEN is_en AND is_quality AND is_canonical
+                         THEN doc_id END) AS BIGINT) AS final_doc_id_sum
+    FROM gated
+    """
+    )
+
+
+from equity_volatility_lakehouse_platform_spark.plans import registry as _reg  # noqa: E402
+
+_reg.set_oracle("d09_curation_pipeline", _d09_oracle())
