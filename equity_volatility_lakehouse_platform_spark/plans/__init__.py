@@ -26,6 +26,7 @@ def load_all() -> None:
         silver,
         mlprep_plans,
         sinks_plans,
+        volatility,
     )
 
 

@@ -1,0 +1,246 @@
+"""Realized-volatility estimators and technical indicators — the
+platform's namesake surface (SURVEY §0: the reference is an
+equity-VOLATILITY lakehouse; §2.8's feature library stops at true
+range / rolling std, so these extend it with the canonical OHLC
+range-based estimators every vol desk derives from daily bars).
+
+All three queries share one physical shape: the a01 daily-bar roll-up
+(one groupBy shuffle), a narrow per-bar term projection (map stage,
+codegen'd), then ONE window sort per user over ~250 rows/year/symbol.
+At 100 TB the bar table is tiny relative to ticks (symbols x days), so
+the window pass is never the bottleneck — the single ordered roll-up
+shuffle is, exactly as in f20. Estimator math stays JVM-side (ln/mult/
+sqrt); no UDFs anywhere.
+
+Estimator references (public): Parkinson (1980), Garman-Klass (1980),
+Rogers-Satchell (1991) — the standard range-based sigma^2-per-day
+formulas, annualized by 252 trading days.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from equity_volatility_lakehouse_platform_spark.plans.registry import register
+from equity_volatility_lakehouse_platform_spark.plans.windows import _round_step
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+# Embedded as repr'd double literals on BOTH sides so neither engine's
+# ln(2) constant-folding can differ in the last ulp.
+_4LN2 = repr(4.0 * math.log(2.0))          # Parkinson denominator
+_GKC = repr(2.0 * math.log(2.0) - 1.0)     # Garman-Klass ln(C/O)^2 coeff
+_ANN = "252.0"                             # trading days/year
+
+# The shared daily-bar CTE (a01's ordered roll-up: pandas first/last
+# become min_by/max_by keyed on ts — SURVEY §7.5).
+_BARS_SQL = """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           arg_min(value, ts) AS open, max(value) AS high,
+           min(value) AS low, arg_max(value, ts) AS close
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+
+
+def _day_window() -> Window:
+    # day is a groupBy key -> unique per user: ordering is deterministic
+    # with no tiebreak column needed.
+    return Window.partitionBy("user_id").orderBy("day")
+
+
+def _r6s_sql(x: str) -> str:
+    return f"(ROUND(({x}) - sign({x}) * 0.000000001, 6) + 0.0)"
+
+
+_W19_VOLS = [
+    ("vol_parkinson", f"SQRT(GREATEST({_ANN} * (AVG(pk_t) OVER w) / {_4LN2}, 0.0))"),
+    ("vol_gk", f"SQRT(GREATEST({_ANN} * (AVG(gk_t) OVER w), 0.0))"),
+    ("vol_rs", f"SQRT(GREATEST({_ANN} * (AVG(rs_t) OVER w), 0.0))"),
+]
+
+
+@register(
+    "w19_ohlc_vol_estimators",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    terms AS (
+      SELECT user_id, day,
+             ln(high / low) * ln(high / low) AS pk_t,
+             0.5 * ln(high / low) * ln(high / low)
+               - {_GKC} * ln(close / open) * ln(close / open) AS gk_t,
+             ln(high / close) * ln(high / open)
+               + ln(low / close) * ln(low / open) AS rs_t
+      FROM bars
+    )
+    SELECT user_id, day,
+           {", ".join(_r6s_sql(f"CASE WHEN count(*) OVER w = 20 THEN {expr} END") + f" AS {name}" for name, expr in _W19_VOLS)}
+    FROM terms
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w19_ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling 20-day Parkinson / Garman-Klass / Rogers-Satchell realized
+    # vol (annualized) from daily OHLC bars. Terms are computed ONCE per
+    # bar in a separate projection (the two-step JIT-cliff discipline —
+    # SCALE.md addendum 2), then averaged over one shared window frame.
+    # GK's per-frame mean can go negative on pathological bars and FP
+    # can push RS's mathematically-nonnegative mean to -epsilon, so both
+    # engines clamp with GREATEST(x, 0) before SQRT: a tiny negative
+    # rounds to vol 0 instead of diverging NULL-vs-0 at the 6dp gate.
+    lhl = F.log(F.col("high") / F.col("low"))
+    lco = F.log(F.col("close") / F.col("open"))
+    terms = _bars(spark, sf_dir).select(
+        "user_id", "day",
+        (lhl * lhl).alias("pk_t"),
+        (F.lit(0.5) * lhl * lhl - F.lit(float(_GKC)) * lco * lco).alias("gk_t"),
+        (
+            F.log(F.col("high") / F.col("close")) * F.log(F.col("high") / F.col("open"))
+            + F.log(F.col("low") / F.col("close")) * F.log(F.col("low") / F.col("open"))
+        ).alias("rs_t"),
+    )
+    w = _day_window().rowsBetween(-19, 0)
+    full = F.count(F.lit(1)).over(w) == 20
+    ann, denom = F.lit(float(_ANN)), F.lit(float(_4LN2))
+
+    def vol(term: str, scale: Column) -> Column:
+        return F.when(full, F.sqrt(F.greatest(scale * F.avg(term).over(w), F.lit(0.0))))
+
+    return _round_step(
+        terms, ["user_id", "day"],
+        [
+            ("vol_parkinson", vol("pk_t", ann / denom), "r6s"),
+            ("vol_gk", vol("gk_t", ann), "r6s"),
+            ("vol_rs", vol("rs_t", ann), "r6s"),
+        ],
+    )
+
+
+@register(
+    "w20_rsi",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    d AS (
+      SELECT user_id, day, close,
+             close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS delta
+      FROM bars
+    ),
+    gl AS (
+      SELECT user_id, day, close,  delta,
+             CASE WHEN delta > 0 THEN delta
+                  WHEN delta IS NOT NULL THEN 0.0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta
+                  WHEN delta IS NOT NULL THEN 0.0 END AS loss
+      FROM d
+    )
+    SELECT user_id, day, (ROUND(close, 6) + 0.0) AS close,
+           {_r6s_sql('''CASE WHEN count(delta) OVER w = 14 THEN
+             100.0 * (AVG(gain) OVER w)
+               / NULLIF((AVG(gain) OVER w) + (AVG(loss) OVER w), 0.0) END''')} AS rsi_14
+    FROM gl
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w20_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 14-period Cutler's RSI (SMA of gains vs losses — the SQL-exact
+    # variant; Wilder's EWM recursion is the w11 applyInPandas shape).
+    # The gate counts NON-NULL deltas so the first bar's undefined delta
+    # keeps the first 14 frames in warm-up, matching pandas rolling(14)
+    # over a diff(). 100*ag/(ag+al) avoids the 0-loss division blow-up:
+    # all-gain frames read exactly 100, all-zero frames NULL via NULLIF.
+    bars = _bars(spark, sf_dir)
+    wseq = _day_window()
+    d = bars.select(
+        "user_id", "day", "close",
+        (F.col("close") - F.lag("close").over(wseq)).alias("delta"),
+    )
+    gl = d.select(
+        "user_id", "day", "close", "delta",
+        F.when(F.col("delta") > 0, F.col("delta"))
+        .when(F.col("delta").isNotNull(), F.lit(0.0)).alias("gain"),
+        F.when(F.col("delta") < 0, -F.col("delta"))
+        .when(F.col("delta").isNotNull(), F.lit(0.0)).alias("loss"),
+    )
+    w = wseq.rowsBetween(-13, 0)
+    ag, al = F.avg("gain").over(w), F.avg("loss").over(w)
+    rsi = F.when(
+        F.count("delta").over(w) == 14,
+        F.lit(100.0) * ag / F.nullif(ag + al, F.lit(0.0)),
+    )
+    return _round_step(
+        gl, ["user_id", "day"],
+        [("close", F.col("close"), "r6"), ("rsi_14", rsi, "r6s")],
+    )
+
+
+@register(
+    "w21_bollinger_bands",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    st AS (
+      SELECT user_id, day, close,
+             CASE WHEN count(*) OVER w = 20 THEN AVG(close) OVER w END AS ma,
+             CASE WHEN count(*) OVER w = 20 THEN stddev_samp(close) OVER w END AS sd
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    bb AS (
+      SELECT user_id, day, close, ma,
+             ma + 2.0 * sd AS bb_up, ma - 2.0 * sd AS bb_lo
+      FROM st
+    )
+    SELECT user_id, day, (ROUND(close, 6) + 0.0) AS close,
+           {_r6s_sql("ma")} AS ma_20,
+           {_r6s_sql("bb_up")} AS bb_upper,
+           {_r6s_sql("bb_lo")} AS bb_lower,
+           {_r6s_sql("(close - bb_lo) / NULLIF(bb_up - bb_lo, 0.0)")} AS pct_b
+    FROM bb
+    """,
+)
+def w21_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 20-day Bollinger bands (SMA +- 2 sigma) and %B position. The band
+    # arithmetic runs in a SECOND projection over the ma/sd window
+    # outputs so each value is computed once (%B reuses bb_up/bb_lo by
+    # reference — inlining the stddev tree 4x would cross the 8 KB
+    # codegen cliff on wider variants of this query).
+    bars = _bars(spark, sf_dir)
+    w = _day_window().rowsBetween(-19, 0)
+    full = F.count(F.lit(1)).over(w) == 20
+    st = bars.select(
+        "user_id", "day", "close",
+        F.when(full, F.avg("close").over(w)).alias("ma"),
+        F.when(full, F.stddev_samp("close").over(w)).alias("sd"),
+    )
+    bb = st.select(
+        "user_id", "day", "close", "ma",
+        (F.col("ma") + F.lit(2.0) * F.col("sd")).alias("bb_up"),
+        (F.col("ma") - F.lit(2.0) * F.col("sd")).alias("bb_lo"),
+    )
+    pct_b = (F.col("close") - F.col("bb_lo")) / F.nullif(
+        F.col("bb_up") - F.col("bb_lo"), F.lit(0.0)
+    )
+    return _round_step(
+        bb, ["user_id", "day"],
+        [
+            ("close", F.col("close"), "r6"),
+            ("ma_20", F.col("ma"), "r6s"),
+            ("bb_upper", F.col("bb_up"), "r6s"),
+            ("bb_lower", F.col("bb_lo"), "r6s"),
+            ("pct_b", pct_b, "r6s"),
+        ],
+    )

@@ -65,6 +65,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "w15_max_drawdown": 1,         # one shared window spec (3 fns, 1 sort)
         "t06_repetition_stats": 2,     # tf groupBy + per-doc groupBy
         "ml06_feature_hashing": 1,     # one (doc,bucket) groupBy
+        "w19_ohlc_vol_estimators": 2,  # daily-bar groupBy + per-user window sort
+        "w20_rsi": 2,                  # same bar->window shape
+        "w21_bollinger_bands": 2,      # same bar->window shape
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
