@@ -391,3 +391,52 @@ def t07_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("avg_logprob") - F.signum("avg_logprob") * F.lit(1e-9)).alias("avg_logprob"),
         r6(F.col("max_surprisal") - F.signum("max_surprisal") * F.lit(1e-9)).alias("max_surprisal"),
     )
+
+
+# PII/blocklist scrub patterns — kept inside the Java-regex / RE2 common
+# subset (char classes, alternation, bounded repeats, \b) so Spark and
+# DuckDB match IDENTICAL spans. The email pattern finds nothing in the
+# synthetic corpus (it is digit-free) but exercises the machinery the
+# production path needs; the term blocklist is dense here, so the
+# redaction diff is non-trivially checked.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_BLOCK = r"\b(customer|user|merge)\b"
+
+
+@register(
+    "t08_pattern_scrub",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_BLOCK}')) AS BIGINT) AS n_blocked,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_BLOCK}', '[TERM]', 'g') AS scrubbed,
+           CAST(length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_BLOCK}', '[TERM]', 'g')) AS BIGINT) AS scrubbed_len
+    FROM documents
+    """,
+)
+def t08_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII / banned-term scrub: the pre-training compliance pass (strip
+    # emails, user handles, licensed strings) as a pure map stage — count
+    # matches, rewrite the text, report the post-scrub length. Zero
+    # shuffles, embarrassingly parallel, and the regexes stay JVM-side
+    # (codegen'd StringRegexExpression — no Python in the loop). The
+    # scrubbed text itself is oracle-compared byte-for-byte, so the two
+    # engines' regex engines (java.util.regex vs RE2) are pinned to the
+    # compatible-subset semantics documented above. Layered projection:
+    # the double regexp_replace runs ONCE (scrubbed_len reads the ref).
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"), _PII_BLOCK, "[TERM]"
+    )
+    staged = docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_BLOCK)).cast("bigint").alias("n_blocked"),
+        scrub.alias("scrubbed"),
+    )
+    return staged.select(
+        "doc_id", "n_email", "n_blocked", "scrubbed",
+        F.length("scrubbed").cast("bigint").alias("scrubbed_len"),
+    )
