@@ -35,18 +35,29 @@ _GKC = repr(2.0 * math.log(2.0) - 1.0)     # Garman-Klass ln(C/O)^2 coeff
 _ANN = "252.0"                             # trading days/year
 
 # The shared daily-bar CTE (a01's ordered roll-up: pandas first/last
-# become min_by/max_by keyed on ts — SURVEY §7.5).
-_BARS_SQL = """
+# become min_by/max_by keyed on ts — SURVEY §7.5). ``where`` lets the
+# log-based estimators enforce the positive-price contract (f19's rule:
+# the reference band function raises on price <= 0): sf0.1 carries a few
+# value == 0.0 ticks, and DuckDB's ln(0) ERRORS where Spark yields NULL,
+# so unguarded bars would diverge the engines at exactly one SF.
+def _bars_sql(where: str = "") -> str:
+    return f"""
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            arg_min(value, ts) AS open, max(value) AS high,
            min(value) AS low, arg_max(value, ts) AS close
-    FROM events
+    FROM events {where}
     GROUP BY user_id, date_trunc('day', ts)
 """
 
 
-def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+_BARS_SQL = _bars_sql()
+
+
+def _bars(spark: SparkSession, sf_dir: str, positive: bool = False) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if positive:
+        # Pushes to the parquet scan (PushedFilters: [GreaterThan(value,0)]).
+        ev = ev.filter(F.col("value") > 0)
     return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
         F.min_by("value", "ts").alias("open"),
         F.max("value").alias("high"),
@@ -75,7 +86,7 @@ _W19_VOLS = [
 @register(
     "w19_ohlc_vol_estimators",
     oracle=f"""
-    WITH bars AS ({_BARS_SQL}),
+    WITH bars AS ({_bars_sql("WHERE value > 0")}),
     terms AS (
       SELECT user_id, day,
              ln(high / low) * ln(high / low) AS pk_t,
@@ -103,7 +114,7 @@ def w19_ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds to vol 0 instead of diverging NULL-vs-0 at the 6dp gate.
     lhl = F.log(F.col("high") / F.col("low"))
     lco = F.log(F.col("close") / F.col("open"))
-    terms = _bars(spark, sf_dir).select(
+    terms = _bars(spark, sf_dir, positive=True).select(
         "user_id", "day",
         (lhl * lhl).alias("pk_t"),
         (F.lit(0.5) * lhl * lhl - F.lit(float(_GKC)) * lco * lco).alias("gk_t"),
