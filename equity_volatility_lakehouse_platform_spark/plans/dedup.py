@@ -607,3 +607,59 @@ def _d09_oracle() -> str:
 from equity_volatility_lakehouse_platform_spark.plans import registry as _reg  # noqa: E402
 
 _reg.set_oracle("d09_curation_pipeline", _d09_oracle())
+
+
+@register(
+    "d10_cosine_dup_clusters",
+    # The cosine mirror of d07: d06's LSH-bucket near-dup pairs
+    # (cosine >= 0.9) become edges; iterative min-label propagation
+    # finds the duplicate clusters. Oracle: the same recursive-CTE
+    # closure over the identical DuckDB pair definition.
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
+                       THEN 1 ELSE 0 END * 2
+                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)
+               AS cosine
+      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs WHERE cosine >= 0.9
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs WHERE cosine >= 0.9
+    ), nodes AS (
+      SELECT DISTINCT s AS id FROM edges
+    ), reach(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e2.d, r.lbl FROM reach r JOIN edges e2 ON e2.s = r.id
+    )
+    SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def d10_cosine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantic-dedup clusters: the full candidate->verify->cluster
+    # composition for the EMBEDDING modality (d07 proved it for MinHash).
+    # Edges are d06's bucket-join candidates gated at cosine >= 0.9 on
+    # the raw (unrounded) similarity; components come from the same
+    # distributed min-label rounds (operators.graph — localCheckpoint
+    # lineage truncation, driver sees only the convergence counter). At
+    # 100 TB: edge count is linear in bucket collisions, rounds bounded
+    # by component diameter (near-dup clusters are shallow), and each
+    # round is one self-join shuffle on the label key.
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = d06_embedding_neardup(spark, sf_dir).filter(F.col("is_near_dup"))
+    comps = connected_components(pairs, src="vec_a", dst="vec_b")
+    return comps.select(F.col("id").alias("vec_id"), "cluster_id")

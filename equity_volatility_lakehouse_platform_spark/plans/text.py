@@ -440,3 +440,63 @@ def t08_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_blocked", "scrubbed",
         F.length("scrubbed").cast("bigint").alias("scrubbed_len"),
     )
+
+
+@register(
+    "t09_bigram_topk",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), bi AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(tok)),
+                                   i -> tok[i] || ' ' || tok[i + 1])) AS bigram
+      FROM t
+    ), counts AS (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+      FROM bi GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      FROM counts
+    )
+    WHERE rk <= 5
+    """,
+)
+def t09_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus n-gram statistics: top-5 bigrams per language — the
+    # vocabulary/contamination EDA a pretraining pipeline runs per
+    # corpus slice. Bigrams come from zip_with over two shifted slices
+    # of the ONE tokenization (no self-join on position); the count is
+    # a map-side-combined groupBy; the per-language top-k is a window
+    # row_number with a DETERMINISTIC tiebreak (count desc, bigram asc —
+    # both engines must rank ties identically). Scale: the window
+    # partitions by lang (few, potentially skewed) but its input is the
+    # already-aggregated (lang, bigram) count table, orders of magnitude
+    # smaller than the corpus; for web-scale vocabularies swap in a
+    # per-partition partial top-k before the final window (o04's
+    # TakeOrderedAndProject shape).
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    staged = docs.select("doc_id", "lang", tok.alias("tok"))
+    n = F.size("tok")
+    bigrams = F.zip_with(
+        F.slice("tok", 1, n - 1),
+        F.slice("tok", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = staged.select("lang", F.explode(bigrams).alias("bigram"))
+    counts = bi.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    )
+    return (
+        counts.select("lang", "bigram", "n", rk.cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )

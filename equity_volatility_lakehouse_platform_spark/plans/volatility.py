@@ -255,3 +255,54 @@ def w21_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pct_b", pct_b, "r6s"),
         ],
     )
+
+
+@register(
+    "w22_stochastic_oscillator",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    k AS (
+      SELECT user_id, day, close,
+             CASE WHEN count(*) OVER w = 14 THEN
+               100.0 * (close - min(low) OVER w)
+                 / NULLIF((max(high) OVER w) - (min(low) OVER w), 0.0) END AS pk
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, (ROUND(close, 6) + 0.0) AS close,
+           {_r6s_sql("pk")} AS pct_k,
+           {_r6s_sql("CASE WHEN count(pk) OVER w3 = 3 THEN AVG(pk) OVER w3 END")} AS pct_d
+    FROM k
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w22_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 14-day stochastic %K (close position inside the rolling high-low
+    # range) smoothed into %D by a 3-day SMA. Two window passes over the
+    # SAME partition/order spec — Spark plans ONE exchange + ONE sort and
+    # chains the frames, so the indicator costs the same single window
+    # pass as any one of its inputs. %D averages the UNROUNDED %K (the
+    # rounding projection stays last, per the two-step JIT discipline);
+    # NULLIF guards flat 14-day ranges (ANSI mode: division by zero
+    # throws, not NaNs).
+    bars = _bars(spark, sf_dir)
+    w14 = _day_window().rowsBetween(-13, 0)
+    pk = F.when(
+        F.count(F.lit(1)).over(w14) == 14,
+        F.lit(100.0)
+        * (F.col("close") - F.min("low").over(w14))
+        / F.nullif(F.max("high").over(w14) - F.min("low").over(w14), F.lit(0.0)),
+    )
+    k = bars.select("user_id", "day", "close", pk.alias("pk"))
+    w3 = _day_window().rowsBetween(-2, 0)
+    pd_ = F.when(F.count("pk").over(w3) == 3, F.avg("pk").over(w3))
+    return _round_step(
+        k, ["user_id", "day"],
+        [
+            ("close", F.col("close"), "r6"),
+            ("pct_k", F.col("pk"), "r6s"),
+            ("pct_d", pd_, "r6s"),
+        ],
+    )

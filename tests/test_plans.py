@@ -68,6 +68,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "w19_ohlc_vol_estimators": 2,  # daily-bar groupBy + per-user window sort
         "w20_rsi": 2,                  # same bar->window shape
         "w21_bollinger_bands": 2,      # same bar->window shape
+        "w22_stochastic_oscillator": 2,  # %K and %D share one window sort
+        "t09_bigram_topk": 2,          # bigram-count groupBy + lang window
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
