@@ -311,3 +311,24 @@ def st11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "st12_acid_ingest_stream",
+    oracle="""
+    SELECT event_id, user_id, ts, (ROUND(value, 6) + 0.0) AS value
+    FROM events
+    """,
+)
+def st12_acid_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming ingestion COMPOSED with the ACID table (the S12/S13
+    # lifecycle end-to-end): an at-least-once file stream whose every
+    # micro-batch lands via foreachBatch -> transactional keyed merge.
+    # The source is delivered TWICE; exactly-once lands in the snapshot
+    # anyway, so the oracle is simply the deduplicated source — each
+    # event once, byte-exact.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_acid_ingest_stream,
+    )
+
+    return run_acid_ingest_stream(spark, sf_dir)

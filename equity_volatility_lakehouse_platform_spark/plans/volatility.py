@@ -306,3 +306,64 @@ def w22_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("pct_d", pd_, "r6s"),
         ],
     )
+
+
+@register(
+    "w23_atr",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    pc AS (
+      SELECT user_id, day, high, low, close,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+      FROM bars
+    ),
+    tr AS (
+      SELECT user_id, day, close,
+             CASE WHEN prev_close IS NULL THEN NULL
+                  ELSE GREATEST(high - low, abs(high - prev_close),
+                                abs(low - prev_close)) END AS true_range
+      FROM pc
+    )
+    SELECT user_id, day, (ROUND(close, 6) + 0.0) AS close,
+           (ROUND(true_range, 6) + 0.0) AS true_range,
+           {_r6s_sql("CASE WHEN count(true_range) OVER w = 14 THEN AVG(true_range) OVER w END")} AS atr_14
+    FROM tr
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w23_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 14-day Average True Range — the windowed roll-up of f17's per-bar
+    # true range (SMA variant; Wilder's EWM recursion is the w11
+    # applyInPandas shape). The gap-aware range needs the PREVIOUS
+    # close, so the first bar per user has no true range and the gate
+    # counts non-null ranges (14 full ranges -> bar 15 onward). Same
+    # bars -> lag -> window physical shape as w20: one roll-up shuffle,
+    # one per-user sort shared by the lag and the frame.
+    bars = _bars(spark, sf_dir)
+    wseq = _day_window()
+    pc = bars.select(
+        "user_id", "day", "high", "low", "close",
+        F.lag("close").over(wseq).alias("prev_close"),
+    )
+    tr = F.when(
+        F.col("prev_close").isNotNull(),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("prev_close")),
+            F.abs(F.col("low") - F.col("prev_close")),
+        ),
+    )
+    trd = pc.select("user_id", "day", "close", tr.alias("true_range"))
+    w = wseq.rowsBetween(-13, 0)
+    atr = F.when(
+        F.count("true_range").over(w) == 14, F.avg("true_range").over(w)
+    )
+    return _round_step(
+        trd, ["user_id", "day"],
+        [
+            ("close", F.col("close"), "r6"),
+            ("true_range", F.col("true_range"), "r6"),
+            ("atr_14", atr, "r6s"),
+        ],
+    )
