@@ -308,6 +308,194 @@ def w22_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MACD EWM constants: embedded as repr'd doubles on BOTH sides so the
+# recursions run the identical IEEE ops (pandas computes (1-a)*y + a*x
+# then divides by ((1-a)+a), which rounds to exactly 1.0 for these
+# alphas — the w11 precedent, verified bit-exact there).
+_A12 = 2.0 / 13.0
+_A26 = 2.0 / 27.0
+_A9 = 2.0 / 10.0
+
+
+def _ema_sql(a: float, x: str, y: str) -> str:
+    return f"{a!r} * {x} + {1.0 - a!r} * {y}"
+
+
+@register(
+    "w24_macd",
+    # The three EMA recursions (12/26 on close, 9 on macd) ride ONE
+    # recursive CTE carrying all accumulators; macd must be re-derived
+    # inline in the recursive arm (SQL can't reference sibling aliases)
+    # but the duplicated subtrees are the same doubles, so signal sees
+    # the identical macd value pandas computes.
+    oracle=f"""
+    WITH RECURSIVE bars AS ({_BARS_SQL}),
+    base AS (
+      SELECT user_id, day, close,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM bars
+    ), rec AS (
+      SELECT user_id, day, rn,
+             close AS ema12, close AS ema26, CAST(0.0 AS DOUBLE) AS sig
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.day, b.rn,
+             {_ema_sql(_A12, "b.close", "rec.ema12")},
+             {_ema_sql(_A26, "b.close", "rec.ema26")},
+             {_ema_sql(_A9,
+                       f"(({_ema_sql(_A12, 'b.close', 'rec.ema12')})"
+                       f" - ({_ema_sql(_A26, 'b.close', 'rec.ema26')}))",
+                       "rec.sig")}
+      FROM base b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+    )
+    SELECT user_id, day,
+           (ROUND(ema12 - ema26, 6) + 0.0) AS macd,
+           (ROUND(sig, 6) + 0.0) AS macd_signal,
+           (ROUND((ema12 - ema26) - sig, 6) + 0.0) AS macd_hist
+    FROM rec
+    """,
+)
+def w24_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MACD(12, 26, 9) over daily bars: EMA recursions are the one shape
+    # with no native Spark window expression (SURVEY §7.4, same as w11),
+    # so all three run in ONE Arrow-batched grouped-map — one shuffle on
+    # user_id, pandas ewm(adjust=False) inside, instead of three chained
+    # applyInPandas passes. Per-key daily history (~250 rows/yr) fits an
+    # executor task at any corpus scale; keys spread evenly.
+    from pyspark.sql import types as T
+
+    bars = _bars(spark, sf_dir)
+    schema = T.StructType(
+        [
+            bars.schema["user_id"],
+            bars.schema["day"],
+            T.StructField("macd", T.DoubleType(), True),
+            T.StructField("macd_signal", T.DoubleType(), True),
+            T.StructField("macd_hist", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values("day")
+        c = pdf["close"]
+        ema12 = c.ewm(alpha=_A12, adjust=False).mean()
+        ema26 = c.ewm(alpha=_A26, adjust=False).mean()
+        macd = ema12 - ema26
+        sig = macd.ewm(alpha=_A9, adjust=False).mean()
+        out = pdf[["user_id", "day"]].copy()
+        out["macd"] = macd
+        out["macd_signal"] = sig
+        out["macd_hist"] = macd - sig
+        return out
+
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+    res = bars.groupBy("user_id").applyInPandas(fn, schema=schema)
+    return res.select(
+        "user_id", "day",
+        r6("macd").alias("macd"),
+        r6("macd_signal").alias("macd_signal"),
+        r6("macd_hist").alias("macd_hist"),
+    )
+
+
+@register(
+    "w25_donchian_channels",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    ch AS (
+      SELECT user_id, day, close,
+             CASE WHEN count(*) OVER w = 20 THEN max(high) OVER w END AS dc_up,
+             CASE WHEN count(*) OVER w = 20 THEN min(low) OVER w END AS dc_lo
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, (ROUND(close, 6) + 0.0) AS close,
+           (ROUND(dc_up, 6) + 0.0) AS dc_upper,
+           (ROUND(dc_lo, 6) + 0.0) AS dc_lower,
+           {_r6s_sql("(dc_up + dc_lo) / 2.0")} AS dc_mid,
+           {_r6s_sql("(close - dc_lo) / NULLIF(dc_up - dc_lo, 0.0)")} AS dc_pos
+    FROM ch
+    """,
+)
+def w25_donchian_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 20-day Donchian channels: rolling extreme bands + channel position.
+    # Extremes are order-independent (max/min never drift), so the bands
+    # round r6 bit-exact; only the derived ratios take the r6s nudge.
+    # Same single-window physical shape as w21/w22.
+    bars = _bars(spark, sf_dir)
+    w = _day_window().rowsBetween(-19, 0)
+    full = F.count(F.lit(1)).over(w) == 20
+    ch = bars.select(
+        "user_id", "day", "close",
+        F.when(full, F.max("high").over(w)).alias("dc_up"),
+        F.when(full, F.min("low").over(w)).alias("dc_lo"),
+    )
+    mid = (F.col("dc_up") + F.col("dc_lo")) / F.lit(2.0)
+    pos = (F.col("close") - F.col("dc_lo")) / F.nullif(
+        F.col("dc_up") - F.col("dc_lo"), F.lit(0.0)
+    )
+    return _round_step(
+        ch, ["user_id", "day"],
+        [
+            ("close", F.col("close"), "r6"),
+            ("dc_upper", F.col("dc_up"), "r6"),
+            ("dc_lower", F.col("dc_lo"), "r6"),
+            ("dc_mid", mid, "r6s"),
+            ("dc_pos", pos, "r6s"),
+        ],
+    )
+
+
+@register(
+    "w26_rolling_sharpe",
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    r AS (
+      SELECT user_id, day,
+             close / NULLIF(lag(close) OVER (PARTITION BY user_id ORDER BY day), 0.0)
+               - 1.0 AS ret
+      FROM bars
+    )
+    SELECT user_id, day,
+           {_r6s_sql("ret")} AS ret,
+           {_r6s_sql(f'''CASE WHEN count(ret) OVER w = 20 THEN
+             sqrt({_ANN}) * (AVG(ret) OVER w)
+               / NULLIF(stddev_samp(ret) OVER w, 0.0) END''')} AS sharpe_20
+    FROM r
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w26_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Annualized rolling 20-day Sharpe ratio (zero risk-free rate) over
+    # daily close-to-close returns. The gate counts NON-NULL returns so
+    # the first bar's undefined return keeps early frames in warm-up —
+    # same discipline as w20's delta count. One roll-up shuffle + one
+    # per-user sort shared by the lag and the frame.
+    bars = _bars(spark, sf_dir)
+    wseq = _day_window()
+    r = bars.select(
+        "user_id", "day",
+        (
+            F.col("close") / F.nullif(F.lag("close").over(wseq), F.lit(0.0))
+            - F.lit(1.0)
+        ).alias("ret"),
+    )
+    w = wseq.rowsBetween(-19, 0)
+    sharpe = F.when(
+        F.count("ret").over(w) == 20,
+        F.sqrt(F.lit(float(_ANN)))
+        * F.avg("ret").over(w)
+        / F.nullif(F.stddev_samp("ret").over(w), F.lit(0.0)),
+    )
+    return _round_step(
+        r, ["user_id", "day"],
+        [("ret", F.col("ret"), "r6s"), ("sharpe_20", sharpe, "r6s")],
+    )
+
+
 @register(
     "w23_atr",
     oracle=f"""
