@@ -471,3 +471,47 @@ def ml09_standard_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("quantity_z").alias("quantity_z"),
         r6s("price_z").alias("price_z"),
     )
+
+
+@register(
+    "ml10_quantile_binning",
+    # NTILE-based discretizer "fit": rank-exact quartile assignment
+    # (deterministic via the event_id tiebreak — both engines must give
+    # tied values the same bin), reduced to per-bin edge stats the way a
+    # fitted binner is persisted. NTILE beats percentile-cut here
+    # because its tie handling is rank-defined, not interpolation-
+    # defined, so the engines cannot disagree on boundary rows.
+    oracle="""
+    WITH b AS (
+      SELECT user_id, value,
+             ntile(4) OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT user_id, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(min(value), 6) + 0.0) AS lo,
+           (ROUND(max(value), 6) + 0.0) AS hi
+    FROM b
+    GROUP BY user_id, bin
+    """,
+)
+def ml10_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user quartile bin edges: ONE shuffle on user_id serves the
+    # ntile window sort, then the edge roll-up is map-side (already
+    # partitioned by the groupBy's leading key). At 100 TB the window
+    # partitions by user (millions of keys, even spread); a global
+    # (non-partitioned) ntile would funnel through one task and is
+    # exactly what this per-key shape avoids.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.ntile(4).over(
+        Window.partitionBy("user_id").orderBy("value", "event_id")
+    )
+    b = ev.select("user_id", "value", bin_.cast("bigint").alias("bin"))
+    return b.groupBy("user_id", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.min("value")).alias("lo"),
+        r6(F.max("value")).alias("hi"),
+    )

@@ -160,3 +160,62 @@ def mm05_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         r6(F.col("rms") - F.signum("rms") * F.lit(1e-9)).alias("rms"),
     )
+
+
+@register(
+    "mm06_png_header_parse",
+    # The Spark side BUILDS a genuine PNG signature + IHDR chunk per row
+    # (big-endian byte packing via hex/unhex) and then PARSES it back
+    # with binary substring + base-16 conv — a real image-metadata
+    # sniffer's hot path, minus the codec. The oracle recomputes the
+    # expected dimensions from doc_id arithmetic, so any error in either
+    # the packing or the parsing (endianness, offsets, lengths) breaks
+    # the hash match.
+    oracle="""
+    SELECT doc_id,
+           CAST(33 AS BIGINT)                          AS png_len,
+           CAST(16 + doc_id % 1024 AS BIGINT)          AS width,
+           CAST(16 + (doc_id // 1024) % 1024 AS BIGINT) AS height,
+           CAST(8 AS BIGINT)                           AS bit_depth,
+           CAST(2 AS BIGINT)                           AS color_type
+    FROM documents
+    """,
+)
+def mm06_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Header-only image metadata extraction: at 100 TB of images, width/
+    # height/bit-depth sniffing must read the first ~33 bytes, never the
+    # payload — this query proves the byte plumbing entirely JVM-side
+    # (hex/unhex/substring/conv, whole-stage codegen; no Python, no
+    # shuffle). PNG layout: 8-byte signature, then the IHDR chunk
+    # [len=13][\"IHDR\"][width be32][height be32][depth][color][3 x 0]
+    # [crc32] — crc is zeroed here (a sniffer never checks it).
+    docs = load_table(spark, sf_dir, "documents")
+
+    def be32(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    w = F.lit(16) + F.col("doc_id") % 1024
+    h = F.lit(16) + (F.col("doc_id") / 1024).cast("long") % 1024
+    png = F.concat(
+        F.lit(bytes([137, 80, 78, 71, 13, 10, 26, 10])),  # signature
+        F.lit(bytes([0, 0, 0, 13])),                      # IHDR length
+        F.lit(b"IHDR"),
+        be32(w), be32(h),
+        F.lit(bytes([8, 2, 0, 0, 0])),                    # depth/color/etc
+        F.lit(bytes([0, 0, 0, 0])),                       # crc (zeroed)
+    )
+    built = docs.select("doc_id", png.alias("png"))
+
+    def be_read(start: int, n: int):
+        return F.conv(
+            F.hex(F.expr(f"substring(png, {start}, {n})")), 16, 10
+        ).cast("long")
+
+    return built.select(
+        "doc_id",
+        F.length("png").cast("bigint").alias("png_len"),
+        be_read(17, 4).alias("width"),
+        be_read(21, 4).alias("height"),
+        be_read(25, 1).alias("bit_depth"),
+        be_read(26, 1).alias("color_type"),
+    )

@@ -1976,3 +1976,98 @@ def u04_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderpriority").alias("n_with_priority"),
         )
     )
+
+
+@register(
+    "a19_hll_distinct_bounds",
+    # The HLL estimate itself is engine-specific, so the oracle asserts
+    # the CONTRACT, not the value: the exact distinct count plus a
+    # within-bounds flag that must read TRUE (rsd=0.02 => 5 pct is
+    # ~2.5 sigma; a FALSE on either side fails the hash gate). Same
+    # error-bound-oracle pattern as a15's sketches.
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a19_hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cardinality sketching for 100 TB group-bys: approx_count_distinct
+    # is a fixed-size HLL++ register set per group — mergeable map-side,
+    # one shuffle, no distinct expansion — vs the exact path's
+    # shuffle-the-keys cost. The query runs BOTH and proves the sketch
+    # lands inside its advertised error envelope.
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_hll"),
+    )
+    within = (
+        F.abs(F.col("n_hll") - F.col("n_exact"))
+        <= F.lit(0.05) * F.col("n_exact")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        within.alias("hll_within_5pct"),
+    )
+
+
+@register(
+    "a20_weighted_median",
+    # Lower weighted median: smallest price whose cumulative quantity
+    # reaches half the group total. The cumsum order is made fully
+    # deterministic by the (price, orderkey, linenumber) tiebreak, and
+    # quantities are integer-valued doubles, so both engines accumulate
+    # the identical exact sums.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           (ROUND(min(l_extendedprice), 6) + 0.0) AS weighted_median_price,
+           CAST(min(tot_qty) AS BIGINT) AS total_qty
+    FROM c
+    WHERE cum_qty >= tot_qty / 2.0
+    GROUP BY l_returnflag
+    """,
+)
+def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantity-weighted median price per return flag — the order
+    # statistic percentile_cont can't express once weights enter. One
+    # shuffle on l_returnflag feeds BOTH window passes (running cumsum
+    # and group total share the partitioning; Spark plans one exchange +
+    # one sort), then the qualifying-rows reduction is a tiny groupBy.
+    # Scale: the window partitions by a low-cardinality key, so at
+    # cluster scale swap in a two-pass variant (per-partition partial
+    # histograms, then merge) — the oracle pins the semantics either way.
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum_qty"),
+        F.sum("l_quantity").over(wall).alias("tot_qty"),
+    )
+    return (
+        c.filter(F.col("cum_qty") >= F.col("tot_qty") / F.lit(2.0))
+        .groupBy("l_returnflag")
+        .agg(
+            r6(F.min("l_extendedprice")).alias("weighted_median_price"),
+            F.min("tot_qty").cast("bigint").alias("total_qty"),
+        )
+    )

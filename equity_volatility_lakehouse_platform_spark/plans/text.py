@@ -500,3 +500,83 @@ def t09_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("lang", "bigram", "n", rk.cast("bigint").alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "t10_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, (ROUND(score, 6) + 0.0) AS tfidf,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM s
+    )
+    WHERE rk <= 3
+    """,
+)
+def t10_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TF-IDF top-3 terms per document (smooth idf, sklearn's
+    # ln((N+1)/(df+1))+1 form so unseen-term idf stays positive). The
+    # corpus is tokenized ONCE: token explode -> map-side-combined
+    # (doc, term) count, then document frequency is a COUNT window over
+    # the term partition of that already-aggregated table — no
+    # groupBy+self-join (which would re-run the explode: Spark shares no
+    # subplans across join branches) and no second corpus scan. Doc
+    # count N is a one-row broadcast cross join. At web scale the term
+    # partition is Zipf-skewed but carries one row per (term, doc) pair
+    # post-aggregation — orders of magnitude smaller than the token
+    # stream. Per-doc top-3 is a window with a deterministic tiebreak
+    # (score desc, term asc).
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.withColumn("df", df_)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        s.select(
+            "doc_id", "term", "tf", "score", rk.cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", r6("score").alias("tfidf"), "rk")
+    )

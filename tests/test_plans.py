@@ -70,6 +70,14 @@ def test_shuffle_budgets(spark, sf_dir):
         "w21_bollinger_bands": 2,      # same bar->window shape
         "w22_stochastic_oscillator": 2,  # %K and %D share one window sort
         "t09_bigram_topk": 2,          # bigram-count groupBy + lang window
+        "w24_macd": 2,                 # daily-bar groupBy + one grouped-map shuffle
+        "w25_donchian_channels": 2,    # same bar->window shape as w21
+        "w26_rolling_sharpe": 2,       # same bar->window shape as w20
+        "a19_hll_distinct_bounds": 2,  # distinct expand + final groupBy
+        "a20_weighted_median": 2,      # returnflag window sort + tiny groupBy
+        "ml10_quantile_binning": 1,    # ntile window; edge roll-up reuses the partitioning
+        "mm06_png_header_parse": 0,    # pure map stage, bytes never shuffle
+        "t10_tfidf_topk": 4,           # tf groupBy + df groupBy + term join + doc window
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
