@@ -2071,3 +2071,96 @@ def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot_qty").cast("bigint").alias("total_qty"),
         )
     )
+
+
+@register(
+    "a21_funnel_conversion",
+    # Sequential funnel view -> click -> purchase: each stage's entry
+    # time is the user's FIRST qualifying event at-or-after the previous
+    # stage's entry. Stage t(n) depends on t(n-1), so the oracle chains
+    # CTEs; rates are exact-integer divisions rounded at 6dp.
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= t1.t_view
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM t1) AS n_view,
+           (SELECT count(*) FROM t2) AS n_click,
+           (SELECT count(*) FROM t3) AS n_purchase,
+           (ROUND((SELECT count(*) FROM t2) * 1.0
+                  / NULLIF((SELECT count(*) FROM t1), 0), 6) + 0.0)
+             AS click_rate,
+           (ROUND((SELECT count(*) FROM t3) * 1.0
+                  / NULLIF((SELECT count(*) FROM t2), 0), 6) + 0.0)
+             AS purchase_rate
+    """,
+)
+def a21_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The stage times are whole-partition window aggregates over ONE
+    # user_id exchange: t_view as a conditional min, then (in a second
+    # projection, so the window output is a plain ref) t_click as a min
+    # gated on ts >= t_view, then t_purchase likewise. Three chained
+    # window frames, one shuffle, no self-joins — the CTE-per-stage
+    # oracle shape would re-scan events once per stage. The final
+    # stage-count reduction is a single-row global agg.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        "n_view", "n_click", "n_purchase",
+        r6(
+            F.col("n_click") * F.lit(1.0)
+            / F.nullif(F.col("n_view"), F.lit(0)).cast("double")
+        ).alias("click_rate"),
+        r6(
+            F.col("n_purchase") * F.lit(1.0)
+            / F.nullif(F.col("n_click"), F.lit(0)).cast("double")
+        ).alias("purchase_rate"),
+    )

@@ -332,3 +332,31 @@ def st12_acid_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_acid_ingest_stream(spark, sf_dir)
+
+
+@register(
+    "st13_stream_static_join",
+    # Bounded-input equivalence: the availableNow streaming run over the
+    # same files must equal the batch join+GROUP BY (window('1 day')
+    # start == UTC day truncation).
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static broadcast join (the standard streaming enrichment
+    # shape): the dimension is read ONCE as a batch table and broadcast
+    # into every micro-batch — no watermark coupling, no state store,
+    # unlike the stream-stream join (st10). At cluster scale the stream
+    # side never shuffles for the join; only the windowed agg exchanges
+    # its partials.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stream_static_join,
+    )
+
+    return run_stream_static_join(spark, sf_dir)

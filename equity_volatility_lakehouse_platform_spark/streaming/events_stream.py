@@ -461,3 +461,41 @@ def run_acid_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def stream_static_enrich(
+    df: DataFrame, dim: DataFrame, window: str = "1 day"
+) -> DataFrame:
+    """Stream-static dimension enrichment: windowed per-segment totals of
+    a (possibly streaming) event feed joined to a BATCH dimension table.
+    The static side broadcasts — each micro-batch joins map-side against
+    the replicated dim with no stateful join machinery and no shuffle of
+    the stream beyond the aggregation's own exchange."""
+    ev = df.withWatermark("ts", "2 hours") if df.isStreaming else df
+    return (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy(F.window("ts", window).alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "c_mktsegment", "n", "total_value",
+        )
+    )
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming variant end-to-end: file-source events stream joined to
+    the static customer dim, daily per-segment totals to a memory sink."""
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return _run_stream_scoped(
+        spark, sf_dir,
+        lambda s: stream_static_enrich(s, dim),
+        "evstatic_", "complete",
+    )
