@@ -663,3 +663,42 @@ def d10_cosine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d06_embedding_neardup(spark, sf_dir).filter(F.col("is_near_dup"))
     comps = connected_components(pairs, src="vec_a", dst="vec_b")
     return comps.select(F.col("id").alias("vec_id"), "cluster_id")
+
+
+@register(
+    "d11_prefix_dedup",
+    # Prefix-fingerprint dedup: documents sharing their first 20 tokens
+    # are near-certain template duplicates (boilerplate headers, mirrored
+    # pages) even when tails differ — the cheap screen web pipelines run
+    # BEFORE MinHash. One md5 per doc over the joined prefix, exact
+    # groupBy on the 16-byte digest; raw text never shuffles.
+    oracle=r"""
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          1, 20), ' ')) AS prefix_md5
+      FROM documents
+    )
+    SELECT prefix_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(count(*) > 1 AS BOOLEAN) AS is_dup_group
+    FROM p GROUP BY prefix_md5
+    """,
+)
+def d11_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same zero-join shape as d01 (exact dedup) but keyed on the
+    # 20-token prefix fingerprint; short docs fingerprint their full
+    # token list (slice past the end truncates identically in both
+    # engines). Scales as a single map + one digest groupBy.
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.concat_ws(" ", F.slice(tx.tokens(F.col("text")), 1, 20))
+    )
+    p = docs.select("doc_id", prefix.alias("prefix_md5"))
+    return p.groupBy("prefix_md5").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        (F.count(F.lit(1)) > 1).alias("is_dup_group"),
+    )

@@ -2164,3 +2164,54 @@ def a21_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_click"), F.lit(0)).cast("double")
         ).alias("purchase_rate"),
     )
+
+
+@register(
+    "a22_cohort_retention",
+    # Classic cohort-retention matrix: users are cohorted by the Monday
+    # week of their FIRST signup; each later active week increments that
+    # cohort's retention cell. Both engines truncate weeks to Monday and
+    # the cells count DISTINCT users, so the matrix is integer-exact.
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT e.user_id, c.cohort_week,
+             date_diff('day', c.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+               AS weeks_since
+      FROM events e JOIN cohort c USING (user_id)
+    )
+    SELECT cohort_week, CAST(weeks_since AS BIGINT) AS weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM activity WHERE weeks_since >= 0
+    GROUP BY cohort_week, weeks_since
+    """,
+)
+def a22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle on user_id serves the cohort min AND the join back
+    # (both sides hash-partition on the key); the distinct-user cell
+    # count then re-shuffles only the (cohort, week, user) triples —
+    # already deduplicated map-side. At 100 TB the cohort table is one
+    # row per user (small relative to events) but still sharded, so the
+    # join stays a co-partitioned shuffle join, not a broadcast.
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.join(cohort, "user_id").select(
+        "user_id", "cohort_week",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        ).cast("long").alias("weeks_since"),
+    )
+    return (
+        activity.filter(F.col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
