@@ -2215,3 +2215,126 @@ def a22_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "q10_returned_items",
+    # TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
+    # Ordering uses the ROUNDED revenue (bit-identical across engines)
+    # plus a c_custkey tiebreak so near-equal revenues cannot reorder the
+    # cut across engines.
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0)
+             AS revenue,
+           (ROUND(c.c_acctbal, 6) + 0.0) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Physical strategy at 100 TB: the orderdate range filter pushes to
+    # the orders scan and the returnflag filter to the lineitem scan
+    # BEFORE the fact-fact shuffle join on orderkey; customer joins the
+    # aggregated per-customer revenue (far smaller than lineitem) and
+    # nation broadcasts. Top-20 on the rounded revenue compiles to
+    # TakeOrderedAndProject.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    rev_per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("raw_revenue")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = rev_per_cust.join(
+        cust, rev_per_cust["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.select(
+            "c_custkey", "c_name",
+            r6("raw_revenue").alias("revenue"),
+            r6("c_acctbal").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    # TPC-H Q18 shape: orders whose total quantity clears a threshold
+    # (HAVING subquery -> the same aggregate reused), with customer
+    # attribution. Quantities are integer-valued doubles, so the sums
+    # are exact in both engines; ordering ties break on o_orderkey.
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           (ROUND(o.o_totalprice, 6) + 0.0) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    HAVING SUM(l.l_quantity) > 300
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-order quantity roll-up happens FIRST (one shuffle on
+    # orderkey, map-side combined), the threshold filters it to a tiny
+    # qualifying set, and only THEN do orders/customer join — at scale
+    # the expensive fact table collapses to qualifying orders before any
+    # dimension touches it. Top-100 is TakeOrderedAndProject.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    joined = (
+        qual.join(o, qual["l_orderkey"] == o["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            r6("o_totalprice").alias("o_totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
