@@ -80,3 +80,81 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("slot") != F.col("h")).alias("is_filled"),
         F.col("close").alias("close_ffill"),
     )
+
+
+@register(
+    "g02_trading_day_grid",
+    # Business-calendar grid fill: each user's daily closes are aligned
+    # to the TRADING-day grid (weekdays minus the pinned US holidays —
+    # the S14 calendar source) spanning that user's own history, with
+    # gaps forward-filled and flagged. Jan 2024 holidays in-span:
+    # New Year (01-01) and MLK (01-15).
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM bars GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ), tdays AS (
+      SELECT user_id, day FROM grid
+      WHERE isodow(day) <= 5
+        AND day NOT IN (DATE '2024-01-01', DATE '2024-01-15')
+    ), j AS (
+      SELECT t.user_id, t.day, b.close
+      FROM tdays t LEFT JOIN bars b USING (user_id, day)
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           (ROUND(last_value(close IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0)
+             AS close_ffill,
+           CAST(close IS NULL AS BOOLEAN) AS is_synthetic
+    FROM j
+    """,
+)
+def g02_trading_day_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The grid generates on EXECUTORS from one row per user (explode of
+    # a per-user date sequence — never a driver loop, never a dense
+    # cross join); the holiday dimension broadcasts into a left-anti
+    # join (operators/calendar_ops). Grid and bars then join
+    # co-partitioned on (user_id, day) and one window pass forward-fills
+    # — at 100 TB the grid is |users| x |days|, dwarfed by the tick
+    # table it summarizes.
+    from equity_volatility_lakehouse_platform_spark.operators.calendar_ops import (
+        holidays_df,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    span = bars.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    ).filter(F.dayofweek("day").between(2, 6))
+    hol = holidays_df(spark)
+    tdays = grid.join(
+        F.broadcast(hol), grid["day"] == hol["holiday"], "left_anti"
+    )
+    j = tdays.join(bars, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        r6(F.last("close", ignorenulls=True).over(w)).alias("close_ffill"),
+        F.col("close").isNull().alias("is_synthetic"),
+    )

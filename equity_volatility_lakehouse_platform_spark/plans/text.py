@@ -580,3 +580,54 @@ def t10_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", r6("score").alias("tfidf"), "rk")
     )
+
+
+@register(
+    "sc08_array_functions",
+    # Array/list function family over the token column: distinct-sorted
+    # vocabulary, stopword intersection, first/last slices. Every output
+    # is canonically SORTED (DuckDB's list_distinct/list_intersect do
+    # not define order) and joined to a string so the comparator sees a
+    # scalar; empty lists COALESCE to '' (DuckDB's array_to_string maps
+    # an empty list to NULL where Spark's array_join yields '').
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS BIGINT) AS n_unique,
+           COALESCE(array_to_string(list_sort(list_distinct(tok)), ' '), '')
+             AS vocab,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(
+               list_intersect(tok, ['the', 'a', 'of', 'and', 'to']))), ' '), '')
+             AS stopwords_seen,
+           COALESCE(array_to_string(tok[1:3], ' '), '') AS head3
+    FROM t
+    """,
+)
+def sc08_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zero-shuffle map stage exercising the array function family
+    # (distinct, sort, intersect, slice) — all JVM-side higher-order
+    # functions; the token split runs ONCE in a staged projection and
+    # every derived column references it by name.
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.filter(tx.tokens(F.col("text")), lambda x: x != "").alias("tok"),
+    )
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    return staged.select(
+        "doc_id",
+        F.size("tok").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tok")).cast("bigint").alias("n_unique"),
+        F.array_join(F.sort_array(F.array_distinct("tok")), " ").alias("vocab"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect("tok", stop))), " "
+        ).alias("stopwords_seen"),
+        F.array_join(F.slice("tok", 1, 3), " ").alias("head3"),
+    )
