@@ -702,3 +702,117 @@ def d11_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         (F.count(F.lit(1)) > 1).alias("is_dup_group"),
     )
+
+
+_D12_EST = (
+    "("
+    + " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(8))
+    + ") / 8.0"
+)
+_D12_EXACT = (
+    "len(list_intersect(xa.s, xb.s)) * 1.0"
+    " / NULLIF(len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)), 0)"
+)
+
+
+@register(
+    "d12_minhash_accuracy",
+    # The sketch-quality audit for the dedup stack: on every LSH
+    # candidate pair, the 8-permutation MinHash ESTIMATE of Jaccard next
+    # to the EXACT shingle-set Jaccard and their absolute error. est is
+    # dyadic (k/8) and exact is one double division, so both engines
+    # derive bit-identical errors.
+    oracle=_SIG_SQL + f"""
+    , sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), sets AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (ROUND({_D12_EST}, 6) + 0.0) AS est_jaccard,
+           (ROUND({_D12_EXACT}, 6) + 0.0) AS exact_jaccard,
+           (ROUND(ABS({_D12_EST} - ({_D12_EXACT})), 6) + 0.0) AS abs_err
+    FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                JOIN sig sb ON c.doc_b = sb.doc_id
+                JOIN sets xa ON c.doc_a = xa.doc_id
+                JOIN sets xb ON c.doc_b = xb.doc_id
+    """,
+)
+def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One plan computes estimate AND truth over the same band-collision
+    # candidates (d03's scoring + d05's verification fused): signatures
+    # ship 8 longs per doc, shingle sets ship only for colliding docs.
+    # The per-pair error feeds the permutations-vs-precision sizing
+    # decision the same way sim05 feeds ANN probe sizing.
+    docs = load_table(spark, sf_dir, "documents")
+    sig = signature_table(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("x"),
+                F.col(f"mh{2 * band + 1}").alias("y"),
+            )
+            for band in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    pairs = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    tok = tx.tokens(F.col("text"))
+    sets = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.array_distinct(tx.shingles(F.col("t"))).alias("s"))
+    )
+    xa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    xb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    est = (
+        sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8))
+        / F.lit(8.0)
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    exact = inter * 1.0 / F.nullif(
+        F.size("s_a") + F.size("s_b") - inter, F.lit(0)
+    )
+    staged = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .join(xa, "doc_a").join(xb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("_est"), exact.alias("_exact"))
+    )
+    return staged.select(
+        "doc_a", "doc_b",
+        r6("_est").alias("est_jaccard"),
+        r6("_exact").alias("exact_jaccard"),
+        r6(F.abs(F.col("_est") - F.col("_exact"))).alias("abs_err"),
+    )

@@ -515,3 +515,83 @@ def ml10_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.min("value")).alias("lo"),
         r6(F.max("value")).alias("hi"),
     )
+
+
+@register(
+    "ml11_psi_drift",
+    # Population-stability-index drift check between the temporal train
+    # window (first 20 days) and the serving tail: 10 equal-width bins
+    # over the GLOBAL value range, Laplace-smoothed shares (+0.5 / +5)
+    # so empty bins contribute finite PSI instead of ln(0). Identical
+    # double arithmetic on both engines; PSI terms round at 6dp.
+    oracle="""
+    WITH mm AS (
+      SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((value - vmin) / NULLIF(vmax - vmin, 0.0)
+                              * 10.0) AS BIGINT), 9) AS bin,
+             CAST(ts < TIMESTAMP '2024-01-21 00:00:00' AS INTEGER) AS is_train
+      FROM events CROSS JOIN mm
+    ), counts AS (
+      SELECT bin,
+             CAST(SUM(is_train) AS BIGINT) AS n_train,
+             CAST(SUM(1 - is_train) AS BIGINT) AS n_test
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_train) AS t_train, SUM(n_test) AS t_test FROM counts
+    )
+    SELECT bin, n_train, n_test,
+           (ROUND((n_train + 0.5) / (t_train + 5.0), 6) + 0.0) AS p_train,
+           (ROUND((n_test + 0.5) / (t_test + 5.0), 6) + 0.0) AS p_test,
+           (ROUND(((n_train + 0.5) / (t_train + 5.0)
+                   - (n_test + 0.5) / (t_test + 5.0))
+                  * ln(((n_train + 0.5) / (t_train + 5.0))
+                       / ((n_test + 0.5) / (t_test + 5.0))), 6) + 0.0)
+             AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def ml11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train/serving skew detection — the per-feature drift audit an ML
+    # pipeline runs before every retrain. The global range is a one-row
+    # broadcast; binning + the train/test conditional counts are ONE
+    # map-side-combined groupBy on a 10-value key; the totals re-enter
+    # as a second one-row broadcast. Nothing scales with data except the
+    # two scans' partial aggregates.
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+                * F.lit(10.0)
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        (F.col("ts") < cutoff).cast("int").alias("is_train"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_test").alias("t_test")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_train = (F.col("n_train") + 0.5) / (F.col("t_train") + 5.0)
+    p_test = (F.col("n_test") + 0.5) / (F.col("t_test") + 5.0)
+    staged = j.select(
+        "bin", "n_train", "n_test",
+        p_train.alias("_p_train"), p_test.alias("_p_test"),
+    )
+    return staged.select(
+        "bin", "n_train", "n_test",
+        r6("_p_train").alias("p_train"),
+        r6("_p_test").alias("p_test"),
+        r6(
+            (F.col("_p_train") - F.col("_p_test"))
+            * F.log(F.col("_p_train") / F.col("_p_test"))
+        ).alias("psi_term"),
+    )
