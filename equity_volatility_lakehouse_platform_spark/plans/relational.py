@@ -2338,3 +2338,70 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "a23_gini_concentration",
+    # Gini coefficient of per-user traded value by event type (the
+    # inequality complement to a06's HHI): rank-weighted closed form
+    # G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending per-user
+    # totals. The rank order is fully deterministic (total, user_id), so
+    # both engines weight identical ranks; the per-user totals are sums
+    # of 2dp doubles — identical order via the deterministic groupBy?
+    # No: groupBy sum order differs, so totals pass through a 6dp round
+    # BEFORE ranking, making every downstream double bit-identical.
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             (ROUND(SUM(value), 6) + 0.0) AS total
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, total,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY total, user_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             SUM(total) OVER (PARTITION BY event_type) AS tot
+      FROM per_user
+    )
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS n_users,
+           (ROUND((2.0 * SUM(rk * total) / (min(n) * min(tot))
+                   - (min(n) + 1.0) / min(n))
+                  - sign(2.0 * SUM(rk * total) / (min(n) * min(tot))
+                         - (min(n) + 1.0) / min(n)) * 0.000000001, 6) + 0.0)
+             AS gini
+    FROM ranked GROUP BY event_type
+    """,
+)
+def a23_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle builds the per-user totals; the rank window partitions
+    # by event_type over the ALREADY-AGGREGATED user table (one row per
+    # user — orders of magnitude smaller than events); the final Gini
+    # reduction is a tiny groupBy. sum(rk * total) is order-independent
+    # up to FP, and since totals are pre-rounded and ranks exact ints,
+    # the remaining sum drift (rank-weighted sum and the partition
+    # total both accumulate in engine-specific order) is absorbed by the
+    # nudged 6dp output round (r6s).
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        r6(F.sum("value")).alias("total")
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type", "total",
+        F.row_number()
+        .over(wt.orderBy("total", "user_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("total").over(wt).alias("tot"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_users"),
+        r6s(
+            F.lit(2.0) * F.sum(F.col("rk") * F.col("total"))
+            / (F.min("n") * F.min("tot"))
+            - (F.min("n") + F.lit(1.0)) / F.min("n")
+        ).alias("gini"),
+    )

@@ -631,3 +631,87 @@ def sc08_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stopwords_seen"),
         F.array_join(F.slice("tok", 1, 3), " ").alias("head3"),
     )
+
+
+@register(
+    "t11_zipf_fit",
+    # Zipf's-law fit per language: OLS slope/intercept of ln(freq) on
+    # ln(rank) over the term frequency table (a healthy natural corpus
+    # slopes near -1; template/spam corpora flatten). Closed-form OLS
+    # from five sums — the regression aggregates accumulate in
+    # engine-specific order, so outputs take the nudged 6dp round.
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS freq
+      FROM tok WHERE term <> '' GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang,
+             ln(CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY freq DESC, term) AS DOUBLE))
+               AS lx,
+             ln(CAST(freq AS DOUBLE)) AS ly
+      FROM tf
+    ), s AS (
+      SELECT lang, count(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           (ROUND(((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0))
+                  - sign((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0))
+                    * 0.000000001, 6) + 0.0) AS zipf_slope,
+           (ROUND(((sy - sx * ((n * sxy - sx * sy)
+                               / NULLIF(n * sxx - sx * sx, 0.0))) / n)
+                  - sign((sy - sx * ((n * sxy - sx * sy)
+                                     / NULLIF(n * sxx - sx * sx, 0.0))) / n)
+                    * 0.000000001, 6) + 0.0) AS zipf_intercept
+    FROM s
+    """,
+)
+def t11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One token explode feeds the (lang, term) count; the rank window
+    # runs over the aggregated frequency table (vocabulary-sized); the
+    # OLS reduction is a five-sum groupBy on lang. Deterministic rank
+    # tiebreak (freq desc, term asc) keeps both engines' log-log points
+    # identical before the sums.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("freq"))
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    )
+    ranked = tf.select(
+        "lang",
+        F.log(rk.cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+    )
+    staged = s.select(
+        "lang", F.col("n").cast("bigint").alias("n_terms"),
+        slope.alias("_slope"),
+        ((F.col("sy") - F.col("sx") * slope) / F.col("n")).alias("_icept"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    return staged.select(
+        "lang", "n_terms",
+        r6s("_slope").alias("zipf_slope"),
+        r6s("_icept").alias("zipf_intercept"),
+    )

@@ -555,3 +555,114 @@ def w23_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("atr_14", atr, "r6s"),
         ],
     )
+
+
+_A20 = 2.0 / 21.0  # EMA(20) smoothing for the Keltner midline
+
+
+@register(
+    "w27_keltner_channels",
+    # Midline: EMA(20) of typical price (recursive -> recursive-CTE
+    # oracle, the w24 pattern). Bands: +- 2 x ATR(10) (SMA variant).
+    # ATR window means take the r6s nudge (Spark's sliding frame
+    # add/removes where DuckDB's segment tree re-aggregates, so the
+    # frame sums can differ in the last ulp); the EMA recursion itself
+    # is bit-identical and the midline rounds r6.
+    oracle=f"""
+    WITH RECURSIVE bars AS ({_BARS_SQL}),
+    pc AS (
+      SELECT user_id, day, high, low, close,
+             (high + low + close) / 3.0 AS tp,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+      FROM bars
+    ), tr AS (
+      SELECT user_id, day, tp,
+             CASE WHEN prev_close IS NULL THEN NULL
+                  ELSE GREATEST(high - low, abs(high - prev_close),
+                                abs(low - prev_close)) END AS true_range
+      FROM pc
+    ), atr AS (
+      SELECT user_id, day, tp,
+             CASE WHEN count(true_range) OVER w = 10
+                  THEN AVG(true_range) OVER w END AS atr_10
+      FROM tr
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ), base AS (
+      SELECT user_id, day, tp, atr_10,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM atr
+    ), rec AS (
+      SELECT user_id, day, rn, atr_10, tp AS ema
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.day, b.rn, b.atr_10,
+             {_ema_sql(_A20, "b.tp", "rec.ema")}
+      FROM base b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+    )
+    SELECT user_id, day,
+           (ROUND(ema, 6) + 0.0) AS kc_mid,
+           (ROUND((ema + 2.0 * atr_10)
+                  - sign(ema + 2.0 * atr_10) * 0.000000001, 6) + 0.0)
+             AS kc_upper,
+           (ROUND((ema - 2.0 * atr_10)
+                  - sign(ema - 2.0 * atr_10) * 0.000000001, 6) + 0.0)
+             AS kc_lower
+    FROM rec
+    """,
+)
+def w27_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composition of both indicator machineries: the windowed ATR rides
+    # the bar roll-up's partitioning (one shuffle + one per-user sort),
+    # then ONE grouped-map pass adds the EMA midline — the applyInPandas
+    # shuffle re-keys on user_id only; every other stage is JVM-side.
+    from pyspark.sql import types as T
+
+    bars = _bars(spark, sf_dir)
+    wseq = _day_window()
+    pc = bars.select(
+        "user_id", "day", "high", "low", "close",
+        ((F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)).alias("tp"),
+        F.lag("close").over(wseq).alias("prev_close"),
+    )
+    tr = F.when(
+        F.col("prev_close").isNotNull(),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("prev_close")),
+            F.abs(F.col("low") - F.col("prev_close")),
+        ),
+    )
+    trd = pc.select("user_id", "day", "tp", tr.alias("true_range"))
+    w10 = wseq.rowsBetween(-9, 0)
+    atr = trd.select(
+        "user_id", "day", "tp",
+        F.when(
+            F.count("true_range").over(w10) == 10,
+            F.avg("true_range").over(w10),
+        ).alias("atr_10"),
+    )
+    schema = T.StructType(
+        [
+            atr.schema["user_id"],
+            atr.schema["day"],
+            T.StructField("atr_10", T.DoubleType(), True),
+            T.StructField("ema", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values("day")
+        out = pdf[["user_id", "day", "atr_10"]].copy()
+        out["ema"] = pdf["tp"].ewm(alpha=_A20, adjust=False).mean()
+        return out
+
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
+
+    res = atr.groupBy("user_id").applyInPandas(fn, schema=schema)
+    return res.select(
+        "user_id", "day",
+        r6("ema").alias("kc_mid"),
+        r6s(F.col("ema") + F.lit(2.0) * F.col("atr_10")).alias("kc_upper"),
+        r6s(F.col("ema") - F.lit(2.0) * F.col("atr_10")).alias("kc_lower"),
+    )
