@@ -78,6 +78,18 @@ def test_shuffle_budgets(spark, sf_dir):
         "ml10_quantile_binning": 1,    # ntile window; edge roll-up reuses the partitioning
         "mm06_png_header_parse": 0,    # pure map stage, bytes never shuffle
         "t10_tfidf_topk": 4,           # tf groupBy + df groupBy + term join + doc window
+        "j17_asof_nearest": 2,         # quotes groupBy + one shared union-window sort
+        "a21_funnel_conversion": 2,    # user window + single-row stage-count agg
+        "a22_cohort_retention": 3,     # cohort agg + join + distinct-cell count
+        "a23_gini_concentration": 2,   # per-user totals + type-partition rank window
+        "t11_zipf_fit": 2,             # term counts + lang rank window/OLS agg
+        "d12_minhash_accuracy": 2,     # band-collision join + verify joins share sig partitioning
+        "g02_trading_day_grid": 3,     # bars agg + span agg + grid-bars join/ffill window
+        "q10_returned_items": 3,       # fact join + per-cust agg + cust join (dims broadcast)
+        "q18_large_volume_orders": 3,  # qty rollup + two key joins (top-k never global-sorts)
+        "w27_keltner_channels": 3,     # bar rollup + ATR window sort + grouped-map EMA
+        "d11_prefix_dedup": 1,         # one digest groupBy, raw text never shuffles
+        "ml11_psi_drift": 5,           # two global-range aggs + bin counts (one-row exchanges)
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
