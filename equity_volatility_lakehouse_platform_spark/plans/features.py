@@ -505,3 +505,59 @@ def f20_gold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pct_change_1d", "pct_change_7d", "pct_change_14d", "tr", "rel_tr",
         "market_absolute_path", "market_path_flag",
     )
+
+
+@register(
+    "f21_intraday_volume_profile",
+    # Intraday volume profile: each user's average share of daily
+    # activity landing in each 30-minute bucket (the U-shape every
+    # open/close-heavy tape shows; feeds execution scheduling). Shares
+    # are exact integer ratios; only the cross-day average takes the
+    # nudged round (summation order differs between engines).
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(EXTRACT(hour FROM ts) * 2
+                  + CASE WHEN EXTRACT(minute FROM ts) >= 30 THEN 1 ELSE 0 END
+               AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), sh AS (
+      SELECT user_id, bucket,
+             n * 1.0 / SUM(n) OVER (PARTITION BY user_id, day) AS share
+      FROM b
+    )
+    SELECT user_id, bucket,
+           CAST(count(*) AS BIGINT) AS n_days,
+           (ROUND(AVG(share) - sign(AVG(share)) * 0.000000001, 6) + 0.0)
+             AS avg_share
+    FROM sh GROUP BY user_id, bucket
+    """,
+)
+def f21_intraday_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One groupBy shuffle builds the (user, day, bucket) counts; the
+    # daily total is a whole-partition window over that aggregate (tiny:
+    # <=48 rows per user-day); the final per-bucket average re-groups on
+    # a prefix of the same key. Nothing touches raw events twice.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.hour("ts") * 2 + F.when(F.minute("ts") >= 30, 1).otherwise(0)
+    ).cast("bigint")
+    b = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        bucket.alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sh = b.select(
+        "user_id", "bucket",
+        (
+            F.col("n") * F.lit(1.0)
+            / F.sum("n").over(Window.partitionBy("user_id", "day"))
+        ).alias("share"),
+    )
+    return sh.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        r6s(F.avg("share")).alias("avg_share"),
+    )

@@ -219,3 +219,55 @@ def mm06_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         be_read(25, 1).alias("bit_depth"),
         be_read(26, 1).alias("color_type"),
     )
+
+
+@register(
+    "mm07_modality_router",
+    # Magic-byte modality routing: the first stage of any multimodal
+    # ingest fans rows to per-modality pipelines by sniffing the payload
+    # prefix (PNG / JPEG / PDF signatures, else text). The Spark side
+    # genuinely builds the prefixed payload and classifies by BYTES; the
+    # oracle recomputes the expected route from the same doc_id
+    # assignment plus the prefix lengths.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           WHEN 2 THEN 'application/pdf'
+                           ELSE 'text/plain' END AS modality,
+           CAST(octet_length(encode(text))
+                + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
+                                  WHEN 2 THEN 5 ELSE 0 END AS BIGINT)
+             AS payload_bytes
+    FROM documents
+    """,
+)
+def mm07_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure map stage: concat a binary magic prefix per row, then sniff
+    # it back with substring+hex comparisons (whole-stage codegen, no
+    # Python). At 100 TB the router reads <=8 bytes per row and the
+    # downstream per-modality filters push straight onto this column.
+    docs = load_table(spark, sf_dir, "documents")
+    sel = F.col("doc_id") % 4
+    payload = F.concat(
+        F.when(sel == 0, F.lit(bytes([137, 80, 78, 71, 13, 10, 26, 10])))
+        .when(sel == 1, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(sel == 2, F.lit(b"%PDF-"))
+        .otherwise(F.lit(b"")),
+        F.col("text").cast("binary"),
+    )
+    built = docs.select("doc_id", payload.alias("payload"))
+    head8 = F.hex(F.expr("substring(payload, 1, 8)"))
+    head3 = F.hex(F.expr("substring(payload, 1, 3)"))
+    head5 = F.expr("substring(payload, 1, 5)").cast("string")
+    modality = (
+        F.when(head8 == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(head3 == "FFD8FF", F.lit("image/jpeg"))
+        .when(head5 == "%PDF-", F.lit("application/pdf"))
+        .otherwise(F.lit("text/plain"))
+    )
+    return built.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+    )
