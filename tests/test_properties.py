@@ -232,3 +232,95 @@ def test_rounding_fast_path_bit_identical(spark):
             F.sum(F.when(same | nan_ok, 0).otherwise(1)).alias("n")
         ).collect()[0][0]
         assert bad == 0, f"{fn.__name__}: {bad} bit mismatches"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "N", "R"]),          # group
+            st.floats(1.0, 1000.0, allow_nan=False,
+                      allow_subnormal=False),           # price
+            st.integers(1, 50),                         # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@PROP
+def test_weighted_median_halves_the_weight(spark, rows):
+    # a20's defining invariant on ANY input: the weight strictly below
+    # the reported median is < half the total, and the weight at-or-
+    # below it is >= half — the lower weighted median by construction.
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+            "l_quantity": [float(r[2]) for r in rows],
+            "l_orderkey": range(len(rows)),
+            "l_linenumber": [1] * len(rows),
+        }
+    )
+    li = spark.createDataFrame(pdf)
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum_qty"),
+        F.sum("l_quantity").over(wall).alias("tot_qty"),
+    )
+    med = (
+        c.filter(F.col("cum_qty") >= F.col("tot_qty") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("wm"))
+    )
+    got = {r["l_returnflag"]: r["wm"] for r in med.collect()}
+    for flag, grp in pdf.groupby("l_returnflag"):
+        wm = got[flag]
+        tot = grp["l_quantity"].sum()
+        below = grp.loc[grp["l_extendedprice"] < wm, "l_quantity"].sum()
+        at_or_below = grp.loc[grp["l_extendedprice"] <= wm, "l_quantity"].sum()
+        assert below < tot / 2.0 or (below == tot / 2.0 and wm in grp["l_extendedprice"].values)
+        assert at_or_below >= tot / 2.0
+
+
+def test_macd_matches_pandas_reference(spark, sf_dir):
+    # Independent differential for w24 (the recursive-CTE oracle is one
+    # check; this recomputes MACD from the SAME daily bars wholly in
+    # pandas — different code path end to end).
+    import pandas as pd
+    from equity_volatility_lakehouse_platform_spark.plans.volatility import (
+        _A9, _A12, _A26, _bars, w24_macd,
+    )
+
+    got = w24_macd(spark, sf_dir).toPandas()
+    bars = _bars(spark, sf_dir).toPandas()
+    ref_rows = []
+    for uid, grp in bars.sort_values("day").groupby("user_id"):
+        c = grp["close"].reset_index(drop=True)
+        e12 = c.ewm(alpha=_A12, adjust=False).mean()
+        e26 = c.ewm(alpha=_A26, adjust=False).mean()
+        macd = e12 - e26
+        sig = macd.ewm(alpha=_A9, adjust=False).mean()
+        ref_rows.append(
+            pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "day": grp.sort_values("day")["day"].values,
+                    "macd_ref": macd.values,
+                    "sig_ref": sig.values,
+                }
+            )
+        )
+    ref = pd.concat(ref_rows)
+    m = got.merge(ref, on=["user_id", "day"])
+    assert len(m) == len(got) > 0
+    assert (m["macd"] - m["macd_ref"]).abs().max() < 1e-6 + 1e-9
+    assert (m["macd_signal"] - m["sig_ref"]).abs().max() < 1e-6 + 1e-9
