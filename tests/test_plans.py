@@ -221,3 +221,25 @@ def test_change_feed_scans_only_touched_files(spark, sf_dir, tmp_path):
     assert added, "merge must add files"
     for f in sorted(v0_files & v1_files)[:3]:
         assert f.split("/")[-1] not in plan, "carried-over file scanned"
+
+
+def test_q10_filters_reach_the_scans(spark, sf_dir):
+    # q10's selective predicates must hit the parquet scans BEFORE the
+    # fact-fact join: returnflag on lineitem, the orderdate range on
+    # orders — at 100 TB these filters decide whether the join reads
+    # terabytes or gigabytes.
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert re.search(r"PushedFilters:.*l_returnflag", plan), "returnflag not pushed"
+    assert re.search(r"PushedFilters:.*o_orderdate", plan), "orderdate not pushed"
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_dimension_joins(spark, sf_dir):
+    # The quantity roll-up (HashAggregate over lineitem) must appear
+    # BELOW both joins in q18's plan: the fact collapses to qualifying
+    # orders before orders/customer touch it.
+    plan = _plan(spark, sf_dir, "q18_large_volume_orders")
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "TakeOrderedAndProject" in plan
