@@ -816,3 +816,93 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("_exact").alias("exact_jaccard"),
         r6(F.abs(F.col("_est") - F.col("_exact"))).alias("abs_err"),
     )
+
+
+@register(
+    "d13_containment_dedup",
+    # Asymmetric containment on the LSH candidates: C(A,B) = |A∩B|/|A|
+    # catches a document EMBEDDED in a larger one (quote farms, page
+    # wrappers) that symmetric Jaccard dilutes below threshold. Both
+    # directions reported per pair; flag fires when either side is
+    # mostly contained in the other.
+    oracle=_SIG_SQL + """
+    , sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), sets AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh
+    ), bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           (ROUND(len(list_intersect(xa.s, xb.s)) * 1.0
+                  / NULLIF(len(xa.s), 0), 6) + 0.0) AS containment_a_in_b,
+           (ROUND(len(list_intersect(xa.s, xb.s)) * 1.0
+                  / NULLIF(len(xb.s), 0), 6) + 0.0) AS containment_b_in_a,
+           GREATEST(len(list_intersect(xa.s, xb.s)) * 1.0
+                      / NULLIF(len(xa.s), 0),
+                    len(list_intersect(xa.s, xb.s)) * 1.0
+                      / NULLIF(len(xb.s), 0)) >= 0.9 AS is_contained
+    FROM cand c JOIN sets xa ON c.doc_a = xa.doc_id
+                JOIN sets xb ON c.doc_b = xb.doc_id
+    """,
+)
+def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same candidate->verify physical shape as d05 (band equi-join
+    # proposes, shingle sets verify); only the verification metric
+    # changes — the denominators are each side's own set size.
+    docs = load_table(spark, sf_dir, "documents")
+    sig = signature_table(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.col(f"mh{2 * band}").alias("x"),
+                F.col(f"mh{2 * band + 1}").alias("y"),
+            )
+            for band in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.x", "b.y"
+    )
+    pairs = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
+            ["band", "x", "y"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tok = tx.tokens(F.col("text"))
+    sets = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.array_distinct(tx.shingles(F.col("t"))).alias("s"))
+    )
+    xa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    xb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    c_ab = inter * 1.0 / F.nullif(F.size("s_a"), F.lit(0))
+    c_ba = inter * 1.0 / F.nullif(F.size("s_b"), F.lit(0))
+    staged = (
+        pairs.join(xa, "doc_a").join(xb, "doc_b")
+        .select("doc_a", "doc_b", c_ab.alias("_cab"), c_ba.alias("_cba"))
+    )
+    return staged.select(
+        "doc_a", "doc_b",
+        r6("_cab").alias("containment_a_in_b"),
+        r6("_cba").alias("containment_b_in_a"),
+        (F.greatest("_cab", "_cba") >= 0.9).alias("is_contained"),
+    )

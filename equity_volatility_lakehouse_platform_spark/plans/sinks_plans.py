@@ -301,3 +301,57 @@ def snk07_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money("o_totalprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "snk08_cdc_apply",
+    # The downstream half of the CDC contract: a replica seeded from
+    # snapshot v0 and advanced ONLY by the change feeds (delete keys,
+    # then insert rows — updates arrive as delete+insert pairs) must
+    # reconstruct v2 exactly. The oracle restates v2 from the source
+    # table: all orders, with 'F' orders carrying the updated priority.
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_cdc_applied,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snk08_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Replica maintenance is change-proportional at every step: each
+    # feed ships only the manifests' file-set difference, the delete
+    # application is an anti-join on the key, and the insert application
+    # a union — the table itself is never re-shipped. (The replica here
+    # re-aggregates fully only because the gate compares full states.)
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk08_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
+    table.merge_insert_only(orders, ["o_orderkey"])
+    table.update_where(
+        F.col("o_orderstatus") == "F",
+        {"o_orderpriority": F.lit("CDC-APPLIED")},
+    )
+
+    replica = table.read(0)
+    for v in (1, 2):
+        feed = table.changes(v - 1, v)
+        deletes = feed.filter(F.col("_change_type") == "delete").select(
+            "o_orderkey"
+        )
+        inserts = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        replica = replica.join(
+            deletes, "o_orderkey", "left_anti"
+        ).unionByName(inserts)
+
+    return replica.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("o_orderpriority") == "CDC-APPLIED", 1)
+        ).cast("bigint").alias("n_cdc_applied"),
+        _money("o_totalprice").alias("total_price"),
+    )
