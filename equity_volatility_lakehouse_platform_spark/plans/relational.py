@@ -2405,3 +2405,66 @@ def a23_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.min("n") + F.lit(1.0)) / F.min("n")
         ).alias("gini"),
     )
+
+
+def _r6_sql_expr(x: str) -> str:
+    """The functions/rounding.r6 computation (DuckDB-bit-exact 6dp round)
+    as Spark SQL TEXT over an arbitrary expression — for queries whose
+    surface IS a SQL string (sql02). Same formula as rounding._round_sql,
+    which only accepts a bare column reference."""
+    y = f"(({x}) * 1.0E6D)"
+    frac = f"({y} % 1.0D)"
+    adj = (
+        f"CASE WHEN {frac} >= 0.5D THEN 1.0D "
+        f"WHEN {frac} <= -0.5D THEN -1.0D ELSE 0.0D END"
+    )
+    return (
+        f"(CASE WHEN isnan({y}) OR abs({y}) = double('Infinity') "
+        f"THEN {y} / 1.0E6D "
+        f"ELSE (({y} - {frac}) + {adj}) / 1.0E6D END + 0.0D)"
+    )
+
+
+@register(
+    "sql02_correlated_scalar",
+    # Correlated scalar subquery through the SQL front end: orders whose
+    # price clears 1.5x their OWN customer's average. Catalyst
+    # decorrelates this into an aggregate + equi-join (never a per-row
+    # subquery execution); the average is exact (ROUND'd at 6dp before
+    # the comparison on BOTH sides so the threshold is the identical
+    # double).
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           (ROUND(o.o_totalprice, 6) + 0.0) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT (ROUND(AVG(o2.o_totalprice), 6) + 0.0)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def sql02_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Registered as a temp view and expressed in SQL text (the surface a
+    # migrating reference user actually types); the pre-comparison round
+    # pins the per-customer mean bit-identical across engines (group
+    # means accumulate in engine-specific order) — via the engine's
+    # DuckDB-exact rounding EXPRESSION, not Spark's native ROUND (which
+    # rounds the shortest decimal repr and can disagree on .5-boundary
+    # means). At scale the rewrite is one per-customer aggregate + a
+    # co-partitioned join — the same physical plan the a-family writes
+    # by hand.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sql02_orders"
+    )
+    try:
+        return spark.sql(f"""
+            SELECT o.o_orderkey, o.o_custkey,
+                   {_r6_sql_expr("o.o_totalprice")} AS o_totalprice
+            FROM sql02_orders o
+            WHERE o.o_totalprice > 1.5 * (
+              SELECT {_r6_sql_expr("AVG(o2.o_totalprice)")}
+              FROM sql02_orders o2 WHERE o2.o_custkey = o.o_custkey
+            )
+        """)
+    finally:
+        spark.catalog.dropTempView("sql02_orders")
