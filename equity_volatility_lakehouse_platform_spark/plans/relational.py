@@ -2468,3 +2468,40 @@ def sql02_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
     finally:
         spark.catalog.dropTempView("sql02_orders")
+
+
+@register(
+    "a24_mode_per_group",
+    # Statistical mode with a deterministic tiebreak (most frequent
+    # value; ties resolve to the SMALLEST value) — the categorical
+    # summary the profile query (a18) stops short of. Two-level
+    # aggregate: value counts, then argmin over (-n, value).
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, value
+    ), r AS (
+      SELECT event_type, value, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, value) AS rk
+      FROM c
+    )
+    SELECT event_type, (ROUND(value, 6) + 0.0) AS mode_value,
+           n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def a24_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both shuffles carry aggregated rows only: the (type, value) count
+    # is map-side combined, and the mode reduction groups the count
+    # table (distinct values per type, far smaller than events).
+    # min_by's ordering key mirrors DuckDB's arg_min tuple: struct
+    # comparison is lexicographic in both engines.
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("event_type").agg(
+        r6(
+            F.min_by("value", F.struct((-F.col("n")).alias("a"), F.col("value").alias("b")))
+        ).alias("mode_value"),
+        F.max("n").alias("mode_count"),
+    )

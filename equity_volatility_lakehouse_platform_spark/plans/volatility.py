@@ -666,3 +666,44 @@ def w27_keltner_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s(F.col("ema") + F.lit(2.0) * F.col("atr_10")).alias("kc_upper"),
         r6s(F.col("ema") - F.lit(2.0) * F.col("atr_10")).alias("kc_lower"),
     )
+
+
+@register(
+    "f22_overnight_intraday_split",
+    # Return decomposition: the day's log return splits EXACTLY into the
+    # overnight gap (prev close -> open) plus the intraday move (open ->
+    # close) — ln telescopes, so r_on + r_id == r_cc bit-for-bit only up
+    # to FP; each term is computed independently on both engines from
+    # identical bars, so all three columns agree exactly.
+    oracle=f"""
+    WITH bars AS ({_bars_sql("WHERE value > 0")}),
+    seq AS (
+      SELECT user_id, day, open, close,
+             lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+      FROM bars
+    )
+    SELECT user_id, day,
+           {_r6s_sql("ln(open / prev_close)")} AS r_overnight,
+           {_r6s_sql("ln(close / open)")} AS r_intraday,
+           {_r6s_sql("ln(close / prev_close)")} AS r_close_close
+    FROM seq
+    """,
+)
+def f22_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vol-desk attribution primitive (is variance earned overnight
+    # or intraday?): same bar->lag physical shape as w20/w23 — one
+    # roll-up shuffle, one per-user sort; positive-price guard pushes to
+    # the scan (DuckDB ln(0) errors where Spark nulls, the w19 rule).
+    bars = _bars(spark, sf_dir, positive=True)
+    seq = bars.select(
+        "user_id", "day", "open", "close",
+        F.lag("close").over(_day_window()).alias("prev_close"),
+    )
+    return _round_step(
+        seq, ["user_id", "day"],
+        [
+            ("r_overnight", F.log(F.col("open") / F.col("prev_close")), "r6s"),
+            ("r_intraday", F.log(F.col("close") / F.col("open")), "r6s"),
+            ("r_close_close", F.log(F.col("close") / F.col("prev_close")), "r6s"),
+        ],
+    )
