@@ -2505,3 +2505,69 @@ def a24_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mode_value"),
         F.max("n").alias("mode_count"),
     )
+
+
+@register(
+    "a25_welch_ttest",
+    # Per-user Welch t-test of 'click' vs 'purchase' values — the A/B
+    # primitive (unequal variances, Welch-Satterthwaite df). One
+    # conditional aggregation computes both samples' moments in a single
+    # pass; outputs take the nudged round (means/variances accumulate in
+    # engine-specific order).
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n2,
+             AVG(value) FILTER (WHERE event_type = 'click') AS m1,
+             AVG(value) FILTER (WHERE event_type = 'purchase') AS m2,
+             var_samp(value) FILTER (WHERE event_type = 'click') AS v1,
+             var_samp(value) FILTER (WHERE event_type = 'purchase') AS v2
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n1, n2,
+           (ROUND(((m1 - m2) / NULLIF(sqrt(v1 / n1 + v2 / n2), 0.0))
+                  - sign((m1 - m2) / NULLIF(sqrt(v1 / n1 + v2 / n2), 0.0))
+                    * 0.000000001, 6) + 0.0) AS t_stat,
+           (ROUND((POWER(v1 / n1 + v2 / n2, 2)
+                   / NULLIF(POWER(v1 / n1, 2) / (n1 - 1)
+                            + POWER(v2 / n2, 2) / (n2 - 1), 0.0))
+                  - sign(POWER(v1 / n1 + v2 / n2, 2)
+                         / NULLIF(POWER(v1 / n1, 2) / (n1 - 1)
+                                  + POWER(v2 / n2, 2) / (n2 - 1), 0.0))
+                    * 0.000000001, 6) + 0.0) AS df_welch
+    FROM m WHERE n1 >= 2 AND n2 >= 2
+    """,
+)
+def a25_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single map-side-combined groupBy carries all six moments (counts,
+    # means, sample variances of both arms); the test statistic is a
+    # pure projection over the aggregate — no second scan, no join. At
+    # 100 TB this is exactly one shuffle of six doubles per user.
+    ev = load_table(spark, sf_dir, "events")
+    click = F.col("event_type") == "click"
+    buy = F.col("event_type") == "purchase"
+    m = ev.groupBy("user_id").agg(
+        F.count(F.when(click, 1)).alias("n1"),
+        F.count(F.when(buy, 1)).alias("n2"),
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.avg(F.when(buy, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(click, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(buy, F.col("value"))).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.nullif(F.sqrt(se2), F.lit(0.0))
+    df = F.pow(se2, 2) / F.nullif(
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1),
+        F.lit(0.0),
+    )
+    staged = (
+        m.filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .select("user_id", "n1", "n2", t.alias("_t"), df.alias("_df"))
+    )
+    return staged.select(
+        "user_id", "n1", "n2",
+        r6s("_t").alias("t_stat"),
+        r6s("_df").alias("df_welch"),
+    )

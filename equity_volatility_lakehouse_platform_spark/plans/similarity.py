@@ -381,3 +381,86 @@ def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.count("hit_id") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
         )
     )
+
+
+@register(
+    "ml12_knn_classify",
+    # kNN label classification over the embedding column: every 20th
+    # vector is an eval query, its label predicted by majority vote of
+    # its 3 exact nearest neighbors (cosine; ties in the vote resolve to
+    # the SMALLEST label). The per-query accuracy bit is the output —
+    # the eval loop a similarity-search deployment runs before swapping
+    # brute force for ANN.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, label AS true_label
+      FROM e WHERE vec_id % 20 = 0
+    ), scored AS (
+      SELECT q.q_id, q.true_label, e.vec_id, e.label,
+             list_dot_product(q.qv, e.v)
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v)), 0) AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ), nn AS (
+      SELECT q_id, true_label, label FROM (
+        SELECT q_id, true_label, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 3
+    ), votes AS (
+      SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS n
+      FROM nn GROUP BY q_id, true_label, label
+    )
+    SELECT q_id, true_label, label AS pred_label,
+           (label = true_label) AS correct
+    FROM (
+      SELECT q_id, true_label, label, n,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY n DESC, label) AS vrk
+      FROM votes
+    ) WHERE vrk = 1
+    """,
+)
+def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sim01's exact-kNN physical shape (norms projected pre-join, eval
+    # queries broadcast into a BNLJ against the corpus) extended with a
+    # two-window vote: top-3 by cosine, then majority label. The eval
+    # set is a fixed 5% sample — at 100 TB an eval set stays
+    # broadcast-sized by construction; the corpus side only streams.
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", "label", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("label").alias("true_label"), F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "true_label", "vec_id", "label", cos.alias("cos"))
+    )
+    wnn = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "true_label", "label")
+    )
+    votes = nn.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "q_id", "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
