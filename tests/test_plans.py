@@ -90,6 +90,16 @@ def test_shuffle_budgets(spark, sf_dir):
         "w27_keltner_channels": 3,     # bar rollup + ATR window sort + grouped-map EMA
         "d11_prefix_dedup": 1,         # one digest groupBy, raw text never shuffles
         "ml11_psi_drift": 5,           # two global-range aggs + bin counts (one-row exchanges)
+        "w28_linear_interp": 1,        # both bracket lookups on ONE sort
+        "w29_distribution_ranks": 1,   # one exchange, tie-group functions share it
+        "sql02_correlated_scalar": 2,  # decorrelated: per-cust agg + equi-join
+        "d13_containment_dedup": 2,    # band-collision join + shingle verify
+        "ml12_knn_classify": 2,        # broadcast BNLJ + vote groupBy/window
+        "a24_mode_per_group": 2,       # value counts + mode window
+        "a25_welch_ttest": 1,          # one conditional-moment groupBy
+        "f22_overnight_intraday_split": 2,  # bar rollup + lag window
+        "f21_intraday_volume_profile": 3,   # bucket counts + day-total window + avg
+        "mm07_modality_router": 0,     # pure map stage
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
