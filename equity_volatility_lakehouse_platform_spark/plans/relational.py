@@ -2571,3 +2571,70 @@ def a25_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("_t").alias("t_stat"),
         r6s("_df").alias("df_welch"),
     )
+
+
+import math as _math
+
+# Benford first-digit probabilities, embedded as repr'd doubles on BOTH
+# sides so neither engine's log10 libm rounding can differ.
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_SQL = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+)
+
+
+@register(
+    "a26_benford_audit",
+    # Benford's-law first-digit audit of order totals — the fraud /
+    # synthetic-data screen. The digit comes from the CASTed string's
+    # first character (identical shortest-round-trip formatting in both
+    # engines — a log10/floor extraction can flip at power-of-10
+    # boundaries), counts are exact ints, and the chi-square term is one
+    # double expression over them.
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n_obs) AS n FROM c)
+    SELECT digit, n_obs,
+           (ROUND(n * (CASE digit {_BENFORD_SQL} END), 6) + 0.0)
+             AS n_expected,
+           (ROUND(POWER(n_obs - n * (CASE digit {_BENFORD_SQL} END), 2)
+                  / (n * (CASE digit {_BENFORD_SQL} END)), 6) + 0.0)
+             AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+)
+def a26_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One 9-key groupBy (map-side combined) + a one-row broadcast total;
+    # the expected counts and chi-square terms are pure projections. At
+    # 100 TB this reads one column and shuffles nine rows.
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1.0
+    )
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast(
+        "bigint"
+    )
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").alias("n"))
+    p = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(prob))
+            for d, prob in _BENFORD.items()
+        ]
+    )
+    j = c.crossJoin(F.broadcast(t)).select(
+        "digit", "n_obs", (F.col("n") * p).alias("_exp")
+    )
+    return j.select(
+        "digit", "n_obs",
+        r6("_exp").alias("n_expected"),
+        r6(
+            F.pow(F.col("n_obs") - F.col("_exp"), 2) / F.col("_exp")
+        ).alias("chi2_term"),
+    )

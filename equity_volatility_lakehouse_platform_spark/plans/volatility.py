@@ -707,3 +707,76 @@ def f22_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("r_close_close", F.log(F.col("close") / F.col("prev_close")), "r6s"),
         ],
     )
+
+
+_LAMBDA = 0.94  # RiskMetrics decay
+
+
+@register(
+    "w30_riskmetrics_ewma_vol",
+    # RiskMetrics EWMA variance: sigma2_t = L*sigma2_{t-1} + (1-L)*r_t^2
+    # seeded with the first squared return — THE industry-standard daily
+    # vol recursion (J.P. Morgan RiskMetrics 1996, lambda = 0.94).
+    # Recursive like w11/w24, so: grouped-map on the Spark side,
+    # recursive CTE on the oracle side, identical IEEE ops throughout.
+    oracle=f"""
+    WITH RECURSIVE bars AS ({_bars_sql("WHERE value > 0")}),
+    r AS (
+      SELECT user_id, day,
+             ln(close / lag(close) OVER (PARTITION BY user_id ORDER BY day))
+               AS lr
+      FROM bars
+    ), base AS (
+      SELECT user_id, day, lr * lr AS r2,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM r WHERE lr IS NOT NULL
+    ), rec AS (
+      SELECT user_id, day, rn, r2 AS s2 FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.day, b.rn,
+             {_LAMBDA!r} * rec.s2 + {1.0 - _LAMBDA!r} * b.r2
+      FROM base b JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+    )
+    SELECT user_id, day,
+           (ROUND(sqrt(s2 * {_ANN}), 6) + 0.0) AS ewma_vol_ann
+    FROM rec
+    """,
+)
+def w30_riskmetrics_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One bar roll-up shuffle -> per-user lag -> ONE grouped-map running
+    # the recursion (pandas ewm(alpha=1-lambda, adjust=False) over
+    # squared log returns reproduces it exactly: identical multiply-add
+    # per step, w11's precedent). The warm-up row (first return) seeds
+    # the state, matching the CTE's base case.
+    from pyspark.sql import types as T
+
+    bars = _bars(spark, sf_dir, positive=True)
+    wseq = _day_window()
+    r = bars.select(
+        "user_id", "day",
+        F.log(F.col("close") / F.lag("close").over(wseq)).alias("lr"),
+    ).filter(F.col("lr").isNotNull())
+    base = r.select(
+        "user_id", "day", (F.col("lr") * F.col("lr")).alias("r2")
+    )
+    schema = T.StructType(
+        [
+            base.schema["user_id"],
+            base.schema["day"],
+            T.StructField("s2", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values("day")
+        out = pdf[["user_id", "day"]].copy()
+        out["s2"] = pdf["r2"].ewm(alpha=1.0 - _LAMBDA, adjust=False).mean()
+        return out
+
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+    res = base.groupBy("user_id").applyInPandas(fn, schema=schema)
+    return res.select(
+        "user_id", "day",
+        r6(F.sqrt(F.col("s2") * F.lit(float(_ANN)))).alias("ewma_vol_ann"),
+    )
