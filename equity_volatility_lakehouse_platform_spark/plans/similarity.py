@@ -383,15 +383,8 @@ def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml12_knn_classify",
-    # kNN label classification over the embedding column: every 20th
-    # vector is an eval query, its label predicted by majority vote of
-    # its 3 exact nearest neighbors (cosine; ties in the vote resolve to
-    # the SMALLEST label). The per-query accuracy bit is the output —
-    # the eval loop a similarity-search deployment runs before swapping
-    # brute force for ANN.
-    oracle="""
+# ml12's oracle, shared with ml13's confusion-matrix roll-up.
+_ML12_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
     ), q AS (
@@ -422,7 +415,18 @@ def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY n DESC, label) AS vrk
       FROM votes
     ) WHERE vrk = 1
-    """,
+    """
+
+
+@register(
+    "ml12_knn_classify",
+    # kNN label classification over the embedding column: every 20th
+    # vector is an eval query, its label predicted by majority vote of
+    # its 3 exact nearest neighbors (cosine; ties in the vote resolve to
+    # the SMALLEST label). The per-query accuracy bit is the output —
+    # the eval loop a similarity-search deployment runs before swapping
+    # brute force for ANN.
+    oracle=_ML12_SQL,
 )
 def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim01's exact-kNN physical shape (norms projected pre-join, eval
@@ -463,4 +467,60 @@ def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("pred_label"),
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
+    )
+
+
+@register(
+    "ml13_confusion_matrix",
+    # Per-label precision/recall over ml12's kNN predictions — the eval
+    # report that decides whether the similarity stack ships. tp/fp/fn
+    # are exact counts from the same deterministic prediction set; a
+    # label missing on one side contributes zeros (full outer join).
+    oracle=f"""
+    WITH preds AS ({_ML12_SQL}),
+    tl AS (
+      SELECT true_label AS label,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM preds GROUP BY true_label
+    ), pl AS (
+      SELECT pred_label AS label,
+             CAST(count(*) AS BIGINT) AS n_pred
+      FROM preds GROUP BY pred_label
+    )
+    SELECT COALESCE(tl.label, pl.label) AS label,
+           COALESCE(tl.tp, 0) AS tp,
+           COALESCE(pl.n_pred, 0) - COALESCE(tl.tp, 0) AS fp,
+           COALESCE(tl.n_true, 0) - COALESCE(tl.tp, 0) AS fn,
+           (ROUND(COALESCE(tl.tp, 0) * 1.0
+                  / NULLIF(COALESCE(pl.n_pred, 0), 0), 6) + 0.0)
+             AS precision_,
+           (ROUND(COALESCE(tl.tp, 0) * 1.0
+                  / NULLIF(COALESCE(tl.n_true, 0), 0), 6) + 0.0) AS recall_
+    FROM tl FULL OUTER JOIN pl ON tl.label = pl.label
+    """,
+)
+def ml13_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composes ml12 (its plan is reused wholesale) with two tiny label
+    # aggregates and a full outer join on the ~10-value label key —
+    # everything after the kNN stage is negligible at any scale.
+    preds = ml12_knn_classify(spark, sf_dir)
+    tl = preds.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("bigint").alias("tp"),
+    )
+    pl = preds.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = tl.join(pl, "label", "full_outer")
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
+    n_true = F.coalesce(F.col("n_true"), F.lit(0))
+    return j.select(
+        "label",
+        tp.alias("tp"),
+        (n_pred - tp).alias("fp"),
+        (n_true - tp).alias("fn"),
+        r6(tp * F.lit(1.0) / F.nullif(n_pred, F.lit(0))).alias("precision_"),
+        r6(tp * F.lit(1.0) / F.nullif(n_true, F.lit(0))).alias("recall_"),
     )

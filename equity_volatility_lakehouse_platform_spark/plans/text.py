@@ -715,3 +715,65 @@ def t11_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("_slope").alias("zipf_slope"),
         r6s("_icept").alias("zipf_intercept"),
     )
+
+
+@register(
+    "t12_ngram_novelty",
+    # Corpus novelty scoring: the fraction of a document's distinct
+    # 3-gram shingles whose FIRST occurrence (lowest doc_id) is the
+    # document itself — the dedup-adjacent signal curation pipelines use
+    # to rank near-boilerplate low. Counts are exact; the ratio is one
+    # division.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), fs AS (
+      SELECT doc_id, shingle,
+             min(doc_id) OVER (PARTITION BY shingle) AS first_seen
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           (ROUND(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) * 1.0
+                  / count(*), 6) + 0.0) AS novelty_ratio
+    FROM fs GROUP BY doc_id
+    """,
+)
+def t12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shingle explode (distinct per doc, done array-side BEFORE the
+    # explode so the shuffle carries unique pairs), a first-seen window
+    # on the shingle partition, then a per-doc reduction. At 100 TB the
+    # shingle partition is the big shuffle — the same key d03's banding
+    # join uses; hash-shingles (16-byte) would swap in for raw strings.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    sh = (
+        docs.select("doc_id", tok.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(tx.shingles(F.col("t")))
+            ).alias("shingle"),
+        )
+    )
+    first_seen = F.min("doc_id").over(Window.partitionBy("shingle"))
+    fs = sh.select("doc_id", first_seen.alias("first_seen"))
+    novel = F.sum(
+        F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return fs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.cast("bigint").alias("n_novel"),
+        r6(novel * F.lit(1.0) / F.count(F.lit(1))).alias("novelty_ratio"),
+    )
