@@ -253,3 +253,27 @@ def test_q18_aggregates_before_dimension_joins(spark, sf_dir):
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_sink_reads_prune_partitions(spark, sf_dir, tmp_path):
+    # S7/S9's layout contract at scale: a filter on the partition column
+    # of a written lake table must become a PartitionFilter (directory
+    # pruning — zero data files of other partitions opened), not a data
+    # filter evaluated per row.
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import write_partitioned
+
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        load_table(spark, sf_dir, "events"), out, ["event_type"]
+    )
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), "partition filter not pruned"
+    # And the pruned read returns exactly the partition's rows.
+    n_click = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'click'"
+    ).count()
+    assert df.count() == n_click
