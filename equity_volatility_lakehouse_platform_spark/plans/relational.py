@@ -2638,3 +2638,92 @@ def a26_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n_obs") - F.col("_exp"), 2) / F.col("_exp")
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "u05_except_all",
+    # Bag (multiset) semantics: EXCEPT ALL subtracts per-occurrence
+    # multiplicities, and INTERSECT ALL keeps the min — the distinct
+    # variants (u03) erase exactly the duplicate accounting this
+    # verifies. Both engines implement the SQL-standard bag rules; the
+    # output re-aggregates so the gate compares multiplicities, not row
+    # ordering.
+    oracle="""
+    SELECT user_id, 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    """,
+)
+def u05_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exceptAll/intersectAll plan as aggregate+generate (count per key,
+    # subtract/min, re-explode) — no sort, one shuffle per operand pair;
+    # the multiplicity math is what a bag-semantics reconciliation job
+    # (did every click row survive the pipeline?) actually needs.
+    ev = load_table(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select("user_id")
+    view = ev.filter(F.col("event_type") == "view").select("user_id")
+    exc = (
+        click.exceptAll(view)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.lit("except_all").alias("op"), "n")
+    )
+    inter = (
+        click.intersectAll(view)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.lit("intersect_all").alias("op"), "n")
+    )
+    return exc.unionByName(inter).select("user_id", "op", "n")
+
+
+@register(
+    "p13_null_safe_equality",
+    # Null-safe equality (Spark <=>, SQL IS NOT DISTINCT FROM): the
+    # predicate family's missing member. A derived nullable column
+    # (value gapped on 'error' rows) is compared against its per-user
+    # lag — plain = drops every NULL-adjacent pair; null-safe equality
+    # also matches NULL-to-NULL runs.
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+             lag(CASE WHEN event_type = 'error' THEN NULL ELSE value END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (v IS NOT DISTINCT FROM pv) AS same_as_prev,
+           CAST(v IS NULL AND pv IS NULL AS BOOLEAN) AS both_null
+    FROM g
+    """,
+)
+def p13_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One window pass; the comparisons are pure map expressions. eqNullSafe
+    # compiles to a codegen'd null-tolerant equality — no UDF, no CASE
+    # ladder.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_id", "user_id", gap.alias("v"), F.lag(gap).over(w).alias("pv")
+    )
+    return g.select(
+        "event_id", "user_id",
+        F.col("v").eqNullSafe(F.col("pv")).alias("same_as_prev"),
+        (F.col("v").isNull() & F.col("pv").isNull()).alias("both_null"),
+    )

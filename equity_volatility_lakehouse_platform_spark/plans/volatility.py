@@ -780,3 +780,59 @@ def w30_riskmetrics_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day",
         r6(F.sqrt(F.col("s2") * F.lit(float(_ANN)))).alias("ewma_vol_ann"),
     )
+
+
+@register(
+    "w31_drawdown_duration",
+    # Drawdown depth AND age: percent below the running peak plus days
+    # since that peak was set (w15 gives the depth; desks also need the
+    # duration). Peak identification is exact: a row is a peak iff its
+    # close EQUALS its own running max (identical doubles on both
+    # engines), and the governing peak is the LATEST such row at or
+    # before the current one.
+    oracle=f"""
+    WITH bars AS ({_BARS_SQL}),
+    rm AS (
+      SELECT user_id, day, close,
+             max(close) OVER w AS runmax
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day,
+           {_r6s_sql("close / NULLIF(runmax, 0.0) - 1.0")} AS drawdown,
+           CAST(date_diff('day',
+                  max(CASE WHEN close = runmax THEN day END) OVER w, day)
+                AS BIGINT) AS dd_days
+    FROM rm
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w31_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two chained window passes over the SAME partition/order spec (one
+    # exchange, one sort): pass 1 materializes the running max, pass 2
+    # takes the latest peak day (max over the frame of peak-row days).
+    # NULLIF guards an all-zero-price prefix (sf0.1 carries value == 0.0
+    # ticks; ANSI division by zero THROWS rather than NaNs).
+    bars = _bars(spark, sf_dir)
+    w = _day_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rm = bars.select(
+        "user_id", "day", "close", F.max("close").over(w).alias("runmax")
+    )
+    peak_day = F.max(
+        F.when(F.col("close") == F.col("runmax"), F.col("day"))
+    ).over(w)
+    staged = rm.select(
+        "user_id", "day",
+        (
+            F.col("close") / F.nullif(F.col("runmax"), F.lit(0.0))
+            - F.lit(1.0)
+        ).alias("_dd"),
+        F.datediff(F.col("day"), peak_day).cast("bigint").alias("dd_days"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    return staged.select(
+        "user_id", "day", r6s("_dd").alias("drawdown"), "dd_days"
+    )
