@@ -2727,3 +2727,87 @@ def p13_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").eqNullSafe(F.col("pv")).alias("same_as_prev"),
         (F.col("v").isNull() & F.col("pv").isNull()).alias("both_null"),
     )
+
+
+@register(
+    "a27_transition_matrix",
+    # First-order Markov transition matrix over per-user event
+    # sequences — the sequence-mining primitive behind session modeling
+    # and next-action prediction. Counts are exact; each row's
+    # probability divides by its FROM-state total (one more tiny window).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           (ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) + 0.0)
+             AS p
+    FROM c
+    """,
+)
+def a27_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One per-user window sort builds the bigram stream; the (from, to)
+    # count is map-side combined onto a 25-cell key space; the
+    # row-normalizing window runs over that tiny aggregate. At 100 TB
+    # only the first sort touches real data.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return c.select(
+        "prev_type", "next_type", "n",
+        r6(F.col("n") * F.lit(1.0) / tot).alias("p"),
+    )
+
+
+@register(
+    "sc10_string_distance",
+    # Edit-distance scoring between adjacent customer names — the
+    # entity-resolution candidate scorer (here over the deterministic
+    # key-adjacent candidate set; at scale the candidates come from a
+    # blocking join, same as dedup's LSH). Levenshtein is integer-exact
+    # in both engines; the normalized similarity is one division.
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+           (ROUND(1.0 - levenshtein(a.c_name, b.c_name) * 1.0
+                  / GREATEST(length(a.c_name), length(b.c_name)), 6) + 0.0)
+             AS name_similarity
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    """,
+)
+def sc10_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Self-join on key+1 (co-partitioned equi-join after one shuffle —
+    # never a cross join); the distance is a codegen'd JVM builtin.
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    j = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    dist = F.levenshtein("name_a", "name_b")
+    sim = F.lit(1.0) - dist * F.lit(1.0) / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    return j.select(
+        "key_a", "key_b",
+        dist.cast("bigint").alias("edit_dist"),
+        r6(sim).alias("name_similarity"),
+    )
