@@ -2811,3 +2811,128 @@ def sc10_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.cast("bigint").alias("edit_dist"),
         r6(sim).alias("name_similarity"),
     )
+
+
+@register(
+    "a28_weekday_seasonality",
+    # Additive seasonality decomposition at the weekday grain: per-user
+    # overall mean, per-(user, weekday) effect (group mean minus overall
+    # mean), and the residual variance left after removing it. Group
+    # means accumulate in engine-specific order -> nudged rounds.
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(isodow(ts) AS BIGINT) AS weekday, value,
+             AVG(value) OVER (PARTITION BY user_id) AS mu
+      FROM events
+    )
+    SELECT user_id, weekday,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND((AVG(value) - min(mu))
+                  - sign(AVG(value) - min(mu)) * 0.000000001, 6) + 0.0)
+             AS weekday_effect,
+           (ROUND(var_samp(value)
+                  - sign(var_samp(value)) * 0.000000001, 6) + 0.0)
+             AS within_var
+    FROM base GROUP BY user_id, weekday
+    """,
+)
+def a28_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One user-partition window for the overall mean rides the same
+    # exchange the (user, weekday) groupBy needs — Spark plans a single
+    # shuffle; the decomposition is a projection over the aggregate.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    mu = F.avg("value").over(Window.partitionBy("user_id"))
+    base = ev.select(
+        "user_id",
+        F.dayofweek("ts").alias("dow_sun1"),
+        "value",
+        mu.alias("mu"),
+    ).select(
+        "user_id",
+        # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1..Sat=7.
+        F.when(F.col("dow_sun1") == 1, F.lit(7))
+        .otherwise(F.col("dow_sun1") - 1)
+        .cast("bigint")
+        .alias("weekday"),
+        "value", "mu",
+    )
+    g = base.groupBy("user_id", "weekday").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("_avg"),
+        F.min("mu").alias("_mu"),
+        F.var_samp("value").alias("_var"),
+    )
+    return g.select(
+        "user_id", "weekday", "n",
+        r6s(F.col("_avg") - F.col("_mu")).alias("weekday_effect"),
+        r6s("_var").alias("within_var"),
+    )
+
+
+@register(
+    "a29_ks_test",
+    # Two-sample Kolmogorov-Smirnov statistic per user (click vs
+    # purchase values): D = sup |F1 - F2| over the pooled sorted sample.
+    # ECDF steps are exact integer ratios on identical sort order
+    # (value, type, event_id tiebreak), so D is bit-identical.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), t AS (
+      SELECT user_id,
+             SUM(is1) OVER (PARTITION BY user_id) AS n1,
+             SUM(1 - is1) OVER (PARTITION BY user_id) AS n2,
+             SUM(is1) OVER w AS c1,
+             SUM(1 - is1) OVER w AS c2
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, is1, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(min(n1) AS BIGINT) AS n_click,
+           CAST(min(n2) AS BIGINT) AS n_purchase,
+           (ROUND(max(abs(c1 * 1.0 / NULLIF(n1, 0)
+                          - c2 * 1.0 / NULLIF(n2, 0))), 6) + 0.0) AS ks_d
+    FROM t GROUP BY user_id
+    """,
+)
+def a29_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The t-test's (a25) distribution-free sibling. One user-partition
+    # sort serves the running ECDFs AND the sample totals; the sup is a
+    # tiny per-user max. At 100 TB the sort is per-user (even spread),
+    # never global.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "user_id", "value", "event_id",
+        (F.col("event_type") == "click").cast("int").alias("is1"),
+    )
+    wall = Window.partitionBy("user_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("value", "is1", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = s.select(
+        "user_id",
+        F.sum("is1").over(wall).alias("n1"),
+        F.sum(1 - F.col("is1")).over(wall).alias("n2"),
+        F.sum("is1").over(wcum).alias("c1"),
+        F.sum(1 - F.col("is1")).over(wcum).alias("c2"),
+    )
+    d = F.abs(
+        F.col("c1") * F.lit(1.0) / F.nullif(F.col("n1"), F.lit(0))
+        - F.col("c2") * F.lit(1.0) / F.nullif(F.col("n2"), F.lit(0))
+    )
+    return t.groupBy("user_id").agg(
+        F.min("n1").cast("bigint").alias("n_click"),
+        F.min("n2").cast("bigint").alias("n_purchase"),
+        r6(F.max(d)).alias("ks_d"),
+    )
