@@ -2936,3 +2936,59 @@ def a29_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n2").cast("bigint").alias("n_purchase"),
         r6(F.max(d)).alias("ks_d"),
     )
+
+
+@register(
+    "a30_entropy_profile",
+    # Shannon entropy of each user's event-type mix plus its normalized
+    # form (entropy / ln(k)) — the behavioral-diversity profile feature.
+    # Probabilities are exact integer ratios over identical counts, so
+    # the -sum(p ln p) terms are the same doubles; the cross-type sum
+    # runs over <=5 terms in deterministic groupBy order on BOTH
+    # engines after pre-aggregation, and takes the nudged round anyway.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), p AS (
+      SELECT user_id, n,
+             n * 1.0 / SUM(n) OVER (PARTITION BY user_id) AS pr
+      FROM c
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS k_types,
+           (ROUND((-SUM(pr * ln(pr)))
+                  - sign(-SUM(pr * ln(pr))) * 0.000000001, 6) + 0.0)
+             AS entropy,
+           (ROUND((-SUM(pr * ln(pr)) / NULLIF(ln(count(*) * 1.0), 0.0))
+                  - sign(-SUM(pr * ln(pr)) / NULLIF(ln(count(*) * 1.0), 0.0))
+                    * 0.000000001, 6) + 0.0) AS entropy_norm
+    FROM p GROUP BY user_id
+    """,
+)
+def a30_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (user, type) counts shuffle once; the per-user total is a window
+    # over that aggregate (same partitioning, no second exchange); the
+    # entropy reduction folds <=5 rows per user.
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pr = F.col("n") * F.lit(1.0) / F.sum("n").over(
+        Window.partitionBy("user_id")
+    )
+    p = c.select("user_id", pr.alias("pr"))
+    ent = -F.sum(F.col("pr") * F.log(F.col("pr")))
+    k = F.count(F.lit(1))
+    g = p.groupBy("user_id").agg(
+        k.cast("bigint").alias("k_types"),
+        ent.alias("_ent"),
+        (ent / F.nullif(F.log(k * F.lit(1.0)), F.lit(0.0))).alias("_entn"),
+    )
+    return g.select(
+        "user_id", "k_types",
+        r6s("_ent").alias("entropy"),
+        r6s("_entn").alias("entropy_norm"),
+    )
