@@ -561,3 +561,88 @@ def f21_intraday_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         r6s(F.avg("share")).alias("avg_share"),
     )
+
+
+@register(
+    "f24_event_study_car",
+    # Event-study cumulative abnormal return: around each shock day
+    # (days with >= 1 'error' event), the +-2-day window of daily
+    # returns minus the user's own mean return, accumulated per offset
+    # — the standard finance-research CAR curve, averaged across events
+    # per user and relative day.
+    oracle="""
+    WITH bars AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, day,
+             close / NULLIF(lag(close) OVER (PARTITION BY user_id
+                                             ORDER BY day), 0.0) - 1.0
+               AS ret
+      FROM bars
+    ), mu AS (
+      SELECT user_id, day, ret,
+             AVG(ret) OVER (PARTITION BY user_id) AS mean_ret
+      FROM r
+    ), ev AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day
+      FROM events WHERE event_type = 'error'
+    ), win AS (
+      SELECT e.user_id, e.event_day,
+             CAST(o.off AS BIGINT) AS rel_day,
+             e.event_day + to_days(CAST(o.off AS INTEGER)) AS day
+      FROM ev e CROSS JOIN (SELECT unnest(range(-2, 3)) AS off) o
+    )
+    SELECT w.user_id, w.rel_day,
+           CAST(count(m.ret) AS BIGINT) AS n_obs,
+           (ROUND(AVG(m.ret - m.mean_ret)
+                  - sign(AVG(m.ret - m.mean_ret)) * 0.000000001, 6) + 0.0)
+             AS avg_abnormal_ret
+    FROM win w JOIN mu m ON w.user_id = m.user_id AND w.day = m.day
+    GROUP BY w.user_id, w.rel_day
+    """,
+)
+def f24_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The event window materializes by EXPLODING each event day into its
+    # five relative offsets (executor-side, the g01 generation rule) and
+    # equi-joining back on (user, day) — never a range join, never a
+    # per-event scan. Abnormal returns subtract the user's whole-sample
+    # mean via a window that shares the returns' partitioning.
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    bars = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wseq = Window.partitionBy("user_id").orderBy("day")
+    r = bars.select(
+        "user_id", "day",
+        (
+            F.col("close") / F.nullif(F.lag("close").over(wseq), F.lit(0.0))
+            - F.lit(1.0)
+        ).alias("ret"),
+    )
+    mu = r.select(
+        "user_id", "day", "ret",
+        F.avg("ret").over(Window.partitionBy("user_id")).alias("mean_ret"),
+    )
+    ev = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", F.date_trunc("day", "ts").alias("event_day"))
+        .distinct()
+    )
+    win = ev.select(
+        "user_id", "event_day",
+        F.explode(F.sequence(F.lit(-2), F.lit(2))).alias("rel_day"),
+    ).select(
+        "user_id",
+        F.col("rel_day").cast("bigint").alias("rel_day"),
+        F.timestamp_add("DAY", F.col("rel_day"), F.col("event_day")).alias("day"),
+    )
+    j = win.join(mu, ["user_id", "day"])
+    return j.groupBy("user_id", "rel_day").agg(
+        F.count("ret").alias("n_obs"),
+        r6s(F.avg(F.col("ret") - F.col("mean_ret"))).alias("avg_abnormal_ret"),
+    )

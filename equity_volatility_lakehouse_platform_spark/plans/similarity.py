@@ -524,3 +524,65 @@ def ml13_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(tp * F.lit(1.0) / F.nullif(n_pred, F.lit(0))).alias("precision_"),
         r6(tp * F.lit(1.0) / F.nullif(n_true, F.lit(0))).alias("recall_"),
     )
+
+
+@register(
+    "ml14_roc_auc",
+    # Rank-based ROC AUC (Mann-Whitney U) of a deterministic score
+    # against the binary label (label >= 5): AUC = (R_pos - n_pos(n_pos
+    # + 1)/2) / (n_pos * n_neg) with AVERAGE ranks, which handles score
+    # ties with the standard 1/2 credit. Ranks are exact integer
+    # arithmetic on an identical sort, so AUC is one exact division.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             v[1] AS score,
+             CAST(label >= 5 AS INTEGER) AS y
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings)
+    ), r AS (
+      SELECT y,
+             AVG(rn) OVER (PARTITION BY score) AS avg_rank
+      FROM (
+        SELECT y, score,
+               row_number() OVER (ORDER BY score, vec_id) * 1.0 AS rn
+        FROM s
+      )
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+           (ROUND((SUM(CASE WHEN y = 1 THEN avg_rank ELSE 0 END)
+                   - SUM(y) * (SUM(y) + 1.0) / 2.0)
+                  / NULLIF(SUM(y) * 1.0 * SUM(1 - y), 0.0), 6) + 0.0)
+             AS auc
+    FROM r
+    """,
+)
+def ml14_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The binary-classifier eval metric as pure rank arithmetic: one
+    # sort by score (global here because AUC is global by definition —
+    # at 100 TB you'd compute per-slice AUCs per partition or a sampled
+    # global), one tie-averaging window, one single-row reduction.
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        "vec_id",
+        F.get(F.col("v"), 0).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    rn = F.row_number().over(Window.orderBy("score", "vec_id")) * F.lit(1.0)
+    ranked = s.select("y", "score", rn.alias("rn"))
+    avg_rank = F.avg("rn").over(Window.partitionBy("score"))
+    r = ranked.select("y", avg_rank.alias("avg_rank"))
+    n_pos = F.sum("y")
+    n_neg = F.sum(1 - F.col("y"))
+    r_pos = F.sum(F.when(F.col("y") == 1, F.col("avg_rank")).otherwise(0.0))
+    return r.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        r6(
+            (r_pos - n_pos * (n_pos + F.lit(1.0)) / F.lit(2.0))
+            / F.nullif(n_pos * F.lit(1.0) * n_neg, F.lit(0.0))
+        ).alias("auc"),
+    )
