@@ -586,3 +586,68 @@ def ml14_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n_pos * F.lit(1.0) * n_neg, F.lit(0.0))
         ).alias("auc"),
     )
+
+
+@register(
+    "ml15_lift_deciles",
+    # Decile lift/calibration table for the ml14 score: rank-exact
+    # NTILE(10) buckets over (score desc, vec_id), per-decile positive
+    # rate, and cumulative lift vs the base rate. All ratios are exact
+    # integer arithmetic; cumulative sums run over ten pre-aggregated
+    # rows.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, v[1] AS score, CAST(label >= 5 AS INTEGER) AS y
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings)
+    ), d AS (
+      SELECT y,
+             CAST(ntile(10) OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+               AS decile
+      FROM s
+    ), g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ), t AS (SELECT SUM(n) AS tot_n, SUM(n_pos) AS tot_pos FROM g)
+    SELECT decile, n, n_pos,
+           (ROUND(n_pos * 1.0 / n, 6) + 0.0) AS pos_rate,
+           (ROUND((SUM(n_pos) OVER (ORDER BY decile) * 1.0
+                   / SUM(n) OVER (ORDER BY decile))
+                  / NULLIF(tot_pos * 1.0 / tot_n, 0.0), 6) + 0.0)
+             AS cum_lift
+    FROM g CROSS JOIN t
+    """,
+)
+def ml15_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One global sort assigns deciles (the same per-slice caveat as
+    # ml14), a ten-key groupBy, then cumulative windows over ten rows —
+    # the model-quality report every ranking deployment prints.
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        "vec_id",
+        F.get(F.col("v"), 0).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.desc("score"), "vec_id"))
+    d = s.select("y", decile.cast("bigint").alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("n_pos")
+    )
+    t = g.agg(F.sum("n").alias("tot_n"), F.sum("n_pos").alias("tot_pos"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = g.crossJoin(F.broadcast(t))
+    return j.select(
+        "decile", "n", "n_pos",
+        r6(F.col("n_pos") * F.lit(1.0) / F.col("n")).alias("pos_rate"),
+        r6(
+            (F.sum("n_pos").over(wc) * F.lit(1.0) / F.sum("n").over(wc))
+            / F.nullif(
+                F.col("tot_pos") * F.lit(1.0) / F.col("tot_n"), F.lit(0.0)
+            )
+        ).alias("cum_lift"),
+    )
