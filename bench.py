@@ -83,6 +83,24 @@ def main() -> None:
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     spark.stop()
 
+    # Variance alongside the headline floor: single numbers on a shared
+    # box have masqueraded as regressions before (round-4's 9.04 s vs a
+    # 7.97 s re-run was ±15% ambient noise, not code). best = the
+    # recorded metric; median & stddev bound how much of any
+    # round-over-round delta is noise.
+    def _stats(ts: list[float]) -> dict[str, float]:
+        s = sorted(ts)
+        n = len(s)
+        med = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        mean = sum(s) / n
+        var = sum((x - mean) ** 2 for x in s) / (n - 1) if n > 1 else 0.0
+        return {
+            "best": round(s[0], 3),
+            "median": round(med, 3),
+            "stddev": round(var ** 0.5, 3),
+            "n": n,
+        }
+
     print(
         json.dumps(
             {
@@ -90,6 +108,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": {name: _stats(ts) for name, ts in runs.items()},
                 "sf": sf,
             }
         )

@@ -9,9 +9,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from equity_volatility_lakehouse_platform_spark.operators.calendar_ops import (
+    US_HOLIDAYS_2024,
+)
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+# g02's oracle NOT IN list is generated from the SAME pinned holiday
+# source the Spark plan anti-joins against, so the two sides stay
+# equivalent for ANY event span (previously only the two January dates
+# were listed, silently assuming spans end before Presidents Day).
+_HOLIDAYS_SQL = ", ".join(f"DATE '{d}'" for d in US_HOLIDAYS_2024)
 
 
 @register(
@@ -87,9 +96,9 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Business-calendar grid fill: each user's daily closes are aligned
     # to the TRADING-day grid (weekdays minus the pinned US holidays —
     # the S14 calendar source) spanning that user's own history, with
-    # gaps forward-filled and flagged. Jan 2024 holidays in-span:
-    # New Year (01-01) and MLK (01-15).
-    oracle="""
+    # gaps forward-filled and flagged. The oracle's holiday list is
+    # string-formatted from US_HOLIDAYS_2024 itself (see _HOLIDAYS_SQL).
+    oracle=f"""
     WITH bars AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
              arg_max(value, ts) AS close
@@ -103,7 +112,7 @@ def g01_grid_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tdays AS (
       SELECT user_id, day FROM grid
       WHERE isodow(day) <= 5
-        AND day NOT IN (DATE '2024-01-01', DATE '2024-01-15')
+        AND day NOT IN ({_HOLIDAYS_SQL})
     ), j AS (
       SELECT t.user_id, t.day, b.close
       FROM tdays t LEFT JOIN bars b USING (user_id, day)

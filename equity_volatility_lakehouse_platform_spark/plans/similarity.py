@@ -44,6 +44,18 @@ def _projection(v: Column, j: int) -> Column:
     return dot(v, weights)
 
 
+def lsh_bucket(v: Column, bits: int = 2) -> Column:
+    """Random-hyperplane LSH bucket id over ``bits`` hyperplanes
+    (2^bits buckets). ``bits`` is THE recall/cost knob at scale: each
+    extra bit halves the expected bucket (probe cost) and lowers recall;
+    the measured curve lives in SCALE.md (round-6 ANN knob study).
+    bits=2 is the oracle-checked default."""
+    b: Column = F.lit(0).cast("long")
+    for j in range(1, bits + 1):
+        b = b + (_projection(v, j) >= 0).cast("long") * (1 << (bits - j))
+    return b
+
+
 @register(
     "sim01_bruteforce_topk",
     oracle="""
@@ -111,14 +123,13 @@ def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM proj
     """,
 )
-def sim02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Random-hyperplane LSH bucketing (sign of 2 fixed projections -> 4
-    # buckets). At scale this is the partition key for ANN: one shuffle,
-    # queries probe one bucket instead of the corpus.
+def sim02_lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = 2) -> DataFrame:
+    # Random-hyperplane LSH bucketing (sign of ``bits`` fixed projections
+    # -> 2^bits buckets). At scale this is the partition key for ANN: one
+    # shuffle, queries probe one bucket instead of the corpus. ``bits``
+    # parameterizes the recall/cost trade (default 2 = the oracle).
     emb = _emb(spark, sf_dir)
-    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
-    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
-    return emb.select("vec_id", (b1 + b2).alias("bucket"))
+    return emb.select("vec_id", lsh_bucket(F.col("v"), bits).alias("bucket"))
 
 
 @register(
@@ -163,13 +174,21 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
 )
-def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim04_ivf_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_ids: tuple = (5, 17, 29, 41),
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
     # IVF (inverted-file) ANN — the other classic scale path next to LSH
-    # (sim03). A small coarse quantizer (4 fixed seed centroids, standing in
+    # (sim03). A small coarse quantizer (fixed seed centroids, standing in
     # for an offline-trained codebook) is broadcast; every vector is
     # assigned to its nearest centroid (argmax cosine), forming inverted
-    # lists keyed by centroid id. Queries probe their nprobe=2 nearest
-    # lists and exact cosine re-ranks only those candidates. At 100 TB the
+    # lists keyed by centroid id. Queries probe their ``nprobe`` nearest
+    # lists and exact cosine re-ranks only those candidates. The codebook
+    # size |centroid_ids| and ``nprobe`` are THE recall/cost knobs
+    # (probe fraction ~= nprobe / K); defaults = the oracle. At 100 TB the
     # corpus never shuffles for the probe: the broadcast x K expansion and
     # the per-vector argmax collapse map-side (partial max_by), so the one
     # shuffle is the assignment groupBy, and probing is a broadcast join of
@@ -177,7 +196,7 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
     )
-    cent = emb.filter(F.col("vec_id").isin(5, 17, 29, 41)).select(
+    cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("nc")
     )
     cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
@@ -193,12 +212,12 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v").alias("v"),
         F.first("nv").alias("nv"),
     )
-    # Query probe set: top-2 centroids per query vector.
+    # Query probe set: top-nprobe centroids per query vector.
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
     qprobe = (
         scored.filter(F.col("vec_id") < 3)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
             F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
@@ -215,7 +234,7 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
         cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )
 
@@ -249,15 +268,16 @@ def sim04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
 )
-def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim03_lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, bits: int = 2, k: int = 3
+) -> DataFrame:
     # ANN via bucket pruning: candidates share the query's LSH bucket
     # (equi-join on bucket), then exact cosine re-rank — the IVF/LSH scale
-    # pattern from sim01's baseline.
+    # pattern from sim01's baseline. ``bits`` sets the bucket count
+    # (recall/cost knob, default = oracle).
     emb = _emb(spark, sf_dir)
-    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
-    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
     bucketed = emb.select(
-        "vec_id", "v", (b1 + b2).alias("bucket"),
+        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
@@ -275,7 +295,7 @@ def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", r6("cos").alias("cosine"))
     )
 
@@ -326,18 +346,19 @@ def sim03_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY x.q_id
     """,
 )
-def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Composition query: exact top-3 (sim01's shape) vs LSH-bucket top-3
-    # (sim03's shape), joined per query to measure recall@3. Scale: the
+def sim05_ann_recall(
+    spark: SparkSession, sf_dir: str, bits: int = 2, k: int = 3
+) -> DataFrame:
+    # Composition query: exact top-k (sim01's shape) vs LSH-bucket top-k
+    # (sim03's shape), joined per query to measure recall@k. Scale: the
     # exact side is the expensive one by construction — in production
     # it runs on a SAMPLE of queries (this Q=3 set), which is precisely
     # what makes the evaluation affordable at 100 TB while the ANN path
-    # serves the full load.
+    # serves the full load. ``bits`` sweeps the knob (scripts/ann_sweep.py
+    # records the recall/cost curve in SCALE.md); defaults = the oracle.
     emb = _emb(spark, sf_dir)
-    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
-    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
     bucketed = emb.select(
-        "vec_id", "v", (b1 + b2).alias("bucket"),
+        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
@@ -353,7 +374,7 @@ def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             cand.select("q_id", "vec_id", cos.alias("cos"))
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
+            .filter(F.col("rn") <= k)
             .select("q_id", "vec_id")
         )
 
@@ -378,7 +399,7 @@ def sim05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("hit_id").alias("n_hit"),
-            r6(F.count("hit_id") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
+            r6(F.count("hit_id") * 1.0 / F.count(F.lit(1))).alias(f"recall_at_{k}"),
         )
     )
 
@@ -501,28 +522,51 @@ def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ml13_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Composes ml12 (its plan is reused wholesale) with two tiny label
-    # aggregates and a full outer join on the ~10-value label key —
-    # everything after the kNN stage is negligible at any scale.
+    # Composes ml12 with ONE label aggregate: each prediction row
+    # explodes into a (role, label) pair — its true-label row and its
+    # pred-label row — so true-side and pred-side counts come out of a
+    # single groupBy and the expensive kNN stage executes ONCE. (Two
+    # independent aggregations over the ml12 DataFrame would each re-run
+    # the broadcast-NLJ scoring pipeline: subplans above a reused
+    # broadcast are not shared across join branches.) The label union is
+    # implicit, so the previous full-outer-join semantics — a label
+    # missing on one side contributes zeros — are preserved exactly.
     preds = ml12_knn_classify(spark, sf_dir)
-    tl = preds.groupBy(F.col("true_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("bigint").alias("tp"),
+    pairs = preds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("t").alias("role"),
+                    F.col("true_label").alias("label"),
+                    F.col("correct").alias("correct"),
+                ),
+                F.struct(
+                    F.lit("p").alias("role"),
+                    F.col("pred_label").alias("label"),
+                    F.lit(None).cast("boolean").alias("correct"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.role", "x.label", "x.correct")
+    is_t = F.col("role") == "t"
+    g = pairs.groupBy("label").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("n_true"),
+        F.sum(F.when(is_t & F.col("correct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("n_pred"),
     )
-    pl = preds.groupBy(F.col("pred_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_pred")
-    )
-    j = tl.join(pl, "label", "full_outer")
-    tp = F.coalesce(F.col("tp"), F.lit(0))
-    n_pred = F.coalesce(F.col("n_pred"), F.lit(0))
-    n_true = F.coalesce(F.col("n_true"), F.lit(0))
-    return j.select(
+    return g.select(
         "label",
-        tp.alias("tp"),
-        (n_pred - tp).alias("fp"),
-        (n_true - tp).alias("fn"),
-        r6(tp * F.lit(1.0) / F.nullif(n_pred, F.lit(0))).alias("precision_"),
-        r6(tp * F.lit(1.0) / F.nullif(n_true, F.lit(0))).alias("recall_"),
+        F.col("tp"),
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+        r6(F.col("tp") * F.lit(1.0) / F.nullif(F.col("n_pred"), F.lit(0))).alias(
+            "precision_"
+        ),
+        r6(F.col("tp") * F.lit(1.0) / F.nullif(F.col("n_true"), F.lit(0))).alias(
+            "recall_"
+        ),
     )
 
 

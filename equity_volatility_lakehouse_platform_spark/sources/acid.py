@@ -65,6 +65,12 @@ class CommitConflict(RuntimeError):
 class AcidTable:
     """Snapshot-isolated parquet table with an atomic commit log."""
 
+    # Cap on the driver-side distinct partition-tuple collect in
+    # overwrite_partitions — generous for any real date/symbol layout,
+    # far below driver-OOM territory. Class attribute so a deployment
+    # with a genuinely wider layout can raise it deliberately.
+    MAX_OVERWRITE_PARTITIONS = 100_000
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -355,10 +361,28 @@ class AcidTable:
         definition of a partition key) drives a copy-on-write pass that
         drops the incoming partitions' old rows and lands the new files
         in the SAME commit — readers see the old or new partitions, never
-        a mix, and prior versions time-travel."""
-        tuples = [tuple(r) for r in df.select(*partition_cols).distinct().collect()]
+        a mix, and prior versions time-travel.
+
+        The distinct partition-tuple collect is DRIVER-side state (the
+        same shape Delta's dynamic overwrite holds); it is bounded by
+        ``MAX_OVERWRITE_PARTITIONS`` so a mistaken high-cardinality
+        "partition" key (e.g. a timestamp) fails loudly with guidance
+        instead of OOMing the driver building a million-clause filter."""
+        limit = self.MAX_OVERWRITE_PARTITIONS
+        tuples = [
+            tuple(r)
+            for r in df.select(*partition_cols).distinct().limit(limit + 1).collect()
+        ]
         if not tuples:
             raise ValueError("overwrite_partitions: input has no rows")
+        if len(tuples) > limit:
+            raise ValueError(
+                f"overwrite_partitions: more than {limit} distinct partition "
+                f"tuples in {partition_cols} — this is not a partition key. "
+                f"Partition on a bounded-cardinality column (date/symbol), or "
+                f"raise MAX_OVERWRITE_PARTITIONS explicitly if the cardinality "
+                f"is intended."
+            )
         if len(partition_cols) == 1:
             # single key: IN-list, pushed to the parquet scan as In(...)
             cond = F.col(partition_cols[0]).isin([t[0] for t in tuples])

@@ -54,6 +54,37 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+# Session timezone spellings the engine accepts as "UTC wall-clock".
+_UTC_ALIASES = frozenset({"UTC", "Etc/UTC", "GMT", "Z", "+00:00", "UTC+00:00", "GMT+00:00"})
+
+
+def _require_conf(spark: SparkSession, key: str, want: str, ok_values: frozenset | None = None) -> None:
+    """Set an engine-required session conf, ERRORING on a conflicting
+    EXPLICIT co-resident value instead of silently overwriting it.
+
+    A bare session (the correctness driver's) has none of these keys set
+    — ``SQLConf.contains`` is False even though ``conf.get`` returns the
+    default — so the driver path is an unconditional set, byte-identical
+    to the previous behavior. Only a session where someone explicitly
+    set the key to an incompatible value raises, which surfaces the
+    engine/workload conflict at the read site instead of silently
+    corrupting the co-resident workload's timestamps for the rest of
+    the session.
+    """
+    jconf = spark._jsparkSession.sessionState().conf()
+    if jconf.contains(key):
+        cur = spark.conf.get(key)
+        accept = ok_values if ok_values is not None else frozenset({want})
+        if cur not in accept:
+            raise ValueError(
+                f"engine requires session conf {key}={want!r} but it is "
+                f"explicitly set to {cur!r}; scope the conflicting conf "
+                f"around the co-resident workload's reads instead of "
+                f"session-wide (the engine never restores previous values)"
+            )
+    spark.conf.set(key, want)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with proper TimestampType columns.
 
@@ -64,28 +95,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (year/hour/date_trunc vs DuckDB). Both confs are runtime-settable, so we
     assert them here — at the read site — rather than trusting the session.
 
-    DOCUMENTED SIDE EFFECT: this mutates the caller's session config
+    DOCUMENTED SIDE EFFECT: this pins the caller's session config
     (UTC timezone + nanosAsLong + inferTimestampNTZ=false) for the rest
-    of the session — the
-    engine's contract is UTC wall-clock semantics everywhere, and the
-    driver's bare session depends on the overwrite. A co-resident
-    workload needing a different session timezone must scope its own
-    conf around its reads; the engine never restores a previous value.
+    of the session — the engine's contract is UTC wall-clock semantics
+    everywhere, and the driver's bare session depends on the set. If a
+    co-resident workload has EXPLICITLY set any of these keys to an
+    incompatible value, the read raises ``ValueError`` at the call site
+    (never a silent overwrite) — see ``_require_conf``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if _nano_ts_columns(path):
         # Without this a vectorized parquet read of INT64 TIMESTAMP(NANOS)
         # throws; with it the column arrives as a long we repair below.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _require_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     # Oracle comparisons are tz-naive; all timestamp extraction must agree
     # with DuckDB's wall-clock view of the same micros values.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _require_conf(
+        spark, "spark.sql.session.timeZone", "UTC", ok_values=_UTC_ALIASES
+    )
     # Files written as isAdjustedToUTC=false micros would otherwise infer
     # TIMESTAMP_NTZ, and the repair cast below — while value-identical
     # under the UTC session — blocks parquet filter pushdown on every
     # timestamp predicate and adds a per-row cast. Reading them directly
     # as TimestampType is free and pushdown-friendly.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _require_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         # nanos -> micros with integer `div` (float division would lose

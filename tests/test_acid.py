@@ -333,3 +333,21 @@ def test_schema_evolution_add_column_and_type_refusal(spark, orders, root):
                 F.col("o_totalprice").cast("string").alias("o_totalprice"),
             ).limit(1)
         )
+
+
+def test_overwrite_partitions_cardinality_cap(spark, sf_dir, root):
+    # The driver-side distinct-partition-tuple collect is bounded: a
+    # high-cardinality "partition" key (here the near-unique event
+    # timestamp) fails loudly with guidance instead of OOMing the driver
+    # on a million-clause filter. The limit() in the probe means the
+    # failure costs one small collect, not a full materialization.
+    ev = load_table(spark, sf_dir, "events")
+    t = AcidTable(spark, root)
+    t.overwrite(ev)
+    t.MAX_OVERWRITE_PARTITIONS = 10  # exercise the cap without 100k rows
+    with pytest.raises(ValueError, match="not a partition key"):
+        t.overwrite_partitions(ev, ["ts"])
+    # an in-bounds key still works after the failed attempt
+    t.MAX_OVERWRITE_PARTITIONS = 100_000
+    patch = ev.filter(F.col("event_type") == "click")
+    assert t.overwrite_partitions(patch, ["event_type"]) >= 1

@@ -482,3 +482,32 @@ def test_money_guard_3dp_fixture(spark, tmp_path):
         f"FROM '{path}/*.parquet'"
     ).fetchone()[0]
     assert unguarded_spark == unguarded_duck == spark_total
+
+
+def test_load_table_rejects_conflicting_explicit_conf(spark, sf_dir):
+    # Engine contract (sources/readers._require_conf): a bare session is
+    # pinned silently (driver behavior unchanged), but an EXPLICITLY-set
+    # incompatible session conf raises at the read site instead of being
+    # silently overwritten under a co-resident workload.
+    import pytest as _pytest
+
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        with _pytest.raises(ValueError, match="spark.sql.session.timeZone"):
+            load_table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # UTC alias spellings are compatible, not conflicts.
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    load_table(spark, sf_dir, "events").limit(1).count()
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        with _pytest.raises(ValueError, match="inferTimestampNTZ"):
+            load_table(spark, sf_dir, "events")
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -252,6 +252,10 @@ def test_q18_aggregates_before_dimension_joins(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+    # Tree printing is top-down (parents first): the fact aggregate being
+    # BELOW the joins means every Join line prints BEFORE the first
+    # HashAggregate line.
+    assert join_pos < agg_pos, "quantity roll-up is not below the joins"
     assert "TakeOrderedAndProject" in plan
 
 
