@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
     attach_binary_payload,
-    decode_media,
 )
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
@@ -31,58 +30,116 @@ def mm01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm02_decode_stub",
-    # The stub codec is deterministic byte arithmetic, so it IS
-    # SQL-expressible: DuckDB recomputes width/height from the payload
-    # length and mean_intensity as the exact first-256-byte sum (the
-    # corpus is ASCII, so per-char codepoints equal utf-8 bytes; both
-    # engines then run the identical int-division-free double ops).
-    # This oracles the whole mapInPandas plumbing — batch iteration,
-    # schema, byte lengths — not just "it ran". A real-codec payload
-    # (PIL path) would be rows-only again; text payloads always stub.
+    "mm02_decode_png",
+    # ROUND 6: the stub codec is retired — this decodes REAL pixels. Each
+    # row carries a genuine RGB PNG (real zlib IDAT, real CRCs) whose
+    # pixels follow a deterministic integer rule, so DuckDB can recompute
+    # the per-channel mean and extent (max-min) WITHOUT a PNG decoder:
+    # any error in the Spark side's chunk parsing, inflate, or filter
+    # reconstruction breaks the hash match. Integer pixel sums are exact
+    # on both engines; one double division per channel, r6-rounded.
     oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id // 9) % 9 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, w*h - 1),
+                            i -> (doc_id*7 + i*13) % 256)      AS r,
+             list_transform(generate_series(0, w*h - 1),
+                            i -> (doc_id*7 + i*13 + 31) % 256) AS g,
+             list_transform(generate_series(0, w*h - 1),
+                            i -> (doc_id*7 + i*13 + 62) % 256) AS b
+      FROM dims
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-           CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
-           (CAST(COALESCE(list_sum(list_transform(
-                    generate_series(1, least(octet_length(encode(text)), 256)),
-                    i -> ascii(text[i]))), 0) AS DOUBLE)
-            / greatest(least(octet_length(encode(text)), 256), 1)) / 255.0
-             AS mean_intensity,
-           'stub-v1' AS decoder
-    FROM documents
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           (ROUND(CAST(list_sum(r) AS DOUBLE) / (w*h), 6) + 0.0) AS mean_r,
+           (ROUND(CAST(list_sum(g) AS DOUBLE) / (w*h), 6) + 0.0) AS mean_g,
+           (ROUND(CAST(list_sum(b) AS DOUBLE) / (w*h), 6) + 0.0) AS mean_b,
+           CAST(list_max(r) - list_min(r) AS BIGINT) AS ext_r,
+           CAST(list_max(g) - list_min(g) AS BIGINT) AS ext_g,
+           CAST(list_max(b) - list_min(b) AS BIGINT) AS ext_b
+    FROM px
     """,
 )
-def mm02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-batched mapInPandas decode over the binary column; deterministic
-    # fake codec (see operators/multimodal.py) — plumbing is real and the
-    # output is unit-tested against a pure-Python reimplementation.
+def mm02_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build genuine PNGs in one Arrow-batched map stage, decode them in
+    # another (PIL fast path when installed, pure-stdlib zlib+unfilter
+    # otherwise — identical integers either way), emit real per-channel
+    # pixel stats. Map-only: no shuffle at any scale.
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        decode_media_stats,
+        synth_png_payloads,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(attach_binary_payload(docs))
+    raw = decode_media_stats(synth_png_payloads(docs))
+    return raw.select(
+        "doc_id", "width", "height",
+        r6("mean_r").alias("mean_r"),
+        r6("mean_g").alias("mean_g"),
+        r6("mean_b").alias("mean_b"),
+        "ext_r", "ext_g", "ext_b",
+    )
 
 
 @register(
-    "mm03_resize_stub",
+    "mm03_resize_png",
+    # ROUND 6: REAL nearest-neighbor resample over decoded PNG pixels
+    # (floor source mapping sx = x*w // out_w so the oracle can index the
+    # SAME source pixels arithmetically). The resized image's per-channel
+    # means check that decode AND resample touched the right bytes.
     oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id // 9) % 9 AS h
+      FROM documents
+    ), rs AS (
+      SELECT doc_id, w, h,
+             list_transform(
+               generate_series(0, 63),
+               k -> ((k // 8) * h // 8) * w + ((k % 8) * w // 8)
+             ) AS sidx
+      FROM dims
+    )
     SELECT doc_id,
-           CAST(16 + octet_length(encode(text)) % 64 AS INT)        AS in_width,
-           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS in_height,
-           CAST(32 AS INT) AS out_width,
-           CAST(32 AS INT) AS out_height,
-           (ROUND(32.0 / (16 + octet_length(encode(text)) % 64), 6) + 0.0)  AS scale_x,
-           (ROUND(32.0 / (16 + (octet_length(encode(text)) // 64) % 64), 6) + 0.0) AS scale_y
-    FROM documents
+           CAST(w AS INTEGER) AS in_width,
+           CAST(h AS INTEGER) AS in_height,
+           CAST(8 AS INTEGER) AS out_width,
+           CAST(8 AS INTEGER) AS out_height,
+           (ROUND(CAST(list_sum(list_transform(sidx,
+                i -> (doc_id*7 + i*13) % 256)) AS DOUBLE) / 64, 6) + 0.0) AS mean_r,
+           (ROUND(CAST(list_sum(list_transform(sidx,
+                i -> (doc_id*7 + i*13 + 31) % 256)) AS DOUBLE) / 64, 6) + 0.0) AS mean_g,
+           (ROUND(CAST(list_sum(list_transform(sidx,
+                i -> (doc_id*7 + i*13 + 62) % 256)) AS DOUBLE) / 64, 6) + 0.0) AS mean_b
+    FROM rs
     """,
 )
-def mm03_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mapInPandas resize plumbing; the stub codec's dims are deterministic
-    # byte arithmetic, so the oracle can independently recompute them from
-    # octet_length — the Python path is genuinely exercised and checked.
-    from equity_volatility_lakehouse_platform_spark.operators.multimodal import resize_media
+def mm03_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decode + resample in one Arrow-batched map stage over the genuine
+    # PNG payloads; emits the 8x8 resized per-channel means (exact
+    # integer sums / 64 — one reproducible double op per channel).
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        resize_media_real,
+        synth_png_payloads,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(attach_binary_payload(docs))
+    raw = resize_media_real(synth_png_payloads(docs), out_w=8, out_h=8)
+    return raw.select(
+        "doc_id", "in_width", "in_height", "out_width", "out_height",
+        r6("mean_r").alias("mean_r"),
+        r6("mean_g").alias("mean_g"),
+        r6("mean_b").alias("mean_b"),
+    )
 
 
 @register(

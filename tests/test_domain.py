@@ -195,25 +195,105 @@ def test_multimodal_decode_stub(spark):
         assert row.payload_bytes == len(text.encode())
 
 
+def test_multimodal_png_codec_roundtrip():
+    # The pure-stdlib PNG codec (round 6, stub retired for mm02/mm03):
+    # encode writes genuine zlib IDAT + CRCs; decode must reproduce the
+    # exact pixel bytes, and _decode_payload must route PNG payloads to
+    # the real decoder, never the stub.
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        _dims_for,
+        _pix_rule,
+        decode_png,
+        encode_png_rgb,
+    )
+
+    for d in (0, 5, 123, 99999):
+        w, h = _dims_for(d)
+        pix = _pix_rule(d)
+        png = encode_png_rgb(w, h, pix)
+        w2, h2, pixels, nch = decode_png(png)
+        assert (w2, h2, nch) == (w, h, 3)
+        assert pixels == bytes(pix(i, c) for i in range(w * h) for c in range(3))
+        pw, ph, _m, dec = _decode_payload(png)
+        assert (pw, ph) == (w, h)
+        assert dec in ("pil", "png-stdlib")  # real decode either way
+
+
+def test_multimodal_png_decoder_reconstructs_all_filters():
+    # A PNG whose scanlines use Sub/Up/Average/Paeth (filters 1-4) must
+    # reconstruct to the same pixels as the unfiltered encoding — the
+    # part of a baseline decoder where off-by-one bugs live.
+    import struct
+    import zlib
+
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png,
+    )
+
+    sig = bytes([137, 80, 78, 71, 13, 10, 26, 10])
+    raw0 = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    raw1 = bytes([15, 25, 35, 45, 55, 65, 75, 85, 95])
+    nch = 3
+
+    def sub(line):
+        return bytes((line[i] - (line[i - nch] if i >= nch else 0)) & 0xFF
+                     for i in range(len(line)))
+
+    def up(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+
+    def avg(line, prev):
+        return bytes((line[i] - (((line[i - nch] if i >= nch else 0) + prev[i]) // 2)) & 0xFF
+                     for i in range(len(line)))
+
+    def paeth(line, prev):
+        out = []
+        for i in range(len(line)):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        return bytes(out)
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    for enc in (
+        b"\x01" + sub(raw0) + b"\x02" + up(raw1, raw0),
+        b"\x00" + raw0 + b"\x03" + avg(raw1, raw0),
+        b"\x00" + raw0 + b"\x04" + paeth(raw1, raw0),
+    ):
+        png = (sig + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(enc))
+               + _png_chunk(b"IEND", b""))
+        assert decode_png(png)[2] == raw0 + raw1
+
+
 def test_multimodal_decode_real_codec_when_available():
     # Import-probe contract: with Pillow installed, a decodable image
-    # payload takes the real codec (exact dims, exact grayscale mean);
-    # everything else still falls back to the stub. Skips where the
-    # container has no media libs (the stub test above covers that path).
-    from equity_volatility_lakehouse_platform_spark.operators.multimodal import _HAVE_PIL
+    # payload takes the PIL fast path and must produce the SAME channel
+    # stats as the stdlib decoder (they inflate the same stream). Skips
+    # where the container has no media libs (the stdlib tests above
+    # cover the decode itself).
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        _HAVE_PIL,
+        _dims_for,
+        _pix_rule,
+        _rgb_pixels,
+        encode_png_rgb,
+    )
 
     if not _HAVE_PIL:
-        pytest.skip("Pillow not installed; stub codec path is in effect")
-    import io
-
-    from PIL import Image
-
-    img = Image.new("L", (20, 10), color=128)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    w, h, m, dec = _decode_payload(buf.getvalue())
-    assert (w, h, dec) == (20, 10, "pil")
-    assert abs(m - 128 / 255.0) < 1e-12
+        pytest.skip("Pillow not installed; stdlib PNG codec path is in effect")
+    d = 123
+    w, h = _dims_for(d)
+    png = encode_png_rgb(w, h, _pix_rule(d))
+    pw, ph, px = _rgb_pixels(png)  # PIL path
+    pix = _pix_rule(d)
+    assert (pw, ph) == (w, h)
+    assert px == bytes(pix(i, c) for i in range(w * h) for c in range(3))
 
 
 def test_event_segmentation_matches_pandas(spark, sf_dir):

@@ -324,3 +324,104 @@ def test_macd_matches_pandas_reference(spark, sf_dir):
     assert len(m) == len(got) > 0
     assert (m["macd"] - m["macd_ref"]).abs().max() < 1e-6 + 1e-9
     assert (m["macd_signal"] - m["sig_ref"]).abs().max() < 1e-6 + 1e-9
+
+
+def test_connected_components_path_graph_logarithmic_rounds(spark):
+    # Adversarial diameter fixture (round-6 VERDICT item 4): a 10k-node
+    # PATH component is the worst case for label propagation — plain
+    # min-label needs O(diameter) = 10k rounds. The alternating
+    # large-star/small-star algorithm must converge in O(log n) rounds
+    # and still produce the exact min-id labeling.
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    stats: dict = {}
+    path = spark.range(9999).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(path, stats=stats)
+    assert stats["rounds"] <= 20, f"degraded: {stats['rounds']} rounds"
+    assert out.count() == 10_000
+    agg = out.agg(
+        F.count_distinct("cluster_id").alias("k"), F.max("cluster_id").alias("mx")
+    ).first()
+    assert (agg["k"], agg["mx"]) == (1, 0)
+
+
+def test_connected_components_matches_union_find(spark):
+    # Exactness on irregular graphs: the distributed labeling must equal
+    # a driver-side union-find on the same random edge list.
+    import random
+
+    from equity_volatility_lakehouse_platform_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {k: want[k] for k in got} and set(got) == set(want)
+
+
+def test_giant_key_guard_detects_90pct_one_key(spark):
+    # Round-6 VERDICT item 9: the documented single-task window/EWM
+    # constraint gets a runtime detector. 90% of rows on one key must
+    # trip the guard (warn mode emits UserWarning, error mode raises);
+    # balanced keys must pass silently. Thresholds scaled down to test
+    # size; the report's numbers are exact.
+    import warnings as _warnings
+
+    from equity_volatility_lakehouse_platform_spark.operators.skew_guard import (
+        GiantKeyError,
+        assert_no_giant_key,
+        key_skew_report,
+    )
+
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id")).alias("user_id"),
+        F.col("id").alias("v"),
+    )
+    rep = key_skew_report(skewed, "user_id")
+    assert rep["total_rows"] == 10_000
+    assert rep["max_key_rows"] == 9_000
+    assert abs(rep["max_key_share"] - 0.9) < 1e-12
+    assert rep["n_keys"] == 1_001
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert_no_giant_key(skewed, "user_id", max_key_rows=1_000)
+    assert any("giant key" in str(w.message) for w in caught)
+
+    import pytest as _pytest
+
+    with _pytest.raises(GiantKeyError, match="range-repartition"):
+        assert_no_giant_key(
+            skewed, "user_id", max_key_rows=10**9, max_key_share=0.5, mode="error"
+        )
+
+    balanced = spark.range(10_000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("v")
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        rep2 = assert_no_giant_key(
+            balanced, "user_id", max_key_rows=1_000, max_key_share=0.5
+        )
+    # only OUR UserWarning counts (py4j leaks unrelated ResourceWarnings)
+    assert not [w for w in caught if issubclass(w.category, UserWarning)]
+    assert rep2["max_key_rows"] == 100
