@@ -3424,3 +3424,510 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape family, round 6 second wave: q11 / q15 / q16 / q17 / q19 /
+# q20 / q21 / q22 — the remaining classic shapes: HAVING vs a global-sum
+# scalar, agg-equal-to-max, NOT-IN exclusion under a distinct count,
+# correlated-average filter, disjunctive pushdown, nested semi chain,
+# EXISTS+NOT-EXISTS, and anti-join under a scalar-average threshold. All
+# money/average comparisons are rewritten into the INTEGER domain
+# (qty*5*cnt < sum, bal*n > total) so threshold membership can never flip
+# between engines on a float boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_values",
+    # TPC-H Q11 shape: per-part value within one nation's supply, kept
+    # when the part exceeds a FRACTION of the global sum (HAVING against
+    # a scalar aggregate over the same derived table). Fraction 1/2000,
+    # compared in integers: val_c * 2000 > total_c.
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS val_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, val_c / 100.0 AS part_value
+    FROM v
+    WHERE val_c * 2000 > (SELECT SUM(val_c) FROM v)
+    """,
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scalar subquery de-correlates to ONE unpartitioned window sum
+    # over the ALREADY-AGGREGATED per-part values (|parts| rows move to
+    # one task — pre-aggregated and tiny relative to the fact scan the
+    # naive two-pass plan would repeat). Supplier->nation broadcasts.
+    from pyspark.sql import Window
+
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _cents("l_extendedprice").alias("_ep_c")
+    )
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("_ep_c").alias("val_c"))
+    )
+    tot = F.sum("val_c").over(Window.partitionBy())
+    return (
+        v.withColumn("_tot", tot)
+        .filter(F.col("val_c") * 2000 > F.col("_tot"))
+        .select("l_partkey", (F.col("val_c") / 100.0).alias("part_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    # TPC-H Q15 shape: supplier(s) whose quarterly revenue EQUALS the
+    # maximum over all suppliers — the agg-equal-to-max view pattern,
+    # tie-preserving. Revenue compared in exact integer units; only the
+    # output converts to money.
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))) AS rev_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ((r.rev_u + 50) // 100) / 100.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_u = (SELECT max(rev_u) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max-over-the-view de-correlates to one unpartitioned window max on
+    # the per-supplier aggregate (|suppliers| rows); the equality keeps
+    # ties exactly as the view form does. supplier joins broadcast-wise
+    # AFTER the filter (only the winners need names).
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+            .alias("_rev_u"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev_u").alias("rev_u"))
+    )
+    top = rev.withColumn("_mx", F.max("rev_u").over(Window.partitionBy())).filter(
+        F.col("rev_u") == F.col("_mx")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey", "s_name",
+        (F.expr("CAST((rev_u + 50) div 100 AS DOUBLE)") / 100.0).alias(
+            "total_revenue"
+        ),
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    # TPC-H Q16 shape: distinct-supplier counts per part descriptor with
+    # a NOT IN exclusion subquery (negative-balance suppliers stand in
+    # for the reference's complaint filter). NOT IN compiles to an anti
+    # join — never a per-row subquery probe.
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The exclusion set is tiny -> broadcast LEFT ANTI before the part
+    # join; part predicates push to its scan and the filtered dim
+    # broadcasts. One shuffle for the distinct-count aggregate.
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    # TPC-H Q17 shape: revenue from orders below 20% of the part's
+    # average quantity — the correlated-average filter. The comparison
+    # qty < 0.2 * (sum/cnt) is rewritten as qty * cnt * 5 < sum: pure
+    # BIGINT arithmetic (quantities are integer-valued), so boundary
+    # membership is engine-independent by construction.
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS sq,
+             CAST(count(*) AS BIGINT) AS cq
+      FROM lineitem GROUP BY l_partkey
+    ) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND CAST(l.l_quantity AS BIGINT) * a.cq * 5 < a.sq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The correlated average de-correlates to a window over l_partkey on
+    # the ALREADY part-filtered fact (the filter is a part-level
+    # property, so the per-part average is unchanged) — one shuffle,
+    # no second lineitem scan. NOTE the oracle aggregates over ALL
+    # lineitems per part; with the brand filter applied first the set of
+    # (part, lineitem) pairs aggregated is identical.
+    from pyspark.sql import Window
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("_qty"),
+        _cents("l_extendedprice").alias("_ep_c"),
+    )
+    w = Window.partitionBy("l_partkey")
+    flt = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("_sq", F.sum("_qty").over(w))
+        .withColumn("_cq", F.count(F.lit(1)).over(w))
+        .filter(F.col("_qty") * F.col("_cq") * 5 < F.col("_sq"))
+    )
+    return flt.agg(
+        (F.sum("_ep_c").cast("double") / 100.0 / 7.0).alias("avg_yearly")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    # TPC-H Q19 shape: revenue under an OR-of-AND predicate spanning both
+    # join sides — the disjunctive-pushdown test. Catalyst derives the
+    # per-side implied disjunctions (brand/size union to the part scan,
+    # quantity envelope to the lineitem scan) before the join evaluates
+    # the full predicate.
+    oracle="""
+    SELECT ((SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))) + 50)
+             // 100) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+        .alias("_rev_u"),
+    )
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    pred = arm("Brand#1", 5, 1, 11) | arm("Brand#2", 10, 10, 20) | arm(
+        "Brand#3", 15, 20, 30
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(*_hilo_aggs("_rev_u", "rev"), F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("_units", _hilo_units("rev"))
+        .select(
+            (F.expr("CAST((_units + 50) div 100 AS DOUBLE)") / 100.0).alias(
+                "revenue"
+            ),
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    # TPC-H Q20 shape: a nested semi-join chain — suppliers (in two
+    # nations) that shipped more than a threshold quantity of some
+    # 'small%' part in 1997. IN-subqueries compile to left-semi joins
+    # over an aggregated derived table; nothing row-multiplies.
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_6')
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 45
+      )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inner chain: part LIKE filter broadcasts as a semi into the
+    # date-filtered fact, the (supplier, part) roll-up applies the
+    # HAVING, and the qualifying supplier set semi-joins the nation-
+    # filtered supplier dim. Two small shuffles total.
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_partkey", F.col("l_quantity").cast("long").alias("_qty"))
+    )
+    qual = (
+        li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("_qty").alias("_tq"))
+        .filter(F.col("_tq") > 45)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_6"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return sup.join(qual, "s_suppkey", "left_semi").select("s_name", "n_name")
+
+
+@register(
+    "q21_sole_blocking_supplier",
+    # TPC-H Q21 shape (returnflag standing in for the late-commit dates
+    # this schema lacks): count, per supplier, the 'R' lines on
+    # finished multi-supplier orders where NO OTHER supplier returned —
+    # EXISTS + NOT EXISTS with <> correlations.
+    oracle="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_sole_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The two correlated quantifiers collapse to ONE per-order aggregate
+    # (the scale rewrite — inequality-correlated EXISTS joins would
+    # row-multiply): EXISTS(other supplier) == distinct suppliers >= 2;
+    # NOT EXISTS(other R supplier), given l1 is R, == distinct R
+    # suppliers == 1. One fact roll-up keyed on orderkey, one fact-fact
+    # join, broadcast orders filter + supplier dim.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_ns"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nrs"),
+    )
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("_ns") >= 2) & (F.col("_nrs") == 1))
+        .join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    # TPC-H Q22 shape: customers with above-average positive balances
+    # and no RECENT orders (dormant since 1999 — every sf0.01 customer
+    # has some lifetime order, so the pure no-orders form is empty),
+    # grouped by country code (nationkey here — the schema has no phone
+    # column). The average threshold is compared in integers
+    # (bal_c * n > total_c), so membership at the boundary is
+    # engine-independent; the anti join replaces NOT EXISTS.
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS tot_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ), cand AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS bal_c
+      FROM customer c, pos
+      WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.tot_c
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        )
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           SUM(bal_c) / 100.0 AS totacctbal
+    FROM cand GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scalar average broadcasts as a 1-row cross join; the threshold
+    # filter runs before the anti join so only candidates shuffle
+    # against orders. Candidates all have POSITIVE balances, where
+    # trunc(x*100 + 0.5) == ROUND exactly (the negative-value trunc/
+    # round divergence stays strictly below the positive threshold on
+    # both engines, so it can never change membership).
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        _cents("c_acctbal").alias("bal_c"),
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("bal_c").alias("tot_c"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n") > F.col("tot_c"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return cand.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("bal_c") / 100.0).alias("totacctbal"),
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    # TPC-H Q14 shape: PROMO parts' share of one month's discounted
+    # revenue — completes the 22-query TPC-H family (every classic shape
+    # now has an engine analogue). Numerator and denominator are exact
+    # integer units from ONE pass; the ratio is the only double op,
+    # nudge-rounded on both engines.
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT))
+                  ELSE 0 END AS promo_u,
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)) AS all_u
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    ), s AS (
+      SELECT CAST(SUM(promo_u) AS DOUBLE) * 100.0
+               / CAST(SUM(all_u) AS DOUBLE) AS x
+      FROM m
+    )
+    SELECT (ROUND(x - sign(x) * 0.000000001, 6) + 0.0) AS promo_share_pct
+    FROM s
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast part dim; CASE numerator folds into the same single
+    # aggregation pass as the denominator (hi/lo exact sums). The date
+    # filter pushes to the lineitem scan.
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+            .alias("_all_u"),
+        )
+    )
+    m = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "_all_u",
+        F.when(F.col("p_type") == "PROMO", F.col("_all_u"))
+        .otherwise(F.lit(0))
+        .alias("_promo_u"),
+    )
+    agg = m.agg(*_hilo_aggs("_promo_u", "num"), *_hilo_aggs("_all_u", "den"))
+    return agg.select(
+        r6s(
+            _hilo_units("num").cast("double")
+            * 100.0
+            / _hilo_units("den").cast("double")
+        ).alias("promo_share_pct")
+    )

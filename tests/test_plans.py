@@ -281,3 +281,59 @@ def test_partitioned_sink_reads_prune_partitions(spark, sf_dir, tmp_path):
         "event_type = 'click'"
     ).count()
     assert df.count() == n_click
+
+
+def test_q2_decorrelates_to_one_lineitem_scan(spark, sf_dir):
+    # q2's correlated min MUST compile to one window pass, never a second
+    # lineitem scan+join (what the literal correlated form would run).
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, "lineitem scanned twice"
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier chains
+
+
+def test_q17_correlated_avg_one_scan(spark, sf_dir):
+    # The per-part average must come from a window over the already
+    # part-filtered fact, not a second lineitem aggregate joined back.
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, "lineitem scanned twice"
+    assert "Window" in plan
+
+
+def test_q19_disjunction_prunes_scans(spark, sf_dir):
+    # The OR-of-ANDs must still push derivable per-side predicates: the
+    # quantity envelope (1..30) to lineitem, brand/size disjunction to part.
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    joined = " ".join(m)
+    assert "l_quantity" in joined, "quantity envelope not pushed to lineitem scan"
+    assert "p_brand" in joined or "p_size" in joined, "part disjunction not pushed"
+
+
+def test_q21_quantifiers_collapse_to_one_rollup(spark, sf_dir):
+    # EXISTS/NOT EXISTS must run as ONE per-order aggregate joined back —
+    # exactly two lineitem scans (the l1 probe + the roll-up), never the
+    # three the literal nested form would read, and no row-multiplying
+    # non-equi join.
+    plan = _plan(spark, sf_dir, "q21_sole_blocking_supplier")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    # NOT IN must compile to a broadcast LEFT ANTI join, with the part
+    # predicates pushed to the part scan.
+    plan = _plan(spark, sf_dir, "q16_supplier_part_counts")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti|LeftAnti.*BuildRight", plan) or "LeftAnti" in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_size" in x or "p_brand" in x for x in m)
+
+
+def test_q22_threshold_before_anti_join(spark, sf_dir):
+    # The scalar-average threshold must filter customers BEFORE the anti
+    # join against orders (candidates only), and the 1-row average side
+    # must broadcast.
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
