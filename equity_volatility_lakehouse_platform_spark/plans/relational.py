@@ -3931,3 +3931,36 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _hilo_units("den").cast("double")
         ).alias("promo_share_pct")
     )
+
+
+# The SQL text below is dialect-shared: the SAME string runs on Spark SQL
+# (over register_views' temp views) and on DuckDB as the oracle — the
+# "arbitrary SQL arrives at the engine" surface (SURVEY §3.4, the docx's
+# Athena console entry point), restricted to integer/string outputs so no
+# float op can diverge between engines.
+_SQL03 = """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, rn, n_events
+    FROM ranked
+    WHERE rn <= 3 OR rn = n_events
+    """
+
+
+@register("sql03_shared_dialect_window", oracle=_SQL03)
+def sql03_shared_dialect_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spark.sql over registered views, executing the LITERAL oracle
+    # string — proves a user's ANSI window/CTE SQL runs unchanged on the
+    # engine (first-3-plus-last-event-per-user shape). Catalyst still
+    # plans it: one window sort per user partition, filter on top.
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_SQL03)

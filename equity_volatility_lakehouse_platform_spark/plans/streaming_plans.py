@@ -360,3 +360,49 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_static_join(spark, sf_dir)
+
+
+@register(
+    "st14_stream_stream_left_join",
+    # LEFT OUTER stream-stream join: the inner matches are the st10
+    # batch equivalence; the null-extended side is governed by state
+    # eviction. Spark derives the LEFT state watermark from the interval
+    # condition: with (v_ts - p_ts) in [-1h, 0], left rows evict when
+    # p_ts < WM_right + 1h (the lower-bound gap is ADDED — verified
+    # empirically at sf0.01 where the naive p_ts < WM form undercounts by
+    # exactly the 1-hour band). Final no-data batch: WM = max(ts) - 2h,
+    # so unmatched purchases with p_ts < max(ts) - 1h flush as nulls.
+    # Users whose only purchases are unmatched-and-unflushed must not
+    # appear at all (HAVING).
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    p AS (
+      SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS vu, ts AS vts, value AS vv
+      FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT p.pu, p.pts, v.vu, v.vv
+      FROM p LEFT JOIN v
+        ON v.vu = p.pu
+       AND v.vts >= p.pts - INTERVAL 1 HOUR
+       AND v.vts <= p.pts
+    )
+    SELECT pu AS user_id,
+           CAST(count(vu) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN vu IS NULL
+                          AND pts < (SELECT m FROM mx) - INTERVAL 1 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_emitted,
+           (ROUND(COALESCE(SUM(vv), 0.0), 6) + 0.0) AS viewed_value
+    FROM j GROUP BY pu
+    HAVING count(vu) + SUM(CASE WHEN vu IS NULL
+                                 AND pts < (SELECT m FROM mx) - INTERVAL 1 HOUR
+                                THEN 1 ELSE 0 END) > 0
+    """,
+)
+def st14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stream_stream_left_join,
+    )
+
+    return run_stream_stream_left_join(spark, sf_dir)

@@ -777,3 +777,64 @@ def t12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         r6(novel * F.lit(1.0) / F.count(F.lit(1))).alias("novelty_ratio"),
     )
+
+
+_CHUNK_W, _CHUNK_S = 64, 48  # window / stride: 16-token overlap
+
+
+@register(
+    "t13_token_chunking",
+    # LLM-training chunk fan-out (round 6): fixed W-token windows with
+    # stride S over each document — the standard pre-training chunker.
+    # chunk k covers tokens [k*S, k*S + W); the last chunk may be short;
+    # every document emits at least one chunk. DuckDB's list_slice is
+    # INCLUSIVE on both bounds; Spark's slice takes (start, length) —
+    # both expressed below to cover the identical token range.
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, (greatest(len(tok), 1) - 1) // {_CHUNK_S})) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(tok, chunk_idx * {_CHUNK_S} + 1,
+                               chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(tok, chunk_idx * {_CHUNK_S} + 1,
+                                      chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def t13_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-only 1->N fan-out: tokenize ONCE, explode the chunk-index
+    # sequence (executor-side, never a driver loop), slice per chunk.
+    # At 100 TB this is the stage that feeds the tokenizer fleet: zero
+    # shuffles, and the output is naturally partition-preserving so the
+    # downstream dedup-by-chunk (d01 on chunk_text) colocates for free.
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("tok"))
+    c = t.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                # integral chunk count: `div` (true division would make
+                # the sequence stop a DOUBLE and fail analysis)
+                F.expr(f"(greatest(size(tok), 1) - 1) div {_CHUNK_S}").cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("tok"), F.col("chunk_idx") * _CHUNK_S + 1, _CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -499,3 +499,59 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: stream_static_enrich(s, dim),
         "evstatic_", "complete",
     )
+
+
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-producing
+    variant st10 doesn't cover. Matched pairs emit like the inner join;
+    an UNMATCHED purchase emits null-extended only once its state
+    evicts. Spark derives the left state watermark from the interval
+    condition: with (v_ts - p_ts) in [-1h, 0], a left row evicts when
+    p_ts < WM_views + 1h (the condition's LOWER-bound gap is added to
+    the right watermark — verified empirically; the naive
+    "evict when WM > p_ts" form undercounts by exactly the 1-hour
+    band). availableNow runs a final no-data batch whose watermark is
+    max(ts) - 2h, so exactly the unmatched purchases with
+    p_ts < max(ts) - 1h flush as null rows before the query stops;
+    later unmatched purchases remain in (discarded) state — the
+    closed-form restriction the oracle applies to its null side.
+    """
+
+    def build(stream: DataFrame, make_stream) -> DataFrame:
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "2 hours")
+        )
+        views = (
+            make_stream()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+                F.col("value").alias("v_value"),
+            )
+            .withWatermark("v_ts", "2 hours")
+        )
+        return purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+
+    joined = _run_stream_scoped(spark, sf_dir, build, "evsslj_", "append")
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("v_user").alias("n_matched"),
+            F.sum(F.when(F.col("v_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_emitted"),
+            r6(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
+        )
+    )
