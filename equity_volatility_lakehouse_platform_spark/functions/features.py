@@ -321,3 +321,32 @@ def gold_matrix(df: DataFrame, key: str = "user_id") -> DataFrame:
         path.alias("market_absolute_path"),
         (path >= 0.06).cast("int").alias("market_path_flag"),
     )
+
+
+def gold_matrix_guarded(
+    df: DataFrame,
+    key: str = "user_id",
+    max_key_rows: int | None = None,
+    mode: str = "warn",
+) -> DataFrame:
+    """Deploy wrapper for :func:`gold_matrix` with the one-giant-key
+    guard WIRED IN (operators.skew_guard): one cheap probe pass before
+    the windowed assembly, warning (or raising, ``mode='error'``) when
+    a single key would serialize the window sort into one task. The
+    matrix itself is unchanged — gold features mix bounded and
+    UNBOUNDED frames (cumulative paths), so the bounded-slice
+    mitigation does not apply; the guard makes the hazard loud and
+    names the fixes (pre-aggregate to a coarser grain, or split the
+    key upstream) instead of letting the stage degrade silently."""
+    from equity_volatility_lakehouse_platform_spark.operators.skew_guard import (
+        DEFAULT_MAX_KEY_ROWS,
+        assert_no_giant_key,
+    )
+
+    assert_no_giant_key(
+        df,
+        key,
+        max_key_rows=DEFAULT_MAX_KEY_ROWS if max_key_rows is None else max_key_rows,
+        mode=mode,
+    )
+    return gold_matrix(df, key)

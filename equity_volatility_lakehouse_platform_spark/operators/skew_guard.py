@@ -101,3 +101,155 @@ def assert_no_giant_key(
             raise GiantKeyError(msg)
         warnings.warn(msg, UserWarning, stacklevel=2)
     return rep
+
+
+# ---------------------------------------------------------------------------
+# Mitigation: sliced bounded windows for giant keys
+# ---------------------------------------------------------------------------
+
+def slice_giant_keys(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_cols: list[str] | str,
+    lookback: int,
+    max_key_rows: int = DEFAULT_MAX_KEY_ROWS,
+    grid: int = 64,
+) -> DataFrame:
+    """Split each giant key's span into row-balanced slices so a
+    BOUNDED-lookback window (lag k, rolling n, k/n <= ``lookback``) can
+    run partitioned by (key, ``_slice``) instead of one task per key.
+
+    Mechanics (all distributed, one extra aggregation pass + one
+    broadcast join over the input):
+
+    1. ONE groupBy computes per-key row counts and a ``grid``-point
+       quantile sketch of the primary order column (map-side combined;
+       shuffle = |distinct keys| rows).
+    2. Keys with > ``max_key_rows`` rows pick ceil(n / max_key_rows)
+       slice boundaries off their sketch (capped at ``grid`` slices);
+       the tiny boundary table broadcasts back onto the input, and each
+       row's ``_slice`` is the count of boundaries below its order value
+       (a JVM-side array fold — no shuffle).
+    3. The last ``lookback`` rows of every slice are REPLICATED into the
+       next slice flagged ``_ctx = 1`` — warm-up context so the first
+       rows of each slice see their true predecessors.
+
+    The caller swaps ``Window.partitionBy(keys)`` for
+    ``Window.partitionBy(*keys, "_slice")``, computes its bounded
+    expressions, then filters ``_ctx == 0`` and drops the helper
+    columns. Results are bit-identical to the unsliced window for any
+    frame reaching at most ``lookback`` rows back (slice 0 keeps the
+    plain warm-up nulls).
+
+    Caveats: boundaries are strict on the PRIMARY order column, so rows
+    sharing one order value stay in one slice (a key whose rows all
+    carry the same timestamp cannot be split); non-giant keys pass
+    through with ``_slice = 0`` untouched.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    primary = ocols[0]
+
+    from pyspark.sql import Window
+
+    fractions = [i / grid for i in range(1, grid)]
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(primary, fractions, 10_000).alias("_q"),
+    )
+    # s = number of slices for this giant key (>= 2 by the filter);
+    # boundary i (1-based, i < s) is the quantile at floor(grid*i/s).
+    giants = per_key.filter(F.col("_n") > max_key_rows).select(
+        *keys,
+        F.expr(
+            f"transform("
+            f"  sequence(1, CAST(least(ceil(_n / {max_key_rows}), {grid}) AS INT) - 1),"
+            f"  i -> _q[CAST(floor({grid} * i /"
+            f"       least(ceil(_n / {max_key_rows}), {grid})) AS INT) - 1])"
+        ).alias("_bounds"),
+    )
+    with_bounds = df.join(F.broadcast(giants), on=keys, how="left")
+    slice_id = F.when(F.col("_bounds").isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            "_bounds",
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(primary) > b, 1).otherwise(0),
+        )
+    )
+    base = (
+        with_bounds
+        .withColumn("_slice", slice_id)
+        .withColumn("_nslices", F.size("_bounds") + 1)  # -1+1=0 for non-giants
+        .drop("_bounds")
+        .withColumn("_ctx", F.lit(0))
+    )
+    w_desc = Window.partitionBy(*keys, "_slice").orderBy(
+        *[F.desc(c) for c in ocols]
+    )
+    # Context only flows INTO an existing next slice (skip the last one).
+    ctx = (
+        base.filter(F.col("_slice") < F.col("_nslices") - 1)
+        .withColumn("_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rn") <= lookback)
+        .drop("_rn")
+        .withColumn("_slice", F.col("_slice") + 1)
+        .withColumn("_ctx", F.lit(1))
+    )
+    return base.unionByName(ctx).drop("_nslices")
+
+
+def guarded_lag_ladder(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_cols: list[str] | str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 8, 32),
+    max_key_rows: int = DEFAULT_MAX_KEY_ROWS,
+    mode: str = "warn",
+) -> DataFrame:
+    """The w04 lag-ladder deploy surface with the skew guard WIRED IN:
+    probe first (one cheap pass); if a giant key trips the threshold,
+    emit the warning AND take the mitigated plan — lag ladder over
+    (key, _slice) partitions built by ``slice_giant_keys`` — instead of
+    letting one task sort the giant key. Output (key/order columns +
+    raw ``pct_change_{k}``) is bit-identical on both paths: the lag
+    operands are the same rows either way.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ocols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    from pyspark.sql import Window
+
+    rep = assert_no_giant_key(df, keys, max_key_rows=max_key_rows, mode=mode)
+    out_cols = [c for c in df.columns]
+    if rep["max_key_rows"] > max_key_rows:
+        sliced = slice_giant_keys(
+            df, keys, ocols, lookback=max(lags), max_key_rows=max_key_rows
+        )
+        w = Window.partitionBy(*keys, "_slice").orderBy(*ocols)
+        out = sliced.select(
+            "*",
+            *[
+                (
+                    F.col(value_col)
+                    / F.nullif(F.lag(value_col, k).over(w), F.lit(0.0))
+                    - 1
+                ).alias(f"pct_change_{k}")
+                for k in lags
+            ],
+        ).filter(F.col("_ctx") == 0)
+        return out.select(
+            *out_cols, *[f"pct_change_{k}" for k in lags]
+        )
+    w = Window.partitionBy(*keys).orderBy(*ocols)
+    return df.select(
+        "*",
+        *[
+            (
+                F.col(value_col)
+                / F.nullif(F.lag(value_col, k).over(w), F.lit(0.0))
+                - 1
+            ).alias(f"pct_change_{k}")
+            for k in lags
+        ],
+    )

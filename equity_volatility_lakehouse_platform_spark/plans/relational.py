@@ -504,7 +504,12 @@ def j05_interval_tag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ),
     feat AS (
-      SELECT o_custkey, (ROUND(AVG(o_totalprice), 6) + 0.0) AS total_spend
+      -- AVG = sum/count ratio: can land exactly on a 6dp .5 boundary
+      -- (e.g. odd cents over a power-of-two count) -> nudged round.
+      SELECT o_custkey,
+             (ROUND(AVG(o_totalprice)
+                    - sign(AVG(o_totalprice)) * 0.000000001, 6) + 0.0)
+               AS total_spend
       FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
     )
     SELECT b.o_custkey, b.n_orders, f.total_spend
@@ -521,7 +526,7 @@ def j06_drop_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = (
         orders.filter(F.col("o_orderstatus") == "O")
         .groupBy("o_custkey")
-        .agg(_r6(F.avg("o_totalprice")).alias("total_spend"))
+        .agg(r6s(F.avg("o_totalprice")).alias("total_spend"))
     )
     overlap = [c for c in base.columns if c in feat.columns and c != "o_custkey"]
     return base.drop(*overlap).join(feat, "o_custkey", "left").select(
@@ -638,10 +643,15 @@ def a02_minmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a03_stats_per_group",
     oracle="""
+    -- avg/stddev are order-dependent computed doubles -> nudged round
+    -- (q10 convention); median of 2dp inputs is half-cent-exact -> plain.
     SELECT event_type,
-           (ROUND(AVG(value), 6) + 0.0)         AS avg_value,
+           (ROUND(AVG(value) - sign(AVG(value)) * 0.000000001, 6) + 0.0)
+             AS avg_value,
            (ROUND(median(value), 6) + 0.0)      AS median_value,
-           (ROUND(stddev_samp(value), 6) + 0.0) AS std_value
+           (ROUND(stddev_samp(value)
+                  - sign(stddev_samp(value)) * 0.000000001, 6) + 0.0)
+             AS std_value
     FROM events GROUP BY event_type
     """,
 )
@@ -649,9 +659,9 @@ def a03_stats_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Mean/median/std per group (EDA notebooks; my_model.py:64-66 median fill).
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        _r6(F.avg("value")).alias("avg_value"),
+        r6s(F.avg("value")).alias("avg_value"),
         _r6(F.median("value")).alias("median_value"),
-        _r6(F.stddev_samp("value")).alias("std_value"),
+        r6s(F.stddev_samp("value")).alias("std_value"),
     )
 
 
@@ -873,18 +883,25 @@ def a13_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a14_summary_stats",
     oracle="""
+    -- mean/std are order-dependent ratios/computed doubles -> nudged
+    -- round (q10 convention); min/max of 2dp inputs stay plain.
     SELECT 'value' AS col,
            CAST(count(value) AS BIGINT) AS n,
-           (ROUND(AVG(value), 6) + 0.0)         AS mean,
-           (ROUND(stddev_samp(value), 6) + 0.0) AS std,
+           (ROUND(AVG(value) - sign(AVG(value)) * 0.000000001, 6) + 0.0)
+             AS mean,
+           (ROUND(stddev_samp(value)
+                  - sign(stddev_samp(value)) * 0.000000001, 6) + 0.0)
+             AS std,
            (ROUND(min(value), 6) + 0.0)         AS min,
            (ROUND(max(value), 6) + 0.0)         AS max
     FROM events
     UNION ALL
     SELECT 'o_totalprice' AS col,
            CAST(count(o_totalprice) AS BIGINT),
-           (ROUND(AVG(o_totalprice), 6) + 0.0),
-           (ROUND(stddev_samp(o_totalprice), 6) + 0.0),
+           (ROUND(AVG(o_totalprice)
+                  - sign(AVG(o_totalprice)) * 0.000000001, 6) + 0.0),
+           (ROUND(stddev_samp(o_totalprice)
+                  - sign(stddev_samp(o_totalprice)) * 0.000000001, 6) + 0.0),
            (ROUND(min(o_totalprice), 6) + 0.0),
            (ROUND(max(o_totalprice), 6) + 0.0)
     FROM orders
@@ -900,8 +917,8 @@ def a14_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.lit(col).alias("col"),
             F.count(col).alias("n"),
-            _r6(F.avg(col)).alias("mean"),
-            _r6(F.stddev_samp(col)).alias("std"),
+            r6s(F.avg(col)).alias("mean"),
+            r6s(F.stddev_samp(col)).alias("std"),
             _r6(F.min(col)).alias("min"),
             _r6(F.max(col)).alias("max"),
         )
@@ -1237,8 +1254,13 @@ def s13_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 7
     )
     SELECT user_id,
-           (ROUND(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1, 6) + 0.0) AS ret_7,
-           (ROUND(stddev_samp(value) / NULLIF(arg_min(value, ts), 0), 6) + 0.0)     AS std_rel_7,
+           -- ratios of 2dp values can land on a 6dp .5 boundary -> nudged
+           (ROUND(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1
+                  - sign(arg_max(value, ts) / NULLIF(arg_min(value, ts), 0) - 1)
+                    * 0.000000001, 6) + 0.0) AS ret_7,
+           (ROUND(stddev_samp(value) / NULLIF(arg_min(value, ts), 0)
+                  - sign(stddev_samp(value) / NULLIF(arg_min(value, ts), 0))
+                    * 0.000000001, 6) + 0.0) AS std_rel_7,
            CAST(count(*) AS BIGINT) AS n
     FROM tail7 GROUP BY user_id
     """,
@@ -1253,8 +1275,9 @@ def a07_horizon_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail7 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 7)
     first_v = F.min_by("value", "ts")
     return tail7.groupBy("user_id").agg(
-        _r6(F.max_by("value", "ts") / F.nullif(first_v, F.lit(0.0)) - 1).alias("ret_7"),
-        _r6(F.stddev_samp("value") / F.nullif(first_v, F.lit(0.0))).alias("std_rel_7"),
+        # Ratios of 2dp values -> nudged round (q10 convention).
+        r6s(F.max_by("value", "ts") / F.nullif(first_v, F.lit(0.0)) - 1).alias("ret_7"),
+        r6s(F.stddev_samp("value") / F.nullif(first_v, F.lit(0.0))).alias("std_rel_7"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1538,17 +1561,24 @@ def a15_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q3_shipping_priority",
     oracle="""
-    SELECT l.l_orderkey,
-           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0) AS revenue,
-           o.o_orderdate
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l.l_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, l.l_orderkey
+    WITH g AS (
+      SELECT l.l_orderkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS raw_revenue,
+             o.o_orderdate
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT l_orderkey,
+           (ROUND(raw_revenue - sign(raw_revenue) * 0.000000001, 6) + 0.0)
+             AS revenue,
+           o_orderdate
+    FROM g
+    ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
 )
@@ -1576,7 +1606,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        # Order-dependent double SUM -> nudged round (q10 convention).
+        .agg(r6s(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -1586,16 +1617,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle="""
-    SELECT n.n_name,
-           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0) AS revenue
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
+    WITH g AS (
+      SELECT n.n_name,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS raw_revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           (ROUND(raw_revenue - sign(raw_revenue) * 0.000000001, 6) + 0.0)
+             AS revenue
+    FROM g
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,7 +1662,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (t["customer"].c_nationkey == sup.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(_r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        # Order-dependent double SUM -> nudged round (q10 convention).
+        .agg(r6s(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
 
 
@@ -1832,7 +1870,10 @@ def q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-           (ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) + 0.0) AS avg_k
+           -- integer-sum / count ratio can land on a 6dp .5 boundary
+           (ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  - sign(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)))
+                    * 0.000000001, 6) + 0.0) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1851,7 +1892,7 @@ def sc07_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("_k").alias("sum_k"),
             F.max("_k").alias("max_k"),
-            r6(F.avg("_k")).alias("avg_k"),
+            r6s(F.avg("_k")).alias("avg_k"),
         )
     )
 
@@ -2447,7 +2488,10 @@ def _r6_sql_expr(x: str) -> str:
            (ROUND(o.o_totalprice, 6) + 0.0) AS o_totalprice
     FROM orders o
     WHERE o.o_totalprice > 1.5 * (
-      SELECT (ROUND(AVG(o2.o_totalprice), 6) + 0.0)
+      -- the rounded mean is a comparison THRESHOLD: a .5-boundary
+      -- disagreement would flip row membership -> nudged round.
+      SELECT (ROUND(AVG(o2.o_totalprice)
+                    - sign(AVG(o2.o_totalprice)) * 0.000000001, 6) + 0.0)
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey
     )
     """,
@@ -2471,7 +2515,10 @@ def sql02_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                    {_r6_sql_expr("o.o_totalprice")} AS o_totalprice
             FROM sql02_orders o
             WHERE o.o_totalprice > 1.5 * (
-              SELECT {_r6_sql_expr("AVG(o2.o_totalprice)")}
+              SELECT {_r6_sql_expr(
+                  "AVG(o2.o_totalprice)"
+                  " - sign(AVG(o2.o_totalprice)) * 0.000000001"
+              )}
               FROM sql02_orders o2 WHERE o2.o_custkey = o.o_custkey
             )
         """)

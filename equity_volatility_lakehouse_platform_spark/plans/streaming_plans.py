@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
     run_tumbling_stream,
     tumbling_agg,
@@ -39,7 +39,9 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN EXTRACT(hour FROM ts) < 16 THEN 'regular'
                 ELSE 'aftermarket' END AS session,
            CAST(count(*) AS BIGINT) AS n,
-           (ROUND(AVG(value), 6) + 0.0)     AS avg_value
+           -- AVG ratio can land on a 6dp .5 boundary -> nudged round.
+           (ROUND(AVG(value) - sign(AVG(value)) * 0.000000001, 6) + 0.0)
+             AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -54,7 +56,7 @@ def st02_session_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"), session.alias("session"))
-        .agg(F.count(F.lit(1)).alias("n"), r6(F.avg("value")).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), r6s(F.avg("value")).alias("avg_value"))
     )
 
 
@@ -366,16 +368,27 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st14_stream_stream_left_join",
     # LEFT OUTER stream-stream join: the inner matches are the st10
     # batch equivalence; the null-extended side is governed by state
-    # eviction. Spark derives the LEFT state watermark from the interval
-    # condition: with (v_ts - p_ts) in [-1h, 0], left rows evict when
-    # p_ts < WM_right + 1h (the lower-bound gap is ADDED — verified
-    # empirically at sf0.01 where the naive p_ts < WM form undercounts by
-    # exactly the 1-hour band). Final no-data batch: WM = max(ts) - 2h,
-    # so unmatched purchases with p_ts < max(ts) - 1h flush as nulls.
-    # Users whose only purchases are unmatched-and-unflushed must not
-    # appear at all (HAVING).
+    # eviction. Empirically confirmed at BOTH sf0.001 and sf0.01 by
+    # diffing the engine's actual flushed null-row set against candidate
+    # predicates (round-7 probe): a left (purchase) row flushes as a
+    # null row iff p_ts < WM where WM is the GLOBAL watermark
+    # min(max_purchase_ts, max_view_ts) - 2h (each side's watermark node
+    # sees only its own filtered stream, and Spark takes the min). The
+    # join condition's lower-bound gap contributes 0 on the left side
+    # (v_ts <= p_ts means left state watermark = WM_right + 0); the
+    # previous "+1h" claim was wrong — the boundary row at sf0.01 sits
+    # 2h00m..2h01m before min(max_p, max_v) (emitted at 21:23:59 vs
+    # WM 21:24:57, held at 21:42:42). Users whose only purchases are
+    # unmatched-and-unflushed must not appear at all (HAVING).
+    # viewed_value is an order-dependent double SUM -> nudged r6s round
+    # mirrored on both sides (the q10 convention).
     oracle="""
-    WITH mx AS (SELECT max(ts) AS m FROM events),
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'view')
+      ) - INTERVAL 2 HOUR AS w
+    ),
     p AS (
       SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'
     ), v AS (
@@ -391,12 +404,14 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pu AS user_id,
            CAST(count(vu) AS BIGINT) AS n_matched,
            CAST(SUM(CASE WHEN vu IS NULL
-                          AND pts < (SELECT m FROM mx) - INTERVAL 1 HOUR
+                          AND pts < (SELECT w FROM wm)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_emitted,
-           (ROUND(COALESCE(SUM(vv), 0.0), 6) + 0.0) AS viewed_value
+           (ROUND(COALESCE(SUM(vv), 0.0)
+                  - sign(COALESCE(SUM(vv), 0.0)) * 0.000000001, 6) + 0.0)
+             AS viewed_value
     FROM j GROUP BY pu
     HAVING count(vu) + SUM(CASE WHEN vu IS NULL
-                                 AND pts < (SELECT m FROM mx) - INTERVAL 1 HOUR
+                                 AND pts < (SELECT w FROM wm)
                                 THEN 1 ELSE 0 END) > 0
     """,
 )
@@ -406,3 +421,106 @@ def st14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_left_join(spark, sf_dir)
+
+
+@register(
+    "st15_stream_stream_right_join",
+    # RIGHT OUTER stream-stream join — mirror of st14. Emitted rows:
+    # every matched pair (a view matched by k purchases appears k
+    # times, like the inner join) plus null-extended UNMATCHED views
+    # whose state evicted. Eviction, empirically confirmed at sf0.001
+    # and sf0.01 (round-7 probe, see events_stream._purchase_view_join):
+    # a view flushes iff v_ts < WM - 1h with
+    # WM = min(max_purchase_ts, max_view_ts) - 2h — asymmetric vs the
+    # left side because matching purchases satisfy p_ts <= v_ts + 1h,
+    # so the right state watermark subtracts the 1h bound. The oracle
+    # filters un-emitted rows BEFORE grouping (users with only
+    # unmatched-unflushed views must not appear), and viewed_value —
+    # an order-dependent double SUM — takes the nudged r6s round.
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'view')
+      ) - INTERVAL 2 HOUR AS w
+    ),
+    p AS (
+      SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS vu, ts AS vts, value AS vv
+      FROM events WHERE event_type = 'view'
+    ), e AS (
+      SELECT v.vu, v.vts, v.vv, p.pu
+      FROM v LEFT JOIN p
+        ON p.pu = v.vu
+       AND v.vts >= p.pts - INTERVAL 1 HOUR
+       AND v.vts <= p.pts
+      WHERE p.pu IS NOT NULL
+         OR v.vts < (SELECT w FROM wm) - INTERVAL 1 HOUR
+    )
+    SELECT vu AS user_id,
+           CAST(count(pu) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_emitted,
+           (ROUND(SUM(vv) - sign(SUM(vv)) * 0.000000001, 6) + 0.0)
+             AS viewed_value
+    FROM e GROUP BY vu
+    """,
+)
+def st15_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stream_stream_right_join,
+    )
+
+    return run_stream_stream_right_join(spark, sf_dir)
+
+
+@register(
+    "st16_stream_stream_full_join",
+    # FULL OUTER stream-stream join — both null sides at once,
+    # completing the st10/st14/st15 family. Emitted rows: matched
+    # pairs, unmatched purchases with p_ts < WM (left predicate,
+    # st14), unmatched views with v_ts < WM - 1h (right predicate,
+    # st15); WM = min(max_purchase_ts, max_view_ts) - 2h. Grouped by
+    # the coalesced user key; un-emitted rows filtered BEFORE grouping.
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'view')
+      ) - INTERVAL 2 HOUR AS w
+    ),
+    p AS (
+      SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS vu, ts AS vts, value AS vv
+      FROM events WHERE event_type = 'view'
+    ), e AS (
+      SELECT p.pu, p.pts, v.vu, v.vts, v.vv
+      FROM p FULL JOIN v
+        ON v.vu = p.pu
+       AND v.vts >= p.pts - INTERVAL 1 HOUR
+       AND v.vts <= p.pts
+      WHERE (pu IS NOT NULL AND vu IS NOT NULL)
+         OR (vu IS NULL AND pts < (SELECT w FROM wm))
+         OR (pu IS NULL AND vts < (SELECT w FROM wm) - INTERVAL 1 HOUR)
+    )
+    SELECT COALESCE(pu, vu) AS user_id,
+           CAST(SUM(CASE WHEN pu IS NOT NULL AND vu IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN vu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_purchases,
+           CAST(SUM(CASE WHEN pu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_views,
+           (ROUND(COALESCE(SUM(vv), 0.0)
+                  - sign(COALESCE(SUM(vv), 0.0)) * 0.000000001, 6) + 0.0)
+             AS viewed_value
+    FROM e GROUP BY COALESCE(pu, vu)
+    """,
+)
+def st16_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_stream_stream_full_join,
+    )
+
+    return run_stream_stream_full_join(spark, sf_dir)

@@ -71,8 +71,14 @@ def _require_conf(spark: SparkSession, key: str, want: str, ok_values: frozenset
     corrupting the co-resident workload's timestamps for the rest of
     the session.
     """
-    jconf = spark._jsparkSession.sessionState().conf()
-    if jconf.contains(key):
+    try:
+        # Classic PySpark only: SQLConf.contains distinguishes "explicitly
+        # set" from "default". Spark Connect has no _jsparkSession handle —
+        # degrade to the unconditional set (previous behavior) there.
+        explicitly_set = spark._jsparkSession.sessionState().conf().contains(key)
+    except Exception:  # pragma: no cover - Connect / future-API fallback
+        explicitly_set = False
+    if explicitly_set:
         cur = spark.conf.get(key)
         accept = ok_values if ok_values is not None else frozenset({want})
         if cur not in accept:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from equity_volatility_lakehouse_platform_spark.sources.readers import _nano_ts_columns
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 
 def _run_stream_scoped(
@@ -505,16 +505,47 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join — the null-producing
     variant st10 doesn't cover. Matched pairs emit like the inner join;
     an UNMATCHED purchase emits null-extended only once its state
-    evicts. Spark derives the left state watermark from the interval
-    condition: with (v_ts - p_ts) in [-1h, 0], a left row evicts when
-    p_ts < WM_views + 1h (the condition's LOWER-bound gap is added to
-    the right watermark — verified empirically; the naive
-    "evict when WM > p_ts" form undercounts by exactly the 1-hour
-    band). availableNow runs a final no-data batch whose watermark is
-    max(ts) - 2h, so exactly the unmatched purchases with
-    p_ts < max(ts) - 1h flush as null rows before the query stops;
-    later unmatched purchases remain in (discarded) state — the
-    closed-form restriction the oracle applies to its null side.
+    evicts. Eviction predicate, empirically confirmed at sf0.001 AND
+    sf0.01 by diffing the engine's flushed null-row set against
+    candidates (round-7 probe): a purchase flushes iff
+    p_ts < min(max_purchase_ts, max_view_ts) - 2h — i.e. strictly below
+    the GLOBAL watermark. Each withWatermark node only sees its own
+    filtered side, so the global WM is the min of the two per-side
+    maxima minus the 2h delay, and the join condition's lower-bound gap
+    contributes 0 to the left state watermark (v_ts <= p_ts ⇒ left
+    state WM = WM_right + 0). availableNow's final no-data batch
+    applies that WM; later unmatched purchases remain in (discarded)
+    state — the closed-form restriction the oracle mirrors.
+    """
+
+    joined = _run_stream_scoped(
+        spark, sf_dir, _purchase_view_join("left_outer"), "evsslj_", "append"
+    )
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("v_user").alias("n_matched"),
+            F.sum(F.when(F.col("v_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_emitted"),
+            # Order-dependent double SUM -> nudged round (q10 convention).
+            r6s(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
+        )
+    )
+
+
+def _purchase_view_join(how: str):
+    """Builder factory for the purchase×view interval join family
+    (st10/st14/st15/st16): purchases within 1h AFTER a view match
+    (v_ts in [p_ts - 1h, p_ts]), both sides watermarked 2h. State
+    eviction boundaries (empirically confirmed at sf0.001 and sf0.01,
+    round-7 probe; WM = min(max_purchase_ts, max_view_ts) - 2h):
+
+      * LEFT  (purchase) rows flush null-extended iff p_ts < WM
+        (the v_ts <= p_ts bound adds 0 to the left state watermark);
+      * RIGHT (view) rows flush null-extended iff v_ts < WM - 1h
+        (matching purchases satisfy p_ts <= v_ts + 1h, so the view
+        must wait one extra hour past its own timestamp).
     """
 
     def build(stream: DataFrame, make_stream) -> DataFrame:
@@ -541,17 +572,66 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_user") == F.col("v_user"))
             & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
             & (F.col("v_ts") <= F.col("p_ts")),
-            "left_outer",
+            how,
         )
 
-    joined = _run_stream_scoped(spark, sf_dir, build, "evsslj_", "append")
+    return build
+
+
+def run_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the mirror of st14:
+    matched pairs emit inner-join-style; an UNMATCHED view emits
+    null-extended once its state evicts at v_ts < WM - 1h (the join
+    bound p_ts <= v_ts + 1h is ADDED to the right state watermark —
+    see _purchase_view_join). viewed_value sums v_value over every
+    EMITTED row (matched views count once per matching purchase,
+    exactly like the inner join's output), so the oracle must exclude
+    unmatched-unflushed views from the sum as well as the counts."""
+    joined = _run_stream_scoped(
+        spark, sf_dir, _purchase_view_join("right_outer"), "evssrj_", "append"
+    )
     return (
-        joined.groupBy(F.col("p_user").alias("user_id"))
+        joined.groupBy(F.col("v_user").alias("user_id"))
         .agg(
-            F.count("v_user").alias("n_matched"),
-            F.sum(F.when(F.col("v_user").isNull(), 1).otherwise(0))
+            F.count("p_user").alias("n_matched"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_unmatched_emitted"),
-            r6(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
+            # Order-dependent double SUM -> nudged round (q10 convention).
+            r6s(F.sum("v_value")).alias("viewed_value"),
+        )
+    )
+
+
+def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both null sides at
+    once: unmatched purchases flush at p_ts < WM, unmatched views at
+    v_ts < WM - 1h (asymmetric by the join bound; _purchase_view_join).
+    Grouped per user over the union of emitted rows: matched pairs,
+    purchase-side nulls, and view-side nulls are distinguishable by
+    which side's key is null."""
+    joined = _run_stream_scoped(
+        spark, sf_dir, _purchase_view_join("full_outer"), "evssfj_", "append"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p_user").isNotNull() & F.col("v_user").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("v_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_purchases"),
+            F.sum(F.when(F.col("p_user").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_views"),
+            # Order-dependent double SUM -> nudged round (q10 convention).
+            r6s(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
         )
     )

@@ -425,3 +425,178 @@ def test_giant_key_guard_detects_90pct_one_key(spark):
     # only OUR UserWarning counts (py4j leaks unrelated ResourceWarnings)
     assert not [w for w in caught if issubclass(w.category, UserWarning)]
     assert rep2["max_key_rows"] == 100
+
+
+def test_guarded_lag_ladder_takes_mitigated_plan_and_matches(spark):
+    # Round-7 VERDICT item 5: the guard must not just WARN — on a
+    # 90%-one-key dataset the deploy wrapper must actually take the
+    # sliced mitigation plan, and its output must be bit-identical to
+    # the single-task window.
+    import warnings as _warnings
+
+    from pyspark.sql import Window
+
+    from equity_volatility_lakehouse_platform_spark.operators.skew_guard import (
+        guarded_lag_ladder,
+        slice_giant_keys,
+    )
+
+    # 10k rows, 9k on user 7 with a strictly increasing order column.
+    df = (
+        spark.range(10_000)
+        .select(
+            F.when(F.col("id") < 9_000, F.lit(7)).otherwise(F.col("id")).alias(
+                "user_id"
+            ),
+            F.col("id").alias("ts"),
+            (F.col("id") % 97 + 1.0).alias("value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # The slicer alone: giant key split into >1 balanced slices, context
+    # rows replicated (lookback per non-first slice), non-giant keys at
+    # slice 0.
+    sliced = slice_giant_keys(
+        df, "user_id", "ts", lookback=32, max_key_rows=1_000
+    )
+    giant = sliced.filter(F.col("user_id") == 7)
+    n_slices = giant.agg(F.countDistinct("_slice")).first()[0]
+    assert n_slices > 1, "giant key was not split"
+    per_slice = {
+        r["_slice"]: r["n"]
+        for r in giant.filter(F.col("_ctx") == 0)
+        .groupBy("_slice")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(per_slice.values()) == 9_000  # no real row lost or duped
+    assert max(per_slice.values()) < 9_000  # actually balanced
+    n_ctx = giant.filter(F.col("_ctx") == 1).count()
+    assert n_ctx == 32 * (len(per_slice) - 1)
+    assert (
+        sliced.filter((F.col("user_id") != 7) & (F.col("_slice") != 0)).count()
+        == 0
+    )
+
+    # The wrapper: warning emitted, mitigated plan taken (slice column
+    # present in the query plan), values identical to the plain window.
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = guarded_lag_ladder(
+            df, "user_id", "ts", "value", lags=(1, 8, 32), max_key_rows=1_000
+        )
+        rows = {
+            (r["user_id"], r["ts"]): (
+                r["pct_change_1"], r["pct_change_8"], r["pct_change_32"]
+            )
+            for r in out.collect()
+        }
+    assert any(
+        issubclass(w.category, UserWarning) and "giant key" in str(w.message)
+        for w in caught
+    )
+    assert "_slice" in out._jdf.queryExecution().toString()
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    expect = {
+        (r["user_id"], r["ts"]): (
+            r["pct_change_1"], r["pct_change_8"], r["pct_change_32"]
+        )
+        for r in df.select(
+            "user_id",
+            "ts",
+            *[
+                (
+                    F.col("value")
+                    / F.nullif(F.lag("value", k).over(w), F.lit(0.0))
+                    - 1
+                ).alias(f"pct_change_{k}")
+                for k in (1, 8, 32)
+            ],
+        ).collect()
+    }
+    assert rows == expect
+
+    # Balanced input: no warning, plain single-window plan (no slicing).
+    balanced = df.withColumn("user_id", F.col("ts") % 50)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out2 = guarded_lag_ladder(
+            balanced, "user_id", "ts", "value", max_key_rows=1_000
+        )
+        out2.count()
+    assert not [
+        w
+        for w in caught
+        if issubclass(w.category, UserWarning) and "giant key" in str(w.message)
+    ]
+    assert "_slice" not in out2._jdf.queryExecution().toString()
+
+
+def test_gold_matrix_guarded_warns_and_matches(spark, sf_dir):
+    # f20's deploy wrapper: guard wired in (warn-only — gold mixes
+    # unbounded frames), output identical to the unguarded matrix.
+    import warnings as _warnings
+
+    from equity_volatility_lakehouse_platform_spark.functions.features import (
+        gold_matrix,
+        gold_matrix_guarded,
+    )
+    from equity_volatility_lakehouse_platform_spark.operators.daily import daily_bars
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    daily = daily_bars(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        guarded = gold_matrix_guarded(daily, max_key_rows=5)  # tiny: must trip
+        n = guarded.count()
+    assert any(
+        issubclass(w.category, UserWarning) and "giant key" in str(w.message)
+        for w in caught
+    )
+    assert n == gold_matrix(daily).count()
+
+
+def test_fit_eval_end_to_end(spark, sf_dir):
+    # Round-7 VERDICT item 6: the tester.ipynb path executable
+    # end-to-end — engine-side splits/encoding, driver-side fit, metrics
+    # landed back as a DataFrame. Separable synthetic data must score
+    # near-perfect AUC; the run must be deterministic; and the real
+    # sf0.001 feature table must produce well-formed metrics.
+    from equity_volatility_lakehouse_platform_spark.ml_prep import fit_eval
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    # Separable synthetic: label = (x1 + x2 > 0), temporal split.
+    syn = spark.range(2_000).select(
+        (F.sin(F.col("id") * 12.9898) * 43758.5453 % 2.0 - 1.0).alias("x1"),
+        (F.sin(F.col("id") * 78.233) * 12543.123 % 2.0 - 1.0).alias("x2"),
+        F.col("id").alias("t"),
+    ).withColumn(
+        "label", ((F.col("x1") + F.col("x2")) > 0).cast("int")
+    ).withColumn(
+        "split", F.when(F.col("t") < 1_500, "train").otherwise("test")
+    )
+    m = fit_eval(syn, ["x1", "x2"], "label").first()
+    assert m["n_train"] == 1_500 and m["n_test"] == 500
+    assert m["roc_auc"] > 0.95, f"separable data scored AUC {m['roc_auc']}"
+    assert 0.0 <= m["accuracy"] <= 1.0
+    m2 = fit_eval(syn, ["x1", "x2"], "label").first()
+    assert m.asDict() == m2.asDict(), "fit_eval is not deterministic"
+
+    # Real table: ml02-style encoding over events, temporal holdout.
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    cutoff = ev.agg(F.percentile_approx("ts", 0.75)).first()[0]
+    feats = ev.select(
+        *[(F.col("event_type") == c).cast("int").alias(f"type_{c}") for c in cats],
+        F.dayofweek("ts").cast("double").alias("dow"),
+        (F.col("value") >= 150).cast("int").alias("label"),
+        F.when(F.col("ts") < F.lit(cutoff), "train").otherwise("test").alias("split"),
+    )
+    r = fit_eval(feats, [f"type_{c}" for c in cats] + ["dow"], "label").first()
+    assert r["n_train"] > 0 and r["n_test"] > 0
+    for k in ("accuracy", "precision", "recall", "f1", "roc_auc"):
+        assert 0.0 <= r[k] <= 1.0
