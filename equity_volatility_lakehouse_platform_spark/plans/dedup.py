@@ -906,3 +906,91 @@ def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("_cba").alias("containment_b_in_a"),
         (F.greatest("_cab", "_cba") >= 0.9).alias("is_contained"),
     )
+
+
+_D14_W = 16  # non-overlapping chunk width (tokens)
+
+
+@register(
+    "d14_chunk_dedup",
+    # C4/RefinedWeb-style SUB-DOCUMENT dedup (round 7): documents are
+    # chunked into fixed non-overlapping 16-token "paragraphs", each
+    # chunk is deduplicated GLOBALLY across the corpus (first occurrence
+    # by (doc_id, chunk_idx) wins), and every document is reassembled
+    # from its surviving chunks — the op that removes boilerplate
+    # repeated ACROSS documents, which whole-doc dedup (d01) and
+    # near-dup clustering (d07) both miss. At 100 TB: tokenize+chunk is
+    # a map-only fan-out (t13's machinery); the global first-occurrence
+    # pick is ONE shuffle keyed on the 128-bit chunk digest (window
+    # rank, partial-friendly); reassembly is one groupBy(doc_id) whose
+    # payload is only the SURVIVING chunk text (bounded by output size).
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok,
+             unnest(generate_series(0, (greatest(len(tok), 1) - 1) // {_D14_W}))
+               AS ci
+      FROM t
+    ), ch AS (
+      SELECT doc_id, ci,
+             array_to_string(list_slice(tok, ci * {_D14_W} + 1,
+                                        ci * {_D14_W} + {_D14_W}), ' ')
+               AS chunk_text
+      FROM c
+    ), r AS (
+      SELECT doc_id, ci, chunk_text,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, ci) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)        AS n_chunks,
+           CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY ci), '') AS dedup_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def d14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("tok"))
+    c = t.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(greatest(size(tok), 1) - 1) div {_D14_W}").cast("int"),
+            )
+        ).alias("ci"),
+    )
+    chunks = c.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("ci"),
+        F.array_join(
+            F.slice(F.col("tok"), F.col("ci") * _D14_W + 1, _D14_W), " "
+        ).alias("chunk_text"),
+    )
+    # Global first-occurrence rank, keyed on the digest (16-byte shuffle
+    # key; the raw chunk text rides along once, never joins back).
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "ci")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("ci", "chunk_text"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            # collect_list skips nulls (losers); sort restores chunk order.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk_text"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

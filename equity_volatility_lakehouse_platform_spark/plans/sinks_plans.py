@@ -355,3 +355,35 @@ def snk08_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_cdc_applied"),
         _money("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "snk09_merge_upsert",
+    # Full transactional MERGE (Delta upsert — update matched, insert
+    # unmatched; sources/acid.py merge_upsert). Seed the table with a
+    # CORRUPTED third of the orders (prices doubled), then merge the
+    # full clean source: matched keys must be OVERWRITTEN with the clean
+    # image (insert-only would keep the corruption), unmatched keys
+    # insert. The final snapshot therefore equals the clean source
+    # exactly — any surviving doubled price fails the money aggregate.
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snk09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk09_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    corrupted = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    table.overwrite(corrupted)
+    table.merge_upsert(orders, ["o_orderkey"])
+    back = table.read()
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money("o_totalprice").alias("total_price"),
+    )

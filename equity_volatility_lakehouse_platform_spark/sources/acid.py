@@ -293,6 +293,92 @@ class AcidTable:
                 continue  # recompute against the new snapshot
         raise CommitConflict(f"lost {max_retries} merge races on {self.root}")
 
+    def merge_upsert(
+        self, updates: DataFrame, keys: list[str], max_retries: int = 5
+    ) -> int:
+        """Full transactional MERGE (the Delta ``WHEN MATCHED THEN
+        UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`` upsert — the op
+        ``merge_insert_only``'s DO-NOTHING semantics stop short of).
+
+        Copy-on-write: a keys-only semi-join probe finds the files
+        holding matched rows (column-pruned scan + the small key set;
+        untouched files carry over by reference), those files are
+        rewritten WITHOUT their matched rows, and the whole source batch
+        lands as new files — matched keys get their new image, unmatched
+        keys insert. One commit publishes all three file sets
+        atomically; ``changes()`` shows each matched key as
+        delete(old image) + insert(new image), inserts as insert.
+
+        Delta semantics on ambiguity: multiple source rows per key is an
+        ERROR (the update image would be nondeterministic), checked with
+        one aggregate over the (small) source batch. On a lost commit
+        race the probe re-runs against the winner's snapshot. The source
+        must match the table schema (no implicit evolution — use
+        ``append`` for schema-widening loads)."""
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert source has multiple rows for key "
+                f"{dict(zip(keys, [dup[0][k] for k in keys]))} — the "
+                "matched-row update image would be nondeterministic"
+            )
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is None:
+                try:
+                    return self._commit_loop("merge_upsert", updates, lambda b: b, 1)
+                except CommitConflict:
+                    continue
+            manifest = self._manifest(latest)
+            schema = T._parse_datatype_string(manifest["schema"])
+            key_df = updates.select(*keys)
+            affected: set[str] = set()
+            if manifest["files"]:
+                paths = [os.path.join(self.root, f) for f in manifest["files"]]
+                hit = (
+                    self.spark.read.schema(schema)
+                    .parquet(*paths)
+                    .select(*keys, F.input_file_name().alias("f"))
+                    .join(key_df, keys, "left_semi")
+                    .select("f")
+                    .distinct()
+                    .collect()
+                )
+                for row in hit:
+                    p = urllib.parse.unquote(urllib.parse.urlparse(row.f).path)
+                    affected.add(
+                        os.path.relpath(p, os.path.abspath(self.root))
+                    )
+                assert all(not r.startswith("..") for r in affected), affected
+            kept = [f for f in manifest["files"] if f not in affected]
+            new_files: list[str] = []
+            if affected:
+                apaths = [os.path.join(self.root, f) for f in sorted(affected)]
+                survivors = (
+                    self.spark.read.schema(schema)
+                    .parquet(*apaths)
+                    .join(key_df, keys, "left_anti")
+                )
+                new_files += self._write_data(survivors)
+            new_files += self._write_data(updates)
+            try:
+                self._try_commit(
+                    latest + 1,
+                    "merge_upsert",
+                    kept + new_files,
+                    manifest["schema"],
+                )
+                return latest + 1
+            except CommitConflict:
+                continue  # recompute the affected set against the winner
+        raise CommitConflict(f"lost {max_retries} merge_upsert races on {self.root}")
+
     # ----------------------------------------------- copy-on-write DML --
     def _probe(self, manifest: dict, condition: Column) -> DataFrame:
         """The affected-file probe plan: filter pushed to the parquet scan,

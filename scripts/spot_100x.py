@@ -1,15 +1,28 @@
-"""100x spot-check of the top-3 headline queries (round-6 VERDICT item 8).
+"""100x spot-check of the top-10 scale-story queries (round-7 VERDICT item 4).
 
 Builds a 100x fact dataset in /tmp (duckdb replication of the sf0.1
-events/lineitem/orders under shifted keys — build_10x.py's method at
-factor 100; documents 8x, dims symlinked) and warm-times
-q1_pricing_summary, g01_grid_fill_hourly, f20_gold_matrix against it.
-Pass criterion: wall-time grows no faster than data past the 10x point
-(no new plan cliffs) — results recorded in SCALE.md.
+facts under shifted keys — build_10x.py's method at factor 100;
+documents 8x and embeddings 100x with per-replica jitter, dims
+symlinked) and warm-times the queries whose 100 TB story rests on
+claims: the three round-6 headliners plus as-of join, lag ladder, LSH
+pair generation, IVF ANN, the stream-stream join, event segmentation,
+and the leakage-safe split.
+
+Two gates per query, recorded in SCALE.md:
+  * wall-time ratio vs the same warm run at plain sf0.1 — must stay
+    sub-linear-ish vs the 100x data factor (no plan cliffs);
+  * the physical plan's Exchange count at 100x must NOT EXCEED the
+    sf0.1 count (a broadcast join silently flipping to a shuffle join
+    at scale is exactly the regression this catches).
+
+Coverage caps (logged, not silent): documents replicate 8x (text
+payloads dominate disk; d03/ml07 still shuffle 8x the candidate
+volume), embeddings 100x with 1e-4 per-replica jitter so bucketing
+stays non-degenerate.
 
 Usage::
 
-    python scripts/spot_100x.py [src_sf_dir] [out_dir]
+    python scripts/spot_100x.py [src_sf_dir] [out_dir] [out_json]
 """
 
 from __future__ import annotations
@@ -23,7 +36,18 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["q1_pricing_summary", "g01_grid_fill_hourly", "f20_gold_matrix"]
+QUERIES = [
+    "q1_pricing_summary",
+    "g01_grid_fill_hourly",
+    "f20_gold_matrix",
+    "j12_asof_join",
+    "w04_lag_ladder",
+    "d03_minhash_lsh_pairs",
+    "sim04_ivf_ann_topk",
+    "st10_stream_stream_join",
+    "f19_event_segmentation",
+    "ml07_leakage_safe_split",
+]
 
 
 def build(src: str, out: str, factor: int = 100) -> None:
@@ -64,6 +88,9 @@ def build(src: str, out: str, factor: int = 100) -> None:
         """,
         "orders",
     )
+    # Text payloads dominate disk: 8x keeps the build tractable while
+    # still multiplying candidate-pair volume. NOT a silent cap.
+    print("NOTE: documents replicated 8x (not 100x) — text disk cap")
     copy(
         f"""
         SELECT doc_id + r * 1000000 AS doc_id,
@@ -74,15 +101,46 @@ def build(src: str, out: str, factor: int = 100) -> None:
         """,
         "documents",
     )
-    for dim in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    # 100x vectors with per-replica jitter so LSH/IVF bucket occupancy
+    # stays non-degenerate (identical copies would all collide).
+    copy(
+        f"""
+        SELECT vec_id + r * 1000000 AS vec_id,
+               CAST(list_transform(embedding, x -> x + r * 0.0001)
+                    AS FLOAT[]) AS embedding,
+               label
+        FROM '{src}/embeddings.parquet', range({factor}) t(r)
+        """,
+        "embeddings",
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
         dst = f"{out}/{dim}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src}/{dim}.parquet", dst)
 
 
+def _exchanges(df) -> int:
+    """Exchange operators in the (pre-execution) physical plan — the
+    scale-sensitive part: a planning-time broadcast-to-shuffle flip at
+    the bigger input shows up here."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def _time(df) -> float:
+    df.write.mode("overwrite").format("noop").save()  # warm codegen
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_100x"
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
     if not os.path.exists(f"{out}/lineitem.parquet"):
         build(src, out)
 
@@ -93,19 +151,49 @@ def main() -> int:
     qs = all_queries()
     spark = get_spark(app_name="spot-100x")
     spark.sparkContext.setLogLevel("ERROR")
-    timings: dict[str, float] = {}
+    results: dict[str, dict] = {}
+    failures: list[str] = []
     for name in QUERIES:
-        df = qs[name](spark, out)
-        df.write.mode("overwrite").format("noop").save()  # warm: codegen etc.
-        best = float("inf")
-        for _ in range(2):
+        if name.startswith("st"):
+            # Streaming queries materialize EAGERLY (the registered fn
+            # runs the stream and localCheckpoints the sink) — time the
+            # whole run; the checkpoint scan's plan carries no signal,
+            # so the exchange gate is recorded as n/a (0 == 0).
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 2)
-        print(name, timings[name], "s")
-    print(json.dumps({"scale": "100x-sf0.1", "timings": timings}))
-    return 0
+            qs[name](spark, src)
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            qs[name](spark, out)
+            t_big = time.perf_counter() - t0
+            x_base = x_big = 0
+        else:
+            base_df = qs[name](spark, src)
+            big_df = qs[name](spark, out)
+            t_base = _time(base_df)
+            t_big = _time(big_df)
+            x_base = _exchanges(base_df)
+            x_big = _exchanges(big_df)
+        rec = {
+            "sf0.1_sec": round(t_base, 2),
+            "100x_sec": round(t_big, 2),
+            "wall_ratio": round(t_big / t_base, 1) if t_base > 0 else None,
+            "exchanges_sf0.1": x_base,
+            "exchanges_100x": x_big,
+        }
+        if x_big > x_base:
+            failures.append(
+                f"{name}: exchanges grew {x_base} -> {x_big} at 100x "
+                "(broadcast flipped to shuffle?)"
+            )
+        results[name] = rec
+        print(name, json.dumps(rec))
+    summary = {"scale": "100x-sf0.1", "results": results, "failures": failures}
+    line = json.dumps(summary)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
