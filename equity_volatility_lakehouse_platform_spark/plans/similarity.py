@@ -695,3 +695,184 @@ def ml15_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cum_lift"),
     )
+
+
+@register(
+    "sim06_pq_ann_topk",
+    # Product quantization (PQ/ADC) ANN — the MEMORY-scale path next to
+    # LSH (sim03) and IVF (sim04): at 100 TB a 64-dim float vector is
+    # 256-512 B, its PQ code is M small ints (here 2 bytes). Encode is
+    # one broadcast-codebook pass; query-time ADC never touches raw
+    # vectors until the final re-rank. Subspaces: v[1..32] / v[33..64];
+    # codebook = the 8 lowest vec_ids' subvectors per subspace (fixed
+    # seed standing in for an offline-trained k-means, like sim04's
+    # centroids); code_s = argmin_j L2^2(sub_s(v), c_{s,j}) with the
+    # d = dot(x,x) - 2*dot(x,c) + dot(c,c) expansion — the identical
+    # left-to-right fold on both engines, so assignments and distances
+    # are bit-exact. Queries (vec_id < 3) build a 2x8 ADC table; the
+    # approximate distance is two BROADCAST hash-join lookups per code
+    # (zero shuffle over the corpus), top-10 by (approx, vec_id), then
+    # exact cosine re-ranks those 10 to the final top-3.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, v,
+             list_slice(v, 1, 32)  AS v0,
+             list_slice(v, 33, 64) AS v1
+      FROM e
+    ), cb AS (
+      SELECT s.s, sub.vec_id AS j,
+             CASE WHEN s.s = 0 THEN v0 ELSE v1 END AS c
+      FROM sub CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) s
+      WHERE sub.vec_id < 8
+    ), enc AS (
+      SELECT sub.vec_id, cb.s, cb.j,
+             (list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
+                               CASE WHEN cb.s = 0 THEN v0 ELSE v1 END)
+              - 2 * list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
+                                     cb.c)
+              + list_dot_product(cb.c, cb.c)) AS d
+      FROM sub CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id,
+             max(CASE WHEN s = 0 THEN j END) AS code0,
+             max(CASE WHEN s = 1 THEN j END) AS code1
+      FROM (SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, j) AS rn
+            FROM enc)
+      WHERE rn = 1 GROUP BY vec_id
+    ), qd AS (
+      SELECT sub.vec_id AS q_id, cb.s, cb.j,
+             (list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
+                               CASE WHEN cb.s = 0 THEN v0 ELSE v1 END)
+              - 2 * list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
+                                     cb.c)
+              + list_dot_product(cb.c, cb.c)) AS dq
+      FROM sub CROSS JOIN cb
+      WHERE sub.vec_id < 3
+    ), cand AS (
+      SELECT d0.q_id, codes.vec_id, d0.dq + d1.dq AS approx
+      FROM codes
+      JOIN qd d0 ON d0.s = 0 AND d0.j = codes.code0
+      JOIN qd d1 ON d1.s = 1 AND d1.j = codes.code1 AND d1.q_id = d0.q_id
+      WHERE codes.vec_id <> d0.q_id
+    ), shortlist AS (
+      SELECT q_id, vec_id, approx
+      FROM (SELECT q_id, vec_id, approx,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx, vec_id) AS rn
+            FROM cand)
+      WHERE rn <= 10
+    ), rer AS (
+      SELECT s.q_id, s.vec_id, s.approx,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.q_id
+      JOIN e x ON x.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id,
+           (ROUND(approx, 6) + 0.0) AS approx_l2,
+           (ROUND(cos, 6) + 0.0)    AS cosine
+    FROM (SELECT q_id, vec_id, approx, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM rer)
+    WHERE rn <= 3
+    """,
+)
+def sim06_pq_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    shortlist: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    sub = emb.select(
+        "vec_id",
+        "v",
+        F.slice("v", 1, 32).alias("v0"),
+        F.slice("v", 33, 32).alias("v1"),
+    )
+    cb = (
+        sub.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("j"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("s"), F.col("v0").alias("c")),
+                    F.struct(F.lit(1).alias("s"), F.col("v1").alias("c")),
+                )
+            ).alias("e"),
+        )
+        .select("j", F.col("e.s").alias("s"), F.col("e.c").alias("c"))
+    )
+
+    def _adc(df: DataFrame, out: str) -> DataFrame:
+        # d = |x|^2 - 2<x,c> + |c|^2, same left-to-right shape as the SQL.
+        x = F.when(F.col("s") == 0, F.col("v0")).otherwise(F.col("v1"))
+        d = dot(x, x) - F.lit(2) * dot(x, F.col("c")) + dot(F.col("c"), F.col("c"))
+        return df.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "v", "s", "j", d.alias(out)
+        )
+
+    # Encode: per-(vector, subspace) argmin over the broadcast codebook —
+    # partial min_by collapses map-side; the only corpus shuffle is the
+    # two-level code assembly keyed on vec_id.
+    enc = _adc(sub, "d")
+    lvl1 = enc.groupBy("vec_id", "s").agg(
+        F.min_by("j", F.struct("d", "j")).alias("code"),
+        F.first("v").alias("v"),
+    )
+    codes = lvl1.groupBy("vec_id").agg(
+        F.max(F.when(F.col("s") == 0, F.col("code"))).alias("code0"),
+        F.max(F.when(F.col("s") == 1, F.col("code"))).alias("code1"),
+        F.first("v").alias("v"),
+    )
+    # ADC tables for the tiny query set (2 x n_centroids rows per query).
+    qd = _adc(sub.filter(F.col("vec_id") < 3), "dq").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "s", "j", "dq"
+    )
+    qd0 = qd.filter(F.col("s") == 0).select(
+        "q_id", "qv", F.col("j").alias("j0"), F.col("dq").alias("dq0")
+    )
+    qd1 = qd.filter(F.col("s") == 1).select(
+        F.col("q_id").alias("q_id1"), F.col("j").alias("j1"),
+        F.col("dq").alias("dq1"),
+    )
+    cand = (
+        codes.join(F.broadcast(qd0), F.col("code0") == F.col("j0"))
+        .join(
+            F.broadcast(qd1),
+            (F.col("code1") == F.col("j1")) & (F.col("q_id") == F.col("q_id1")),
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "v", "qv",
+            (F.col("dq0") + F.col("dq1")).alias("approx"),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy("approx", "vec_id")
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    short = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "vec_id", "approx", cos.alias("cos"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        short.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id", "vec_id",
+            r6("approx").alias("approx_l2"),
+            r6("cos").alias("cosine"),
+        )
+    )
