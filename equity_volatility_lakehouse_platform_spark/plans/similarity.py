@@ -697,23 +697,9 @@ def ml15_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim06_pq_ann_topk",
-    # Product quantization (PQ/ADC) ANN — the MEMORY-scale path next to
-    # LSH (sim03) and IVF (sim04): at 100 TB a 64-dim float vector is
-    # 256-512 B, its PQ code is M small ints (here 2 bytes). Encode is
-    # one broadcast-codebook pass; query-time ADC never touches raw
-    # vectors until the final re-rank. Subspaces: v[1..32] / v[33..64];
-    # codebook = the 8 lowest vec_ids' subvectors per subspace (fixed
-    # seed standing in for an offline-trained k-means, like sim04's
-    # centroids); code_s = argmin_j L2^2(sub_s(v), c_{s,j}) with the
-    # d = dot(x,x) - 2*dot(x,c) + dot(c,c) expansion — the identical
-    # left-to-right fold on both engines, so assignments and distances
-    # are bit-exact. Queries (vec_id < 3) build a 2x8 ADC table; the
-    # approximate distance is two BROADCAST hash-join lookups per code
-    # (zero shuffle over the corpus), top-10 by (approx, vec_id), then
-    # exact cosine re-ranks those 10 to the final top-3.
-    oracle="""
+# Shared PQ/ADC CTE chain (sim06 + the sim07 recall audit): encode via
+# the bit-exact L2 expansion, ADC lookups, exact-cosine re-rank input.
+_PQ_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sub AS (
@@ -774,6 +760,26 @@ def ml15_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e q ON q.vec_id = s.q_id
       JOIN e x ON x.vec_id = s.vec_id
     )
+"""
+
+
+@register(
+    "sim06_pq_ann_topk",
+    # Product quantization (PQ/ADC) ANN — the MEMORY-scale path next to
+    # LSH (sim03) and IVF (sim04): at 100 TB a 64-dim float vector is
+    # 256-512 B, its PQ code is M small ints (here 2 bytes). Encode is
+    # one broadcast-codebook pass; query-time ADC never touches raw
+    # vectors until the final re-rank. Subspaces: v[1..32] / v[33..64];
+    # codebook = the 8 lowest vec_ids' subvectors per subspace (fixed
+    # seed standing in for an offline-trained k-means, like sim04's
+    # centroids); code_s = argmin_j L2^2(sub_s(v), c_{s,j}) with the
+    # d = dot(x,x) - 2*dot(x,c) + dot(c,c) expansion — the identical
+    # left-to-right fold on both engines, so assignments and distances
+    # are bit-exact. Queries (vec_id < 3) build a 2x8 ADC table; the
+    # approximate distance is two BROADCAST hash-join lookups per code
+    # (zero shuffle over the corpus), top-10 by (approx, vec_id), then
+    # exact cosine re-ranks those 10 to the final top-3.
+    oracle=_PQ_SQL + """
     SELECT q_id, vec_id,
            (ROUND(approx, 6) + 0.0) AS approx_l2,
            (ROUND(cos, 6) + 0.0)    AS cosine
@@ -874,5 +880,80 @@ def sim06_pq_ann_topk(
             "q_id", "vec_id",
             r6("approx").alias("approx_l2"),
             r6("cos").alias("cosine"),
+        )
+    )
+
+
+@register(
+    "sim07_pq_recall",
+    # Recall@3 of the PQ/ADC path (sim06) against the exact baseline —
+    # sim05's audit applied to the memory-compressed index. PQ's recall
+    # loss comes from TWO stages (code quantization error in the ADC
+    # shortlist, then the shortlist cap), so the audit runs the full
+    # composed pipeline, not just the codes. Deterministic integer
+    # ratios (ties broken by vec_id on both sides).
+    oracle=_PQ_SQL + """
+    , pq_topk AS (
+      SELECT q_id, vec_id
+      FROM (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM rer)
+      WHERE rn <= 3
+    ), exact_topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, e.v)
+                   / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(e.v, e.v)), 0) DESC,
+                 e.vec_id) AS rn
+        FROM e q JOIN e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rn <= 3
+    )
+    SELECT x.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(count(a.vec_id) * 1.0 / count(*), 6) + 0.0) AS recall_at_3
+    FROM exact_topk x
+    LEFT JOIN pq_topk a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY x.q_id
+    """,
+)
+def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    ann = sim06_pq_ann_topk(spark, sf_dir, k=k).select("q_id", "vec_id")
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    hit = ann.withColumnRenamed("vec_id", "a_vec")
+    return (
+        exact.join(
+            hit,
+            (exact["q_id"] == hit["q_id"]) & (exact["vec_id"] == hit["a_vec"]),
+            "left",
+        )
+        .drop(hit["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec").alias("n_hit"),
+            r6(F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
         )
     )

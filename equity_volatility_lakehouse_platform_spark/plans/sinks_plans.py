@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r2
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r2, r6
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
@@ -386,4 +386,41 @@ def snk09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _money("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "snk10_zorder_layout",
+    # OPTIMIZE ZORDER BY (sources/acid.optimize_zorder): events land in
+    # time-sliced commits (every user scattered across every file), then
+    # the layout rewrite clusters on (user_id, ts) via quantile-rank
+    # Morton interleave + one repartitionByRange. The oracle pins
+    # ROW-IDENTITY through the rewrite (layout must never change data);
+    # the file-skipping improvement itself is asserted in
+    # tests/test_acid.py (engine-internal file counts have no SQL
+    # mirror).
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def snk10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    path = tempfile.mkdtemp(prefix="evlp_snk10_") + "/events_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(ev.filter(F.dayofmonth("ts") <= 10).coalesce(2))
+    table.append(ev.filter(F.dayofmonth("ts").between(11, 20)).coalesce(2))
+    table.append(ev.filter(F.dayofmonth("ts") > 20).coalesce(2))
+    table.optimize_zorder(["user_id", "ts"], target_files=4)
+    return (
+        table.read()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("value")).alias("total_value"),
+        )
     )

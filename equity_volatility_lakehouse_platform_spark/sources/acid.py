@@ -552,6 +552,64 @@ class AcidTable:
         self._try_commit(latest + 1, "compact", files, manifest["schema"])
         return latest + 1
 
+    def optimize_zorder(
+        self, cols: list[str], target_files: int = 8, bits: int = 8
+    ) -> int:
+        """OPTIMIZE ZORDER BY (Delta/Iceberg data-layout rewrite): cluster
+        the snapshot so each file covers a TIGHT min/max range on every
+        z-ordered column at once — the layout that makes file-level
+        skipping (``_affected_files`` / engine row-group pruning) cut
+        multi-dimensional point and range probes from O(files) to a few
+        files at 100 TB.
+
+        Distributed end to end: each column maps to a ``bits``-bit rank
+        via its approx-quantile boundaries (one agg pass; the 2^bits-1
+        boundary array broadcasts and ranks via a JVM array fold), the
+        per-column ranks bit-INTERLEAVE into the Morton z-key, and one
+        ``repartitionByRange`` on the z-key (sorted within partitions)
+        writes ``target_files`` files each owning a contiguous z-range.
+        Row-identical by construction — the change feed of a zorder
+        commit is empty, like ``compact``. Columns must be orderable by
+        percentile (numeric/timestamp). Same no-blind-retry contract as
+        ``compact``: on a commit race, CommitConflict propagates."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        manifest = self._manifest(latest)
+        df = self.read(latest)
+        out_cols = list(df.columns)
+        fractions = [i / (1 << bits) for i in range(1, 1 << bits)]
+        def _rank(bounds_col: str, value_col: str):
+            return F.aggregate(
+                F.col(bounds_col),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(value_col) > b, 1).otherwise(0),
+            )
+
+        for ci, c in enumerate(cols):
+            bnd = df.agg(
+                F.percentile_approx(c, fractions, 10_000).alias(f"_b{ci}")
+            )
+            df = df.crossJoin(F.broadcast(bnd))
+            df = df.withColumn(f"_r{ci}", _rank(f"_b{ci}", c)).drop(f"_b{ci}")
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for ci in range(len(cols)):
+                bit = F.shiftright(F.col(f"_r{ci}"), i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(
+                    F.shiftleft(bit.cast("long"), i * len(cols) + ci)
+                )
+        ordered = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .select(*out_cols)
+        )
+        files = self._write_data(ordered)
+        self._try_commit(latest + 1, "zorder", files, manifest["schema"])
+        return latest + 1
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO commit (crash debris, lost
         races). Returns the deleted relative paths."""

@@ -411,3 +411,35 @@ def test_merge_upsert_rejects_ambiguous_source(spark, orders, root):
     dup = orders.limit(1).unionByName(orders.limit(1))
     with pytest.raises(ValueError, match="multiple rows"):
         t.merge_upsert(dup, ["o_orderkey"])
+
+
+def test_optimize_zorder_improves_file_skipping(spark, sf_dir, root):
+    # Z-order layout rewrite (round 7): events appended in TIME slices
+    # put every user in every file; after ZORDER BY (user_id, ts) a
+    # single-user probe touches a strict subset of files, rows are
+    # identical, and the change feed is empty (pure layout change).
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    t = AcidTable(spark, root)
+    days = [r[0] for r in ev.select(F.dayofmonth("ts")).distinct().collect()]
+    slices = sorted(days)[:4]
+    t.overwrite(ev.filter(F.dayofmonth("ts") == slices[0]).coalesce(2))
+    for d in slices[1:]:
+        t.append(ev.filter(F.dayofmonth("ts") == d).coalesce(2))
+    pre = t.latest_version()
+    some_user = ev.first()["user_id"]
+    cond = F.col("user_id") == some_user
+    n_files_pre = len(t._affected_files(t._manifest(pre), cond))
+    n_total_pre = len(t._manifest(pre)["files"])
+    assert n_files_pre > 2, "time-sliced layout should scatter the user"
+
+    v = t.optimize_zorder(["user_id", "ts"], target_files=n_total_pre)
+    n_files_post = len(t._affected_files(t._manifest(v), cond))
+    assert n_files_post < n_files_pre, (
+        f"zorder did not improve skipping: {n_files_pre} -> {n_files_post}"
+    )
+    # row-identical + empty change feed (layout-only commit)
+    assert t.read(v).exceptAll(t.read(pre)).count() == 0
+    assert t.read(pre).exceptAll(t.read(v)).count() == 0
+    assert t.changes(pre, v).count() == 0
