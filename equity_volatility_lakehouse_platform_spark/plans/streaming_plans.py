@@ -524,3 +524,56 @@ def st16_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_full_join(spark, sf_dir)
+
+
+@register(
+    "st17_stateful_timeout_sessions",
+    # Stateful sessionization with EVENT-TIME TIMEOUT state GC
+    # (applyInPandasWithState + EventTimeTimeout) — the eviction-driven
+    # stateful primitive st04's NoTimeout variant doesn't cover.
+    # Per-user 1h-gap sessions close either when a later event arrives
+    # (> 1h gap — 'gap', emitted immediately) or when the watermark
+    # passes last_ts + 1h ('timeout', flushed by the final no-data
+    # batch). Empirically confirmed at sf0.01 (round-7 probe, engine
+    # flush set diffed against the closed form): every non-final
+    # session per user emits as 'gap'; the final open session emits as
+    # 'timeout' iff last_ts < max(ts) - 3h (watermark delay 2h + the 1h
+    # registered timeout); later open sessions stay in discarded state.
+    # The state op works at MILLISECOND grain (GroupState timeout
+    # timestamps are ms), so the oracle sessionizes on epoch_ms too.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS tsm FROM events
+    ), s AS (
+      SELECT user_id, event_id, tsm,
+             CASE WHEN lag(tsm) OVER w IS NULL
+                    OR tsm - lag(tsm) OVER w > 3600000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)
+    ), g AS (
+      SELECT user_id, tsm,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), sess AS (
+      SELECT user_id, sid,
+             min(tsm) AS start_ms, max(tsm) AS last_ms,
+             count(*) AS n
+      FROM g GROUP BY user_id, sid
+    ), mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+    lastsid AS (SELECT user_id, max(sid) AS lsid FROM sess GROUP BY user_id)
+    SELECT s.user_id,
+           make_timestamp(start_ms * 1000) AS session_start,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN s.sid <> l.lsid THEN 'gap' ELSE 'timeout' END AS closed_by
+    FROM sess s JOIN lastsid l ON s.user_id = l.user_id
+    WHERE s.sid <> l.lsid
+       OR s.last_ms < (SELECT m FROM mx) - 3 * 3600000
+    """,
+)
+def st17_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_timeout_sessions_stream,
+    )
+
+    return run_timeout_sessions_stream(spark, sf_dir)

@@ -635,3 +635,83 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6s(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
         )
     )
+
+
+def run_timeout_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization with EVENT-TIME TIMEOUT state GC
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) — the
+    stateful primitive st04 (NoTimeout) doesn't cover: state that is
+    EVICTED and flushed by the watermark instead of living forever.
+
+    Per-user 1h-gap sessions. A session closes two ways:
+      * "gap"     — a later event for the same user arrives > 1h after
+                    the session's last event (emitted immediately);
+      * "timeout" — no event arrives and the watermark passes
+                    last_ts + 1h (the registered timeout timestamp),
+                    so the final no-data batch flushes the open session.
+    Sessions whose timeout the final watermark never reached stay in
+    (discarded) state — the closed-form restriction the oracle applies.
+    Timeout boundary, empirically confirmed at sf0.001 AND sf0.01
+    (round-7 probe): with watermark delay 2h, the open session flushes
+    iff last_ts + 1h < max(ts) - 2h, i.e. last_ts < max(ts) - 3h
+    (strict).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_MS = 3_600_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{
+                    "user_id": key[0],
+                    "session_start": pd.Timestamp(start_ms, unit="ms"),
+                    "n_events": n,
+                    "closed_by": "timeout",
+                }]
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for ts in rows["ts"]:
+            ms = int(ts.value // 1_000_000)
+            if last_ms is not None and ms - last_ms > GAP_MS:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(start_ms, unit="ms"),
+                        "n_events": n,
+                        "closed_by": "gap",
+                    }
+                )
+                start_ms, n = None, 0
+            if start_ms is None:
+                start_ms = ms
+            last_ms = ms
+            n += 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + GAP_MS)
+        yield pd.DataFrame(out)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize,
+                outputStructType=(
+                    "user_id bigint, session_start timestamp, "
+                    "n_events bigint, closed_by string"
+                ),
+                stateStructType="start_ms bigint, last_ms bigint, n bigint",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    return _run_stream_scoped(spark, sf_dir, build, "evtmo_", "append")
