@@ -577,3 +577,35 @@ def st17_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return run_timeout_sessions_stream(spark, sf_dir)
+
+
+@register(
+    "st18_tws_record_highs",
+    # The NEW Spark 4 arbitrary-state API (transformWithStateInPandas +
+    # StatefulProcessor + typed ValueState) — migration target for every
+    # legacy applyInPandasWithState pipeline (st04/st17). Per-user
+    # record-high change log: a row emits whenever an event's value
+    # strictly exceeds the user's running max in (ts, event_id) order.
+    # Closed form: value > max(all prior values) per user. Where the
+    # protobuf worker dep is absent the engine degrades to the legacy
+    # applyInPandasWithState carrier with identical semantics (gated
+    # import-try in events_stream.run_record_highs_stream).
+    oracle="""
+    SELECT user_id, ts, event_id,
+           (ROUND(value, 6) + 0.0) AS value
+    FROM (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max
+      FROM events
+    )
+    WHERE prev_max IS NULL OR value > prev_max
+    """,
+)
+def st18_tws_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_record_highs_stream,
+    )
+
+    return run_record_highs_stream(spark, sf_dir)

@@ -715,3 +715,98 @@ def run_timeout_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _run_stream_scoped(spark, sf_dir, build, "evtmo_", "append")
+
+
+def run_record_highs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RECORD-HIGH change log on the NEW Spark 4 stateful API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` +
+    ``ValueState``) — the arbitrary-state successor to
+    applyInPandasWithState (st04/st17 use the legacy API; a real
+    pipeline migrating to Spark 4 writes THIS shape). Emits one row
+    every time an event's value strictly exceeds the user's running
+    maximum, in (ts, event_id) order; the running max is a typed
+    ``ValueState`` that persists across micro-batches. Over bounded
+    input the emitted set has a closed form (value > max of all prior
+    values per user), so the operator is exactly oracle-checkable.
+
+    The transformWithState Python worker speaks protobuf to the JVM
+    state server; where ``google.protobuf`` is not installed (this
+    container), the operator degrades to the LEGACY
+    applyInPandasWithState carrier with byte-identical semantics —
+    same per-key running-max ValueState contract, same emitted set —
+    so the query stays runnable everywhere while the deploy-preferred
+    Spark 4 path is exercised wherever protobuf exists."""
+    import pandas as pd
+
+    out_schema = "user_id bigint, ts timestamp, event_id bigint, value double"
+
+    def _record_rows(key, batch, mx):
+        out = []
+        for r in batch.sort_values(["ts", "event_id"]).itertuples():
+            v = float(r.value)
+            if mx is None or v > mx:
+                out.append(
+                    {"user_id": key[0], "ts": r.ts, "event_id": r.event_id,
+                     "value": v}
+                )
+                mx = v
+        return out, mx
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — worker dep
+        from pyspark.sql.streaming import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RecordHighs(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._mx = handle.getValueState("mx", "mx double")
+
+            def handleInputRows(self, key, rows, timerValues):
+                mx = self._mx.get()[0] if self._mx.exists() else None
+                out, mx = _record_rows(key, pd.concat(list(rows)), mx)
+                self._mx.update((mx,))
+                yield pd.DataFrame(out)
+
+            def close(self) -> None:
+                pass
+
+        def build(stream: DataFrame) -> DataFrame:
+            return (
+                stream.select("user_id", "ts", "event_id", "value")
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    RecordHighs(),
+                    outputStructType=out_schema,
+                    outputMode="append",
+                    timeMode="none",
+                )
+            )
+
+    except ImportError:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def record_highs(key, pdfs, state: GroupState):
+            mx = state.get[0] if state.exists else None
+            out, mx = _record_rows(key, pd.concat(list(pdfs)), mx)
+            state.update((mx,))
+            yield pd.DataFrame(out)
+
+        def build(stream: DataFrame) -> DataFrame:
+            return (
+                stream.select("user_id", "ts", "event_id", "value")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    record_highs,
+                    outputStructType=out_schema,
+                    stateStructType="mx double",
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+    out = _run_stream_scoped(spark, sf_dir, build, "evtws_", "append")
+    return out.select(
+        "user_id", "ts", "event_id", r6(F.col("value")).alias("value")
+    )
