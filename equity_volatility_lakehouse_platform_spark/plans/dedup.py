@@ -994,3 +994,73 @@ def d14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_text"),
         )
     )
+
+
+@register(
+    "d15_recursive_khop",
+    # Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL) — the SQL
+    # front-end surface for bounded graph traversal, run over the LSH
+    # candidate-pair graph (d03): for every doc in the graph, how many
+    # DISTINCT other docs are reachable within <= 3 hops — the
+    # "contamination neighborhood" a curator inspects before nuking a
+    # near-dup cluster. Level-bounded UNION ALL recursion (Spark does
+    # not yet support UNION-distinct recursion), so path multiplicity
+    # is collapsed by the final DISTINCT aggregate; termination is by
+    # the lvl < 3 guard, not fixpoint — correct on cyclic graphs. The
+    # same SQL text runs on DuckDB over the same pair CTEs: the oracle
+    # IS the query.
+    oracle=(_SIG_SQL + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM (SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig) a
+      JOIN (SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
+            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig) b
+        ON a.band = b.band AND a.x = b.x AND a.y = b.y
+       AND a.doc_id < b.doc_id
+    ), edges AS (
+      SELECT da AS a, db AS b FROM cand
+      UNION ALL
+      SELECT db, da FROM cand
+    ), hop AS (
+      SELECT a AS src, b AS dst, 1 AS lvl FROM edges
+      UNION ALL
+      SELECT h.src, e.b, h.lvl + 1
+      FROM hop h JOIN edges e ON h.dst = e.a
+      WHERE h.lvl < 3
+    )
+    SELECT src AS doc_id,
+           CAST(count(DISTINCT dst) AS BIGINT) AS n_within_3_hops
+    FROM hop WHERE dst <> src
+    GROUP BY src
+    """).replace("WITH toks", "WITH RECURSIVE toks", 1),
+)
+def d15_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        d03_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges.createOrReplaceTempView("d15_edges")
+    try:
+        return spark.sql("""
+            WITH RECURSIVE hop(src, dst, lvl) AS (
+              SELECT a, b, 1 FROM d15_edges
+              UNION ALL
+              SELECT h.src, e.b, h.lvl + 1
+              FROM hop h JOIN d15_edges e ON h.dst = e.a
+              WHERE h.lvl < 3
+            )
+            SELECT src AS doc_id,
+                   CAST(count(DISTINCT dst) AS BIGINT) AS n_within_3_hops
+            FROM hop WHERE dst <> src
+            GROUP BY src
+        """).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("d15_edges")
