@@ -424,3 +424,53 @@ def snk10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "snk11_jsonl_roundtrip",
+    # JSON-lines landing format (the interchange format every training-
+    # data pipeline ingests and emits): events written as partitioned
+    # gzip JSONL, read back with an EXPLICIT schema (never inference —
+    # a schema-inference pass over 100 TB of JSONL is a full extra
+    # scan), timestamps round-tripped through ISO-8601 text. The oracle
+    # aggregates the source directly: a lossless round trip is
+    # indistinguishable from no round trip.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value,
+           CAST(max(ts) AS TIMESTAMP) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def snk11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="evlp_snk11_") + "/events_jsonl"
+    # Spark's default JSON timestampFormat is millisecond-grain — a
+    # silent 3-digit truncation on micro-stamped events. Pin the format
+    # to microseconds on BOTH sides for a lossless round trip.
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    (
+        ev.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampFormat", ts_fmt)
+        .partitionBy("event_type")
+        .json(out)
+    )
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, ts timestamp, value double, "
+            "event_type string"
+        )
+        .option("timestampFormat", ts_fmt)
+        .json(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        r6(F.sum("value")).alias("total_value"),
+        F.max("ts").alias("max_ts"),
+    )
