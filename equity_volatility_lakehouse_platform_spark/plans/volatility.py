@@ -836,3 +836,101 @@ def w31_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "user_id", "day", r6s("_dd").alias("drawdown"), "dd_days"
     )
+
+
+@register(
+    "w33_variance_ratio",
+    # Lo-MacKinlay variance-ratio test statistic VR(5): the variance of
+    # overlapping 5-day log-returns over 5x the 1-day variance — the
+    # canonical random-walk diagnostic (VR=1 under iid returns; <1 mean
+    # reversion, >1 momentum). One physical chain: a01 bar roll-up
+    # shuffle -> ONE per-user window sort (both lags share it) -> final
+    # per-user aggregate that REUSES the user_id partitioning (no new
+    # exchange). var_samp accumulates in engine-specific order -> both
+    # the variances and the ratio take the nudged round.
+    oracle=f"""
+    WITH bars AS ({_bars_sql("WHERE value > 0")}),
+    rets AS (
+      SELECT user_id,
+             ln(close / lag(close) OVER w)    AS r1,
+             ln(close / lag(close, 5) OVER w) AS r5
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id,
+           CAST(count(r1) AS BIGINT) AS n_rets,
+           {_r6s_sql("var_samp(r5) / NULLIF(5.0 * var_samp(r1), 0)")} AS vr_5
+    FROM rets GROUP BY user_id
+    """,
+)
+def w33_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir, positive=True)
+    w = _day_window()
+    rets = bars.select(
+        "user_id",
+        F.log(F.col("close") / F.lag("close", 1).over(w)).alias("r1"),
+        F.log(F.col("close") / F.lag("close", 5).over(w)).alias("r5"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    return rets.groupBy("user_id").agg(
+        F.count("r1").alias("n_rets"),
+        r6s(
+            F.var_samp("r5") / F.nullif(F.lit(5.0) * F.var_samp("r1"), F.lit(0.0))
+        ).alias("vr_5"),
+    )
+
+
+@register(
+    "w34_return_acf",
+    # Per-user autocorrelation function of daily log-returns at lags
+    # 1/2/5 — the serial-dependence diagnostic read next to VR (w33).
+    # corr() is the same Pearson definition on both engines and skips
+    # null pairs identically (warm-up lags), so the only cross-engine
+    # hazard is accumulation order -> nudged rounds. Same two-exchange
+    # physical chain as w33.
+    oracle=f"""
+    WITH bars AS ({_bars_sql("WHERE value > 0")}),
+    rets AS (
+      SELECT user_id, day, ln(close / lag(close) OVER w) AS r
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    lagged AS (
+      SELECT user_id, r,
+             lag(r)    OVER w AS r_1,
+             lag(r, 2) OVER w AS r_2,
+             lag(r, 5) OVER w AS r_5
+      FROM rets
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id,
+           CAST(count(r) AS BIGINT) AS n_rets,
+           {_r6s_sql("corr(r, r_1)")} AS acf_1,
+           {_r6s_sql("corr(r, r_2)")} AS acf_2,
+           {_r6s_sql("corr(r, r_5)")} AS acf_5
+    FROM lagged GROUP BY user_id
+    """,
+)
+def w34_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir, positive=True)
+    w = _day_window()
+    rets = bars.select(
+        "user_id", "day",
+        F.log(F.col("close") / F.lag("close", 1).over(w)).alias("r"),
+    )
+    lagged = rets.select(
+        "user_id",
+        "r",
+        F.lag("r", 1).over(w).alias("r_1"),
+        F.lag("r", 2).over(w).alias("r_2"),
+        F.lag("r", 5).over(w).alias("r_5"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    return lagged.groupBy("user_id").agg(
+        F.count("r").alias("n_rets"),
+        r6s(F.corr("r", "r_1")).alias("acf_1"),
+        r6s(F.corr("r", "r_2")).alias("acf_2"),
+        r6s(F.corr("r", "r_5")).alias("acf_5"),
+    )
