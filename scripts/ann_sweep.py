@@ -70,7 +70,56 @@ def main() -> int:
             }
         )
         print(json.dumps(rows[-1]))
-    print(json.dumps({"sf_dir": sf_dir, "corpus": n, "sweep": rows}))
+
+    # PQ knob (round 7): recall@3 of the full ADC pipeline as the
+    # re-rank shortlist sweeps. The shortlist size is PQ's cost knob —
+    # exact-distance work per query is O(shortlist), independent of the
+    # corpus once codes are built.
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        sim06_pq_ann_topk,
+    )
+
+    from pyspark.sql import Window
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        sim01_bruteforce_topk,
+    )
+
+    exact_rows = (
+        sim01_bruteforce_topk(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    pq_rows = []
+    for shortlist in (5, 10, 20, 50):
+        ann = sim06_pq_ann_topk(spark, sf_dir, shortlist=shortlist).select(
+            "q_id", F.col("vec_id").alias("a_vec")
+        )
+        hit = (
+            exact_rows.join(
+                ann,
+                (exact_rows["q_id"] == ann["q_id"])
+                & (exact_rows["vec_id"] == ann["a_vec"]),
+                "left",
+            )
+            .drop(ann["q_id"])
+            .agg(
+                (F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("recall")
+            )
+            .first()["recall"]
+        )
+        pq_rows.append({"shortlist": shortlist, "recall_at_3": round(hit, 4)})
+        print(json.dumps(pq_rows[-1]))
+    print(json.dumps(
+        {"sf_dir": sf_dir, "corpus": n, "sweep": rows, "pq_sweep": pq_rows}
+    ))
     return 0
 
 
