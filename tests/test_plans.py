@@ -100,6 +100,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "f22_overnight_intraday_split": 2,  # bar rollup + lag window
         "f21_intraday_volume_profile": 3,   # bucket counts + day-total window + avg
         "mm07_modality_router": 0,     # pure map stage
+        "d14_chunk_dedup": 2,          # digest window + per-doc reassembly groupBy
+        "sim06_pq_ann_topk": 3,        # encode (vec,s) agg + code assembly + query window
+        "w33_variance_ratio": 2,       # bar rollup + one shared lag window
+        "w34_return_acf": 2,           # bar rollup + one shared lag window
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
@@ -337,3 +341,13 @@ def test_q22_threshold_before_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q22_dormant_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_adc_lookups_broadcast(spark, sf_dir):
+    # sim06: the codebook crossJoin and both ADC table lookups must
+    # broadcast — the corpus's only shuffles are the two encode
+    # aggregations; approximate distances never shuffle raw vectors.
+    plan = _plan(spark, sf_dir, "sim06_pq_ann_topk")
+    assert "BroadcastHashJoin" in plan, "ADC lookups must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
