@@ -600,3 +600,79 @@ def test_fit_eval_end_to_end(spark, sf_dir):
     assert r["n_train"] > 0 and r["n_test"] > 0
     for k in ("accuracy", "precision", "recall", "f1", "roc_auc"):
         assert 0.0 <= r[k] <= 1.0
+
+
+@PROP
+@given(rows=events_strategy, lookback=st.integers(1, 8), cap=st.integers(3, 20))
+def test_slice_giant_keys_window_equivalence(spark, rows, lookback, cap):
+    # PROPERTY: for ANY data, threshold, and lookback, a bounded-frame
+    # window computed over (key, _slice) partitions after
+    # slice_giant_keys equals the same window over plain key partitions
+    # — lag AND a rolling mean both, at the exact-value level.
+    from pyspark.sql import Window
+
+    from equity_volatility_lakehouse_platform_spark.operators.skew_guard import (
+        slice_giant_keys,
+    )
+
+    df = _events_df(spark, rows).localCheckpoint(eager=True)
+    sliced = slice_giant_keys(
+        df, "user_id", ["ts", "event_id"], lookback=lookback, max_key_rows=cap
+    )
+    ws = Window.partitionBy("user_id", "_slice").orderBy("ts", "event_id")
+    got = {
+        (r["user_id"], r["event_id"]): (r["lg"], r["mn"])
+        for r in sliced.select(
+            "user_id", "event_id", "_ctx",
+            F.lag("value", lookback).over(ws).alias("lg"),
+            F.avg("value").over(ws.rowsBetween(-lookback, 0)).alias("mn"),
+        ).filter(F.col("_ctx") == 0).collect()
+    }
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["user_id"], r["event_id"]): (r["lg"], r["mn"])
+        for r in df.select(
+            "user_id", "event_id",
+            F.lag("value", lookback).over(wp).alias("lg"),
+            F.avg("value").over(wp.rowsBetween(-lookback, 0)).alias("mn"),
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(rows=events_strategy)
+def test_merge_upsert_equals_delete_plus_append(spark, rows):
+    # ALGEBRAIC property: merge_upsert(updates, keys) must equal
+    # delete_where(key in updates) followed by append(updates) — the
+    # definition of MERGE — for any seed/update split of generated data.
+    import tempfile as _tf
+    import shutil as _sh
+
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    df = _events_df(spark, rows).localCheckpoint(eager=True)
+    updates = df.filter(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.col("value") + 1000.0
+    ).localCheckpoint(eager=True)
+
+    roots = [_tf.mkdtemp(prefix="evlp_prop_mu_") for _ in range(2)]
+    try:
+        a = AcidTable(spark, roots[0] + "/t")
+        a.overwrite(df)
+        a.merge_upsert(updates, ["event_id"])
+
+        b = AcidTable(spark, roots[1] + "/t")
+        b.overwrite(df)
+        keys = [r["event_id"] for r in updates.select("event_id").collect()]
+        if keys:
+            b.delete_where(F.col("event_id").isin(keys))
+        b.append(updates)
+
+        da, db = a.read(), b.read()
+        assert da.count() == db.count()
+        assert da.exceptAll(db).count() == 0
+        assert db.exceptAll(da).count() == 0
+    finally:
+        for r in roots:
+            _sh.rmtree(r, ignore_errors=True)
