@@ -171,3 +171,31 @@ def fit_eval(
         "n_train BIGINT, n_test BIGINT, accuracy DOUBLE, precision DOUBLE, "
         "recall DOUBLE, f1 DOUBLE, roc_auc DOUBLE",
     )
+
+
+def rolling_fit_eval(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    date_col: str,
+    cutoffs: list[str],
+    **fit_kwargs,
+) -> DataFrame:
+    """The reference's rolling evaluation loop (my_model.py:596-650):
+    one ``fit_eval`` per rolling-origin cutoff — train strictly before
+    the cutoff, score everything at/after it — metrics unioned into one
+    DataFrame with the cutoff attached. Fitting stays driver-side by
+    design; the engine side is the leakage-safe split algebra
+    (``rolling_origin_splits``) and the metric landing schema."""
+    out = None
+    for cutoff, (train, test) in zip(
+        cutoffs, rolling_origin_splits(df, date_col, cutoffs)
+    ):
+        tagged = train.withColumn("split", F.lit("train")).unionByName(
+            test.withColumn("split", F.lit("test"))
+        )
+        m = fit_eval(
+            tagged, feature_cols, label_col, **fit_kwargs
+        ).select(F.lit(cutoff).alias("cutoff"), "*")
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -676,3 +676,31 @@ def test_merge_upsert_equals_delete_plus_append(spark, rows):
     finally:
         for r in roots:
             _sh.rmtree(r, ignore_errors=True)
+
+
+def test_rolling_fit_eval_monthly_loop(spark, sf_dir):
+    # The reference's monthly eval loop end-to-end (my_model.py:596-650):
+    # one fit_eval per rolling cutoff over the events feature table;
+    # every row well-formed, train/test monotone across cutoffs.
+    from equity_volatility_lakehouse_platform_spark.ml_prep import rolling_fit_eval
+    from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        "ts",
+        F.dayofweek("ts").cast("double").alias("dow"),
+        F.hour("ts").cast("double").alias("hod"),
+        (F.col("value") >= 150).cast("int").alias("label"),
+    )
+    cutoffs = ["2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+    m = rolling_fit_eval(feats, ["dow", "hod"], "label", "ts", cutoffs)
+    rows = {r["cutoff"]: r for r in m.collect()}
+    assert set(rows) == set(cutoffs)
+    prev_train = 0
+    for c in cutoffs:
+        r = rows[c]
+        assert r["n_train"] > prev_train  # later cutoff => more train data
+        prev_train = r["n_train"]
+        assert r["n_test"] > 0
+        for k in ("accuracy", "precision", "recall", "f1", "roc_auc"):
+            assert 0.0 <= r[k] <= 1.0
