@@ -595,3 +595,70 @@ def ml11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.col("_p_train") / F.col("_p_test"))
         ).alias("psi_term"),
     )
+
+
+_ML16_SALT = "mix1"
+
+
+@register(
+    "ml16_domain_rebalance",
+    # Training-mixture rebalancing (the "data mixing" step every corpus
+    # assembly runs before tokenization): downsample each source domain
+    # to the RAREST domain's expected size, so the mixture is uniform
+    # over sources in expectation. Thresholds are DATA-DERIVED (unlike
+    # ml05's fixed strata): one tiny per-source count aggregate
+    # broadcasts back, and the keep decision is the salted-md5 u32
+    # against floor(2^32 * min_n / n_src) — map-only over the corpus,
+    # exactly reproducible across engines and cluster layouts, and the
+    # doc_id sum pins the exact kept membership. At 100 TB: the count
+    # agg shuffles |sources| rows; the corpus itself never shuffles.
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ), m AS (
+      SELECT min(n_docs) AS min_n FROM c
+    ), k AS (
+      SELECT d.source, d.doc_id
+      FROM documents d
+      JOIN c ON d.source = c.source
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':{_ML16_SALT}'), 1, 8))
+                 AS BIGINT)
+            < CAST(floor(4294967296.0 * (SELECT min_n FROM m) / c.n_docs) AS BIGINT)
+    )
+    SELECT k.source,
+           c.n_docs,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(k.doc_id) AS BIGINT) AS kept_doc_id_sum
+    FROM k JOIN c ON k.source = c.source
+    GROUP BY k.source, c.n_docs
+    """,
+)
+def ml16_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    thr = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_docs",
+        F.floor(F.lit(4294967296.0) * F.col("min_n") / F.col("n_docs"))
+        .cast("bigint")
+        .alias("thr"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_ML16_SALT}"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        docs.select("source", "doc_id", u32.alias("u32"))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("u32") < F.col("thr"))
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_doc_id_sum"),
+        )
+        .select("source", "n_docs", "n_kept", "kept_doc_id_sum")
+    )
