@@ -4011,3 +4011,47 @@ def sql03_shared_dialect_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_SQL03)
+
+
+@register(
+    "sql04_pivot_unpivot",
+    # Native SQL PIVOT ... UNPIVOT round trip (the wide<->long reshaping
+    # a reference user writes as pandas pivot_table/melt): daily per-type
+    # event counts pivoted to one column per type, then UNPIVOTed back to
+    # long form — the composition must reproduce the plain GROUP BY
+    # (minus combinations that never occurred, which PIVOT materializes
+    # as NULL and UNPIVOT drops by default; the oracle is therefore the
+    # direct long-form aggregate). Catalyst plans the PIVOT as ONE
+    # two-phase aggregate (no per-category scans) and the UNPIVOT as a
+    # zero-shuffle Expand — one exchange total.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def sql04_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sql04_events")
+    try:
+        return spark.sql("""
+            WITH wide AS (
+              SELECT * FROM (
+                SELECT date_trunc('day', ts) AS day, event_type
+                FROM sql04_events
+              )
+              PIVOT (
+                count(*) FOR event_type IN (
+                  'click', 'error', 'purchase', 'signup', 'view'
+                )
+              )
+            )
+            SELECT day, event_type, CAST(n AS BIGINT) AS n
+            FROM wide
+            UNPIVOT (n FOR event_type IN (
+              `click`, `error`, `purchase`, `signup`, `view`
+            ))
+        """).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sql04_events")
