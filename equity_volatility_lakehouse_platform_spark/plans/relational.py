@@ -4055,3 +4055,52 @@ def sql04_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView("sql04_events")
+
+
+@register(
+    "sql05_lateral_topn",
+    # LATERAL correlated subquery (the SQL front end's per-group top-N
+    # idiom): for each event_type, the top-2 users by total value via a
+    # correlated LIMIT subquery. Catalyst de-correlates the LATERAL into
+    # a windowed rank over ONE aggregate — never a per-type re-scan
+    # (same decorrelation family as sql02). Ordering uses the
+    # integer-exact cent total (two users whose true totals tie exactly
+    # would otherwise be ordered by sub-ulp double noise, engine-
+    # dependently); the reported total converts once, on the exact
+    # value.
+    oracle="""
+    SELECT t.event_type, l.user_id, l.total_value
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN LATERAL (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events e
+      WHERE e.event_type = t.event_type
+      GROUP BY user_id
+      ORDER BY cents DESC, user_id
+      LIMIT 2
+    ) l
+    """,
+)
+def sql05_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sql05_events")
+    try:
+        return spark.sql("""
+            SELECT t.event_type, l.user_id, l.total_value
+            FROM (SELECT DISTINCT event_type FROM sql05_events) t,
+            LATERAL (
+              SELECT user_id,
+                     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS total_value,
+                     SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+              FROM sql05_events e
+              WHERE e.event_type = t.event_type
+              GROUP BY user_id
+              ORDER BY cents DESC, user_id
+              LIMIT 2
+            ) l
+        """).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("sql05_events")
