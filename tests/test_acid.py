@@ -443,3 +443,27 @@ def test_optimize_zorder_improves_file_skipping(spark, sf_dir, root):
     assert t.read(v).exceptAll(t.read(pre)).count() == 0
     assert t.read(pre).exceptAll(t.read(v)).count() == 0
     assert t.changes(pre, v).count() == 0
+
+
+def test_merge_upsert_race_retries_and_serializes(spark, orders, root):
+    # A rival commit steals the next version between merge_upsert's read
+    # and publish; the merge must recompute its affected-file set against
+    # the winner's snapshot and land AFTER it — with the final table
+    # identical to an uncontended merge.
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
+    latest = t.latest_version()
+    m = t._manifest(latest)
+    t._try_commit(latest + 1, "append", m["files"], m["schema"])  # the rival
+    updates = orders.limit(50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    ).localCheckpoint(eager=True)
+    v = t.merge_upsert(updates, ["o_orderkey"])
+    assert v == latest + 2  # landed after the rival
+    back = t.read()
+    # the merge recomputed against the rival's snapshot: exactly one
+    # CURRENT image per updated key, carrying the new values
+    upd_keys = [r["o_orderkey"] for r in updates.select("o_orderkey").collect()]
+    got = back.filter(F.col("o_orderkey").isin(upd_keys))
+    exp = updates
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
