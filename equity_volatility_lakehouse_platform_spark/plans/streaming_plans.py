@@ -609,3 +609,26 @@ def st18_tws_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_record_highs_stream(spark, sf_dir)
+
+
+@register(
+    "st19_dedup_within_watermark",
+    # State-BOUNDED streaming dedup (dropDuplicatesWithinWatermark) —
+    # the scale path st06's plain dropDuplicates docstring promises:
+    # dedup state expires with the watermark instead of holding every
+    # key forever. Doubled at-least-once delivery, all duplicates
+    # inside the 2h horizon -> exactly one copy survives; oracle = the
+    # batch aggregate over one copy (same closed form as st06).
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def st19_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_dedup_within_watermark_stream,
+    )
+
+    return run_dedup_within_watermark_stream(spark, sf_dir)

@@ -810,3 +810,34 @@ def run_record_highs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "ts", "event_id", r6(F.col("value")).alias("value")
     )
+
+
+def run_dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB dedup shape st06's docstring names: state-BOUNDED
+    streaming dedup via ``dropDuplicatesWithinWatermark`` — key state
+    expires once the watermark passes the event's time plus the delay,
+    instead of growing with the key universe forever. The source lands
+    the same file twice (at-least-once redelivery); every duplicate
+    arrives inside the 2h window of its original, so exactly one copy
+    of each event survives and the bounded run equals the batch GROUP
+    BY over one copy — while the operator's state footprint is
+    O(keys inside the watermark horizon), not O(all keys ever)."""
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+    deduped = _run_stream_scoped(
+        spark, sf_dir, build, "evdedupw_", "append", n_copies=2
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+    )
