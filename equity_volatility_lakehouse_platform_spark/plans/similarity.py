@@ -957,3 +957,72 @@ def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             r6(F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
         )
     )
+
+
+@register(
+    "ml17_calibration_bins",
+    # Calibration table + per-bin Brier decomposition for the ml14
+    # score: the reliability diagram every classifier eval plots next
+    # to AUC. The calibration score is the min-max NORMALIZED raw score
+    # (min/max are exact aggregates; the normalization is one
+    # correctly-rounded IEEE division, bit-identical on both engines) —
+    # deliberately NOT a sigmoid: transcendental libm calls can differ
+    # by 1 ulp between engines and flip a bin assignment at a boundary,
+    # whereas +,-,*,/ are correctly rounded everywhere. Bin =
+    # least(floor(p*10), 9); per bin: count, mean score, positive
+    # fraction, mean squared error (Brier term) — the three ratio
+    # outputs take the nudged round.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, v[1] AS score, CAST(label >= 5 AS INTEGER) AS y
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings)
+    ), mm AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM s
+    ), p AS (
+      SELECT y,
+             (score - (SELECT lo FROM mm))
+               / NULLIF((SELECT hi FROM mm) - (SELECT lo FROM mm), 0) AS p
+      FROM s
+    )
+    SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(AVG(p) - sign(AVG(p)) * 0.000000001, 6) + 0.0)
+             AS mean_score,
+           (ROUND(AVG(y * 1.0) - sign(AVG(y * 1.0)) * 0.000000001, 6) + 0.0)
+             AS frac_pos,
+           (ROUND(AVG((p - y) * (p - y))
+                  - sign(AVG((p - y) * (p - y))) * 0.000000001, 6) + 0.0)
+             AS brier
+    FROM p GROUP BY 1
+    """,
+)
+def ml17_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        F.get(F.col("v"), 0).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = s.crossJoin(F.broadcast(mm)).select(
+        "y",
+        (
+            (F.col("score") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+        ).alias("p"),
+    )
+    return (
+        p.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6s(F.avg("p")).alias("mean_score"),
+            r6s(F.avg(F.col("y") * 1.0)).alias("frac_pos"),
+            r6s(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))).alias(
+                "brier"
+            ),
+        )
+    )
