@@ -474,3 +474,47 @@ def snk11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("value")).alias("total_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "snk12_csv_roundtrip",
+    # CSV staging round trip (S4's read path exercised as a registered
+    # query, not only pytest): events written as gzip CSV with an
+    # explicit microsecond timestampFormat, read back with an EXPLICIT
+    # schema (inference over 100 TB of CSV costs a full extra scan and
+    # guesses types). Lossless round trip == aggregate of the source.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value,
+           CAST(min(ts) AS TIMESTAMP) AS min_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def snk12_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="evlp_snk12_") + "/events_csv"
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    (
+        ev.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "event_type string, value double"
+        )
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("value")).alias("total_value"),
+        F.min("ts").alias("min_ts"),
+    )
