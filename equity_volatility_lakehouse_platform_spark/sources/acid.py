@@ -62,6 +62,10 @@ class CommitConflict(RuntimeError):
     """Another writer committed the target version first."""
 
 
+class ExpectationViolation(ValueError):
+    """A CHECK-constraint expectation failed; the batch was rejected."""
+
+
 class AcidTable:
     """Snapshot-isolated parquet table with an atomic commit log."""
 
@@ -205,10 +209,41 @@ class AcidTable:
         """CTAS / full replace as one atomic commit."""
         return self._commit_loop("overwrite", df, lambda snap_files: [])
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        expectations: dict[str, Column] | None = None,
+    ) -> int:
         """Atomic append (blind insert; never conflicts logically, only
         on version numbers — retried). New columns in ``df`` evolve the
-        table schema additively (see ``_evolved_schema_ddl``)."""
+        table schema additively (see ``_evolved_schema_ddl``).
+
+        ``expectations`` are CHECK constraints (the Delta constraints
+        analogue): named boolean Columns every batch row must satisfy.
+        Violations REJECT the whole batch before any file is written —
+        the table never holds a partially-validated commit — and the
+        error reports per-expectation violation counts plus a sample
+        row. One aggregate pass computes every expectation at once
+        (count_if per constraint); at 100 TB that is one map-side-
+        combined scan of the batch, not one scan per constraint."""
+        if expectations:
+            counts = df.agg(
+                *[
+                    F.count_if(~F.coalesce(cond, F.lit(False))).alias(name)
+                    for name, cond in expectations.items()
+                ]
+            ).first()
+            violated = {k: counts[k] for k in expectations if counts[k] > 0}
+            if violated:
+                bad = df.filter(
+                    ~F.coalesce(
+                        expectations[next(iter(violated))], F.lit(False)
+                    )
+                ).first()
+                raise ExpectationViolation(
+                    f"append rejected: expectations violated {violated} "
+                    f"(sample failing row for {next(iter(violated))!r}: {bad})"
+                )
         return self._commit_loop(
             "append", df, lambda snap_files: snap_files, evolve=True
         )

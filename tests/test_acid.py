@@ -467,3 +467,44 @@ def test_merge_upsert_race_retries_and_serializes(spark, orders, root):
     got = back.filter(F.col("o_orderkey").isin(upd_keys))
     exp = updates
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_append_expectations_reject_bad_batches(spark, orders, root):
+    # CHECK constraints (round 7): a batch violating any named
+    # expectation is rejected atomically — no files land, the version
+    # does not advance — and the error names the constraint with its
+    # violation count; a clean batch passes the same constraints.
+    from equity_volatility_lakehouse_platform_spark.sources.acid import (
+        ExpectationViolation,
+    )
+
+    t = AcidTable(spark, root)
+    t.overwrite(orders.limit(100))
+    v0 = t.latest_version()
+    bad = orders.limit(20).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, -1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    with pytest.raises(ExpectationViolation, match="positive_price"):
+        t.append(
+            bad,
+            expectations={
+                "positive_price": F.col("o_totalprice") > 0,
+                "known_status": F.col("o_orderstatus").isin("F", "O", "P"),
+            },
+        )
+    assert t.latest_version() == v0          # nothing committed
+    assert t.read().count() == 100
+    # NULL in a constrained column counts as a violation (coalesce False)
+    nullbad = orders.limit(5).withColumn("o_totalprice", F.lit(None).cast("double"))
+    with pytest.raises(ExpectationViolation):
+        t.append(nullbad, expectations={"positive_price": F.col("o_totalprice") > 0})
+    # clean batch passes the same gate
+    v = t.append(
+        orders.limit(10),
+        expectations={"positive_price": F.col("o_totalprice") > 0},
+    )
+    assert v == v0 + 1
+    assert t.read().count() == 110
