@@ -632,3 +632,31 @@ def st19_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_dedup_within_watermark_stream(spark, sf_dir)
+
+
+@register(
+    "st20_dlq_ingest",
+    # Streaming ingest with a dead-letter queue (quarantine routing on
+    # top of st12's exactly-once ACID merge): valid rows keyed-merge
+    # into the main table (exactly-once under doubled delivery),
+    # quarantined rows ('error' events) append to the DLQ table (at-
+    # least-once by design; deduped for the summary). main + DLQ
+    # partition the source — nothing is dropped silently.
+    oracle="""
+    SELECT 'main' AS route, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events WHERE event_type <> 'error' GROUP BY event_type
+    UNION ALL
+    SELECT 'dlq' AS route, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events WHERE event_type = 'error' GROUP BY event_type
+    """,
+)
+def st20_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_dlq_ingest_stream,
+    )
+
+    return run_dlq_ingest_stream(spark, sf_dir)

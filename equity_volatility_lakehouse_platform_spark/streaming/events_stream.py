@@ -841,3 +841,73 @@ def run_dedup_within_watermark_stream(
             r6(F.sum("value")).alias("total_value"),
         )
     )
+
+
+def run_dlq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with a DEAD-LETTER QUEUE — the production
+    quarantine pattern on top of st12's exactly-once ACID ingest: each
+    micro-batch routes rows through a validity rule (here: 'error'
+    events are quarantined), valid rows land in the main table via the
+    transactional keyed merge, invalid rows land in the DLQ table via
+    atomic append — both tables advance atomically per batch, and the
+    doubled at-least-once delivery still yields exactly-once in the
+    MAIN table (keyed merge) while the DLQ dedups on read for the
+    summary. Nothing is dropped: main + DLQ partition the source."""
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if _nano_ts_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    batch_schema = spark.read.parquet(path).schema
+    tmp_root = tempfile.mkdtemp(prefix="evdlq_")
+    src_dir = os.path.join(tmp_root, "src")
+    os.makedirs(src_dir)
+    for i in range(2):  # at-least-once redelivery
+        os.symlink(path, os.path.join(src_dir, f"events_{i}.parquet"))
+    main = AcidTable(spark, os.path.join(tmp_root, "main"))
+    dlq = AcidTable(spark, os.path.join(tmp_root, "dlq"))
+    try:
+        s = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        def route(batch_df: DataFrame, batch_id: int) -> None:
+            ok = batch_df.filter(F.col("event_type") != "error")
+            bad = batch_df.filter(F.col("event_type") == "error")
+            main.merge_insert_only(ok, keys=["event_id"])
+            dlq.append(bad)
+
+        query = (
+            s.writeStream.foreachBatch(route)
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        summary = (
+            main.read()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), r6(F.sum("value")).alias("total_value"))
+            .select(F.lit("main").alias("route"), "*")
+            .unionByName(
+                dlq.read()
+                .dropDuplicates(["event_id"])  # DLQ is at-least-once by design
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    r6(F.sum("value")).alias("total_value"),
+                )
+                .select(F.lit("dlq").alias("route"), "*")
+            )
+        )
+        return summary.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
