@@ -934,3 +934,69 @@ def w34_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s(F.corr("r", "r_2")).alias("acf_2"),
         r6s(F.corr("r", "r_5")).alias("acf_5"),
     )
+
+
+@register(
+    "w35_mean_reversion_half_life",
+    # Ornstein-Uhlenbeck half-life of mean reversion per user — the
+    # stat-arb holding-period estimate: fit the AR(1) drift
+    # dp_t = alpha + beta * p_{t-1} + eps by closed-form OLS
+    # (beta = cov(dp, p_lag) / var(p_lag)) on daily log closes, then
+    # half_life = -ln(2) / ln(1 + beta) for mean-reverting users
+    # (0 < 1 + beta < 1 guarded to the valid log domain; trending or
+    # degenerate series yield NULL rather than a fake number). Same
+    # two-exchange chain as w33/w34; covar_samp/var_samp accumulate in
+    # engine order -> every continuous output takes the nudged round.
+    oracle=f"""
+    WITH bars AS ({_bars_sql("WHERE value > 0")}),
+    series AS (
+      SELECT user_id,
+             ln(close)              AS p,
+             lag(ln(close)) OVER w  AS p_lag
+      FROM bars
+      WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), fit AS (
+      SELECT user_id,
+             CAST(count(p_lag) AS BIGINT) AS n_obs,
+             covar_samp(p - p_lag, p_lag) / NULLIF(var_samp(p_lag), 0) AS beta
+      FROM series WHERE p_lag IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           {_r6s_sql("beta")} AS ar1_beta,
+           {_r6s_sql(
+               "CASE WHEN beta > -1 AND beta < 0 "
+               "THEN -ln(2.0) / ln(1.0 + beta) END")} AS half_life_days
+    FROM fit
+    """,
+)
+def w35_mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    bars = _bars(spark, sf_dir, positive=True)
+    w = _day_window()
+    series = bars.select(
+        "user_id",
+        F.log("close").alias("p"),
+        F.lag(F.log("close")).over(w).alias("p_lag"),
+    ).filter(F.col("p_lag").isNotNull())
+    fit = series.groupBy("user_id").agg(
+        F.count("p_lag").alias("n_obs"),
+        (
+            F.covar_samp(F.col("p") - F.col("p_lag"), F.col("p_lag"))
+            / F.nullif(F.var_samp("p_lag"), F.lit(0.0))
+        ).alias("beta"),
+    )
+    import math
+
+    return fit.select(
+        "user_id",
+        "n_obs",
+        r6s(F.col("beta")).alias("ar1_beta"),
+        r6s(
+            F.when(
+                (F.col("beta") > -1) & (F.col("beta") < 0),
+                F.lit(-math.log(2.0)) / F.log(F.lit(1.0) + F.col("beta")),
+            )
+        ).alias("half_life_days"),
+    )
