@@ -838,3 +838,102 @@ def t13_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_chunk_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+@register(
+    "t14_effective_corpus_size",
+    # The "effective dataset size" accounting every corpus report leads
+    # with: whitespace-token totals BEFORE dedup, after WHOLE-DOCUMENT
+    # dedup (d01's digest-keep rule), and after CHUNK-level dedup
+    # (d14's global first-occurrence rule on 16-token chunks), plus the
+    # exact retained fractions. One tokenize pass feeds all three
+    # counts; the doc-level survivor set is a window rank over the text
+    # digest, the chunk-level count reuses d14's chunk machinery — no
+    # raw text ever shuffles (digests + token counts only).
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tok
+      FROM documents
+    ), keep_doc AS (
+      SELECT n_tok,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM t
+    ), ch AS (
+      SELECT doc_id, ci,
+             array_to_string(list_slice(tok, ci * 16 + 1, ci * 16 + 16), ' ')
+               AS chunk_text,
+             len(list_slice(tok, ci * 16 + 1, ci * 16 + 16)) AS n_chunk_tok
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS tok,
+               unnest(generate_series(
+                 0, (greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) - 1) // 16
+               )) AS ci
+        FROM documents
+      )
+    ), keep_chunk AS (
+      SELECT n_chunk_tok,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, ci) AS rn
+      FROM ch
+    )
+    SELECT (SELECT CAST(SUM(n_tok) AS BIGINT) FROM t) AS total_tokens,
+           (SELECT CAST(SUM(n_tok) AS BIGINT) FROM keep_doc WHERE rn = 1)
+             AS tokens_after_doc_dedup,
+           (SELECT CAST(SUM(n_chunk_tok) AS BIGINT) FROM keep_chunk WHERE rn = 1)
+             AS tokens_after_chunk_dedup,
+           (ROUND((SELECT SUM(n_tok) FROM keep_doc WHERE rn = 1) * 1.0
+                  / (SELECT SUM(n_tok) FROM t), 6) + 0.0) AS doc_retention,
+           (ROUND((SELECT SUM(n_chunk_tok) FROM keep_chunk WHERE rn = 1) * 1.0
+                  / (SELECT SUM(n_tok) FROM t), 6) + 0.0) AS chunk_retention
+    """,
+)
+def t14_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "text", F.size(tx.tokens(F.col("text"))).alias("n_tok")
+    )
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    doc_kept = (
+        t.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("n_tok").alias("kept"))
+    )
+    W = 16
+    c = docs.select("doc_id", tx.tokens(F.col("text")).alias("tok")).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"(greatest(size(tok), 1) - 1) div {W}").cast("int"),
+            )
+        ).alias("ci"),
+    )
+    sl = F.slice(F.col("tok"), F.col("ci") * W + 1, W)
+    chunks = c.select(
+        "doc_id", "ci",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tok"),
+    )
+    wc = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "ci")
+    chunk_kept = (
+        chunks.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("n_chunk_tok").alias("kept"))
+    )
+    total = t.agg(F.sum("n_tok").alias("total"))
+    return (
+        total.crossJoin(doc_kept.withColumnRenamed("kept", "doc_kept"))
+        .crossJoin(chunk_kept.withColumnRenamed("kept", "chunk_kept"))
+        .select(
+            F.col("total").cast("bigint").alias("total_tokens"),
+            F.col("doc_kept").cast("bigint").alias("tokens_after_doc_dedup"),
+            F.col("chunk_kept").cast("bigint").alias("tokens_after_chunk_dedup"),
+            r6(F.col("doc_kept") * 1.0 / F.col("total")).alias("doc_retention"),
+            r6(F.col("chunk_kept") * 1.0 / F.col("total")).alias("chunk_retention"),
+        )
+    )
