@@ -518,3 +518,36 @@ def snk12_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("value")).alias("total_value"),
         F.min("ts").alias("min_ts"),
     )
+
+
+@register(
+    "snk13_orc_roundtrip",
+    # ORC staging round trip — the other columnar interchange format a
+    # lake ingests (Hive-era pipelines hand these over): zlib ORC write
+    # + explicit-schema read. ORC stores real timestamps (no
+    # text-format truncation hazard, unlike CSV/JSON), so the round
+    # trip is lossless by construction; the oracle aggregates the
+    # source directly.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value,
+           CAST(max(ts) AS TIMESTAMP) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def snk13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="evlp_snk13_") + "/events_orc"
+    ev.write.mode("overwrite").option("compression", "zlib").orc(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double"
+    ).orc(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("value")).alias("total_value"),
+        F.max("ts").alias("max_ts"),
+    )
