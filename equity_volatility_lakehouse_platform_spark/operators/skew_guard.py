@@ -130,9 +130,18 @@ def slice_giant_keys(
        the tiny boundary table broadcasts back onto the input, and each
        row's ``_slice`` is the count of boundaries below its order value
        (a JVM-side array fold — no shuffle).
-    3. The last ``lookback`` rows of every slice are REPLICATED into the
-       next slice flagged ``_ctx = 1`` — warm-up context so the first
-       rows of each slice see their true predecessors.
+    3. Warm-up context: each row is REPLICATED (flagged ``_ctx = 1``)
+       into EVERY later slice whose first rows still reach back to it —
+       i.e. the last ``lookback`` REAL rows of the key preceding each
+       slice boundary, accumulated across ALL earlier slices, not just
+       the adjacent one. Quantile ties can collapse boundaries into
+       slices smaller than ``lookback``; adjacent-only replication
+       would lose history there. A row in slice s at descending rank d
+       (1 = the slice's last row) has exactly (d - 1) + rows(s+1..s'-1)
+       real rows between it and the start of slice s', so it is context
+       for s' iff that count < ``lookback``; the per-slice row counts
+       are a tiny (keys x <= ``grid``) broadcast map, keeping the
+       fan-out fully distributed.
 
     The caller swaps ``Window.partitionBy(keys)`` for
     ``Window.partitionBy(*keys, "_slice")``, computes its bounded
@@ -186,14 +195,49 @@ def slice_giant_keys(
     w_desc = Window.partitionBy(*keys, "_slice").orderBy(
         *[F.desc(c) for c in ocols]
     )
-    # Context only flows INTO an existing next slice (skip the last one).
-    ctx = (
+    # Per-key map {slice -> real-row count}: tiny (keys x <= grid
+    # entries), broadcast back so each candidate row can decide which
+    # later slices still need it without any per-key global sort.
+    slice_counts = (
+        base.groupBy(*keys, "_slice")
+        .agg(F.count(F.lit(1)).alias("_sn"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_slice", "_sn"))
+            ).alias("_scounts")
+        )
+    )
+    # Candidates: only the last `lookback` rows of each non-final slice
+    # can ever be context (the condition below adds a non-negative
+    # between-slices count to _d, so _d > lookback never qualifies).
+    cand = (
         base.filter(F.col("_slice") < F.col("_nslices") - 1)
-        .withColumn("_rn", F.row_number().over(w_desc))
-        .filter(F.col("_rn") <= lookback)
-        .drop("_rn")
-        .withColumn("_slice", F.col("_slice") + 1)
+        .withColumn("_d", F.row_number().over(w_desc))
+        .filter(F.col("_d") <= lookback)
+        .join(F.broadcast(slice_counts), on=keys, how="inner")
+    )
+    # Target slices sp: rows strictly between this row and sp's start =
+    # (_d - 1) + sum of counts of slices (_slice+1 .. sp-1); replicate
+    # iff that is < lookback. Empty slices (collapsed boundaries) are
+    # absent from the map -> coalesce 0. filter(t -> t < sp) expresses
+    # the possibly-empty range (_slice+1 .. sp-1) without a descending
+    # sequence().
+    ctx = (
+        cand.withColumn(
+            "_slice",
+            F.explode(
+                F.expr(
+                    "filter(sequence(_slice + 1, _nslices - 1), sp -> "
+                    " aggregate(filter(sequence(_slice + 1, sp), t -> t < sp),"
+                    "           0L,"
+                    "           (a, t) -> a + coalesce(element_at(_scounts, t), 0L))"
+                    f" + _d <= {int(lookback)})"
+                )
+            ),
+        )
         .withColumn("_ctx", F.lit(1))
+        .drop("_d", "_scounts")
     )
     return base.unionByName(ctx).drop("_nslices")
 

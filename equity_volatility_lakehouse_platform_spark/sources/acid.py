@@ -225,8 +225,16 @@ class AcidTable:
         error reports per-expectation violation counts plus a sample
         row. One aggregate pass computes every expectation at once
         (count_if per constraint); at 100 TB that is one map-side-
-        combined scan of the batch, not one scan per constraint."""
+        combined scan of the batch, not one scan per constraint.
+
+        The batch is PINNED (``localCheckpoint``) before validation so
+        the validated rows are exactly the written rows — without the
+        pin, a non-deterministic or concurrently-changing source (a
+        directory gaining files between actions, executor-side state in
+        a mapInPandas) could pass the validation aggregate yet commit
+        rows that violate the constraints."""
         if expectations:
+            df = df.localCheckpoint(eager=True)
             counts = df.agg(
                 *[
                     F.count_if(~F.coalesce(cond, F.lit(False))).alias(name)
@@ -372,6 +380,22 @@ class AcidTable:
                     continue
             manifest = self._manifest(latest)
             schema = T._parse_datatype_string(manifest["schema"])
+            table_fields = {f.name: f.dataType for f in schema.fields}
+            batch_fields = {f.name: f.dataType for f in updates.schema.fields}
+            if batch_fields != table_fields:
+                missing = sorted(set(table_fields) - set(batch_fields))
+                extra = sorted(set(batch_fields) - set(table_fields))
+                retyped = sorted(
+                    n
+                    for n in set(table_fields) & set(batch_fields)
+                    if table_fields[n] != batch_fields[n]
+                )
+                raise ValueError(
+                    "merge_upsert source schema does not match the table "
+                    f"schema (missing={missing}, extra={extra}, "
+                    f"retyped={retyped}) — merge does no implicit "
+                    "evolution; use append for schema-widening loads"
+                )
             key_df = updates.select(*keys)
             affected: set[str] = set()
             if manifest["files"]:

@@ -508,3 +508,63 @@ def test_append_expectations_reject_bad_batches(spark, orders, root):
     )
     assert v == v0 + 1
     assert t.read().count() == 110
+
+
+def test_append_expectations_pin_batch_validated_rows_are_written(
+    spark, root, tmp_path
+):
+    # Round-8 ADVICE (medium): append(expectations=...) must validate
+    # EXACTLY the rows it writes. A source with executor-side state
+    # produces a different batch on every evaluation — without the
+    # localCheckpoint pin, validation would see batch #1 (v=0, passes)
+    # while the write lands batch #2 (v=1, violating the constraint).
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    counter = str(tmp_path / "evalcount.txt")
+
+    def stateful(_iterator):
+        import os as _os
+
+        import pandas as _pd
+
+        n = 0
+        if _os.path.exists(counter):
+            n = int(open(counter).read())
+        with open(counter, "w") as fh:
+            fh.write(str(n + 1))
+        yield _pd.DataFrame({"v": [n]})
+
+    src = spark.range(1).repartition(1).mapInPandas(stateful, "v int")
+    t = AcidTable(spark, root)
+    t.append(src, expectations={"v_is_zero": F.col("v") == 0})
+    rows = t.read().collect()
+    assert [r["v"] for r in rows] == [0], (
+        f"table holds {rows}: committed rows differ from validated rows"
+    )
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark, orders, root):
+    # Round-8 ADVICE (low): merge_upsert docstring promises "source must
+    # match the table schema" — enforce it instead of silently writing
+    # divergent files that read back as NULLs.
+    t = AcidTable(spark, root)
+    t.overwrite(orders.limit(50))
+    v0 = t.latest_version()
+
+    missing = orders.limit(5).drop("o_orderpriority")
+    with pytest.raises(ValueError, match="missing=\\['o_orderpriority'\\]"):
+        t.merge_upsert(missing, ["o_orderkey"])
+
+    extra = orders.limit(5).withColumn("bonus", F.lit(1))
+    with pytest.raises(ValueError, match="extra=\\['bonus'\\]"):
+        t.merge_upsert(extra, ["o_orderkey"])
+
+    retyped = orders.limit(5).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string")
+    )
+    with pytest.raises(ValueError, match="retyped=\\['o_totalprice'\\]"):
+        t.merge_upsert(retyped, ["o_orderkey"])
+
+    assert t.latest_version() == v0  # nothing committed by any of them
+    ok = orders.limit(5).withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    assert t.merge_upsert(ok, ["o_orderkey"]) == v0 + 1
