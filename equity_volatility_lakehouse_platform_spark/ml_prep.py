@@ -70,72 +70,87 @@ def year_splits(df: DataFrame, date_col: str) -> DataFrame:
     return df.withColumn("split_year", F.year(date_col))
 
 
-def fit_eval(
-    df: DataFrame,
-    feature_cols: list[str],
-    label_col: str,
-    split_col: str = "split",
-    train_value: str = "train",
-    max_iter: int = 300,
-    lr: float = 0.5,
-) -> DataFrame:
-    """Driver-side reference model loop (my_model.py:426-513,596-650):
-    fit ONE binary classifier on the train split, score the rest, land
-    metrics back as a one-row DataFrame comparable to the ml13/ml14
-    metric shapes.
-
-    The engine's job ends at the splits/encoding/imputation contract
-    (SURVEY §2.12); fitting is BY DESIGN a ``toPandas()`` handoff — the
-    matrix at this point is the small aggregated feature table, not raw
-    events. Uses sklearn's LogisticRegression when the library is
-    present; otherwise a deterministic pure-numpy logistic regression
-    (standardized features, full-batch gradient descent, fixed seed-free
-    init) so the end-to-end tester path runs in any environment.
-    """
-    import numpy as np
-
-    pdf = df.select(*feature_cols, label_col, split_col).toPandas()
-    train = pdf[pdf[split_col] == train_value]
-    test = pdf[pdf[split_col] != train_value]
-    x_tr = train[feature_cols].to_numpy(dtype=float)
-    y_tr = train[label_col].to_numpy(dtype=float)
-    x_te = test[feature_cols].to_numpy(dtype=float)
-    y_te = test[label_col].to_numpy(dtype=float)
-
-    # Standardize on TRAIN stats only (leakage-safe, my_model.py:470).
+def _standardize(x_tr, x_te):
+    """Standardize on TRAIN stats only (leakage-safe, my_model.py:470)."""
     mu = x_tr.mean(axis=0)
     sd = x_tr.std(axis=0)
     sd[sd == 0.0] = 1.0
-    x_tr = (x_tr - mu) / sd
-    x_te = (x_te - mu) / sd
+    return (x_tr - mu) / sd, (x_te - mu) / sd
+
+
+def _fit_predict(
+    x_tr,
+    y_tr,
+    x_te,
+    max_iter: int = 300,
+    lr: float = 0.5,
+    c: float | None = None,
+    class_weight: str | None = None,
+    fit_intercept: bool = True,
+):
+    """Fit one binary logistic classifier, return test probabilities.
+
+    Hyperparameters mirror the reference's optuna space
+    (my_model.py:123-133): ``c`` is sklearn's inverse regularization
+    strength (None = unpenalized), ``class_weight`` None or
+    'balanced', ``fit_intercept``. Uses sklearn when present; otherwise
+    a deterministic pure-numpy logistic regression (full-batch gradient
+    descent, zero init, L2 penalty lambda = 1/C, balanced weights =
+    n / (2 * n_class)) so the path runs in any environment.
+    """
+    import numpy as np
 
     try:
         from sklearn.linear_model import LogisticRegression
 
-        clf = LogisticRegression(max_iter=max_iter)
+        clf = LogisticRegression(
+            max_iter=max_iter,
+            C=(c if c is not None else 1e12),
+            class_weight=class_weight,
+            fit_intercept=fit_intercept,
+        )
         clf.fit(x_tr, y_tr)
-        p_te = clf.predict_proba(x_te)[:, 1]
+        return clf.predict_proba(x_te)[:, 1]
     except ImportError:
-        # Full-batch GD on the standardized design matrix: deterministic
-        # (zero init, fixed steps), good enough for the reference loop's
-        # linear baseline.
-        xb = np.hstack([x_tr, np.ones((len(x_tr), 1))])
-        wgt = np.zeros(xb.shape[1])
-        for _ in range(max_iter):
-            z = 1.0 / (1.0 + np.exp(-np.clip(xb @ wgt, -30, 30)))
-            wgt -= lr * (xb.T @ (z - y_tr)) / max(len(y_tr), 1)
-        xt = np.hstack([x_te, np.ones((len(x_te), 1))])
-        p_te = 1.0 / (1.0 + np.exp(-np.clip(xt @ wgt, -30, 30)))
+        pass
+    n = max(len(y_tr), 1)
+    wts = np.ones(len(y_tr))
+    if class_weight == "balanced":
+        n_pos = max(float((y_tr == 1).sum()), 1.0)
+        n_neg = max(float((y_tr == 0).sum()), 1.0)
+        wts = np.where(y_tr == 1, n / (2.0 * n_pos), n / (2.0 * n_neg))
+    lam = (1.0 / c) if c else 0.0
+    xb = (
+        np.hstack([x_tr, np.ones((len(x_tr), 1))]) if fit_intercept else x_tr
+    )
+    wgt = np.zeros(xb.shape[1])
+    for _ in range(max_iter):
+        z = 1.0 / (1.0 + np.exp(-np.clip(xb @ wgt, -30, 30)))
+        grad = (xb.T @ (wts * (z - y_tr))) / n
+        if lam:
+            reg = lam * wgt / n
+            if fit_intercept:
+                reg[-1] = 0.0  # intercept is never penalized
+            grad = grad + reg
+        wgt -= lr * grad
+    xt = np.hstack([x_te, np.ones((len(x_te), 1))]) if fit_intercept else x_te
+    return 1.0 / (1.0 + np.exp(-np.clip(xt @ wgt, -30, 30)))
 
-    pred = (p_te >= 0.5).astype(float)
-    tp = float(((pred == 1) & (y_te == 1)).sum())
-    fp = float(((pred == 1) & (y_te == 0)).sum())
-    fn = float(((pred == 0) & (y_te == 1)).sum())
-    acc = float((pred == y_te).mean()) if len(y_te) else 0.0
+
+def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
+    """accuracy / precision / recall / f1 (for class ``pos``) + midrank
+    ROC-AUC from true labels and scores — no sklearn."""
+    import numpy as np
+
+    pred_pos = p_te >= 0.5 if pos == 1.0 else p_te < 0.5
+    is_pos = y_te == pos
+    tp = float((pred_pos & is_pos).sum())
+    fp = float((pred_pos & ~is_pos).sum())
+    fn = float((~pred_pos & is_pos).sum())
+    acc = float((pred_pos == is_pos).mean()) if len(y_te) else 0.0
     prec = tp / (tp + fp) if (tp + fp) else 0.0
     rec = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
-    # ROC-AUC via the rank statistic (ties get midranks) — no sklearn.
     n_pos = int((y_te == 1).sum())
     n_neg = int((y_te == 0).sum())
     if n_pos and n_neg:
@@ -154,18 +169,64 @@ def fit_eval(
         )
     else:
         auc = 0.0
+    return {
+        "accuracy": acc,
+        "precision": prec,
+        "recall": rec,
+        "f1": f1,
+        "roc_auc": float(auc),
+    }
 
+
+def fit_eval(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    split_col: str = "split",
+    train_value: str = "train",
+    max_iter: int = 300,
+    lr: float = 0.5,
+    c: float | None = None,
+    class_weight: str | None = None,
+    fit_intercept: bool = True,
+) -> DataFrame:
+    """Driver-side reference model loop (my_model.py:426-513,596-650):
+    fit ONE binary classifier on the train split, score the rest, land
+    metrics back as a one-row DataFrame comparable to the ml13/ml14
+    metric shapes.
+
+    The engine's job ends at the splits/encoding/imputation contract
+    (SURVEY §2.12); fitting is BY DESIGN a ``toPandas()`` handoff — the
+    matrix at this point is the small aggregated feature table, not raw
+    events. ``c`` / ``class_weight`` / ``fit_intercept`` expose the
+    reference's logistic-regression search space (my_model.py:123-133)
+    for ``trial_search``.
+    """
+    pdf = df.select(*feature_cols, label_col, split_col).toPandas()
+    train = pdf[pdf[split_col] == train_value]
+    test = pdf[pdf[split_col] != train_value]
+    x_tr = train[feature_cols].to_numpy(dtype=float)
+    y_tr = train[label_col].to_numpy(dtype=float)
+    x_te = test[feature_cols].to_numpy(dtype=float)
+    y_te = test[label_col].to_numpy(dtype=float)
+    x_tr, x_te = _standardize(x_tr, x_te)
+    p_te = _fit_predict(
+        x_tr, y_tr, x_te,
+        max_iter=max_iter, lr=lr, c=c,
+        class_weight=class_weight, fit_intercept=fit_intercept,
+    )
+    m = _binary_metrics(y_te, p_te)
     spark = df.sparkSession
     return spark.createDataFrame(
         [
             (
                 len(y_tr),
                 len(y_te),
-                round(acc, 6),
-                round(prec, 6),
-                round(rec, 6),
-                round(f1, 6),
-                round(float(auc), 6),
+                round(m["accuracy"], 6),
+                round(m["precision"], 6),
+                round(m["recall"], 6),
+                round(m["f1"], 6),
+                round(m["roc_auc"], 6),
             )
         ],
         "n_train BIGINT, n_test BIGINT, accuracy DOUBLE, precision DOUBLE, "
@@ -199,3 +260,142 @@ def rolling_fit_eval(
         ).select(F.lit(cutoff).alias("cutoff"), "*")
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def sample_lr_params(seed: int, n_trials: int) -> list[dict]:
+    """Seeded random sampler over the reference's logistic-regression
+    search space (my_model.py:123-133 get_logistic_regression_params):
+    C log-uniform in [0.001, 10], class_weight in {None, 'balanced'},
+    fit_intercept in {True, False}. Deterministic: same seed, same
+    trials — the optuna study's role without the optuna dependency
+    (solver/penalty are sklearn-internal knobs with no behavioral
+    analogue in the portable model, so the space keeps the three
+    parameters that change the fitted function)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    trials = []
+    for t in range(n_trials):
+        trials.append(
+            {
+                "trial": t,
+                "c": math.exp(
+                    rng.uniform(math.log(0.001), math.log(10.0))
+                ),
+                "class_weight": rng.choice([None, "balanced"]),
+                "fit_intercept": rng.choice([True, False]),
+            }
+        )
+    return trials
+
+
+def trial_search(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    split_col: str = "split",
+    n_trials: int = 20,
+    seed: int = 7,
+    **fit_kwargs,
+) -> DataFrame:
+    """The reference's hyperparameter-selection loop (my_model.py:
+    135-162 logistic_regression_hyperparameters_selection: optuna
+    random search maximizing F1 on the temporal validation split),
+    re-expressed without the optuna/MLflow dependencies: ``n_trials``
+    seeded samples from the same (C, class_weight, fit_intercept)
+    space, one ``fit_eval`` per trial on the SAME leakage-safe split,
+    metrics landed as one DataFrame ordered best-F1-first. The engine
+    side is the split/encoding algebra; the trial loop is driver-side
+    by design (SURVEY §2.12), exactly like the reference's.
+
+    Deterministic end to end: seeded sampler + deterministic fits, so
+    rerunning yields the identical table (pinned in pytest)."""
+    rows = []
+    for p in sample_lr_params(seed, n_trials):
+        m = fit_eval(
+            df, feature_cols, label_col, split_col=split_col,
+            c=p["c"], class_weight=p["class_weight"],
+            fit_intercept=p["fit_intercept"], **fit_kwargs,
+        ).first()
+        rows.append(
+            (
+                p["trial"],
+                round(p["c"], 6),
+                p["class_weight"] or "none",
+                p["fit_intercept"],
+                m["n_train"],
+                m["n_test"],
+                m["accuracy"],
+                m["precision"],
+                m["recall"],
+                m["f1"],
+                m["roc_auc"],
+            )
+        )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        "trial INT, c DOUBLE, class_weight STRING, fit_intercept BOOLEAN, "
+        "n_train BIGINT, n_test BIGINT, accuracy DOUBLE, precision DOUBLE, "
+        "recall DOUBLE, f1 DOUBLE, roc_auc DOUBLE",
+    )
+    return out.orderBy(F.desc("f1"), "trial")
+
+
+def monthly_metric_table(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    date_col: str,
+    split_col: str = "split",
+    train_value: str = "train",
+    model_name: str = "logistic_regression",
+    **fit_kwargs,
+) -> DataFrame:
+    """The reference's per-(model, year, month) evaluation table
+    (my_model.py:596-650 — the shape its MLflow registry stores): fit
+    once on the train split, score EVERY row, then emit one metrics row
+    per calendar month with the reference's exact columns — overall
+    precision/recall/F1 (positive class), ROC-AUC, and the per-class
+    precision_0/recall_0/f1_0 / precision_1/recall_1/f1_1 breakdown,
+    sorted by (model_name, year, month)."""
+    pdf = df.select(*feature_cols, label_col, split_col, date_col).toPandas()
+    train = pdf[pdf[split_col] == train_value]
+    x_tr = train[feature_cols].to_numpy(dtype=float)
+    y_tr = train[label_col].to_numpy(dtype=float)
+    x_all = pdf[feature_cols].to_numpy(dtype=float)
+    x_tr, x_all = _standardize(x_tr, x_all)
+    p_all = _fit_predict(x_tr, y_tr, x_all, **fit_kwargs)
+    pdf = pdf.assign(_p=p_all)
+
+    import pandas as pd
+
+    dt = pd.to_datetime(pdf[date_col])
+    pdf = pdf.assign(_year=dt.dt.year, _month=dt.dt.month)
+    rows = []
+    for (y, mo), g in pdf.groupby(["_year", "_month"], sort=True):
+        y_true = g[label_col].to_numpy(dtype=float)
+        p = g["_p"].to_numpy(dtype=float)
+        m1 = _binary_metrics(y_true, p, pos=1.0)
+        m0 = _binary_metrics(y_true, p, pos=0.0)
+        rows.append(
+            (
+                model_name, int(y), int(mo),
+                round(m1["precision"], 6), round(m1["recall"], 6),
+                round(m1["f1"], 6), round(m1["roc_auc"], 6),
+                round(m0["precision"], 6), round(m0["recall"], 6),
+                round(m0["f1"], 6),
+                round(m1["precision"], 6), round(m1["recall"], 6),
+                round(m1["f1"], 6),
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "model_name STRING, year INT, month INT, "
+        "precision_overall DOUBLE, recall_overall DOUBLE, "
+        "f1_overall DOUBLE, roc_auc DOUBLE, "
+        "precision_0 DOUBLE, recall_0 DOUBLE, f1_0 DOUBLE, "
+        "precision_1 DOUBLE, recall_1 DOUBLE, f1_1 DOUBLE",
+    ).orderBy("model_name", "year", "month")

@@ -1064,3 +1064,279 @@ def d15_recursive_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView("d15_edges")
+
+
+_D16_SALT = "dag1"
+_D16_QUALITY_MIN = 0.45
+
+
+def _d16_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stage flags for the composed curation DAG — the
+    expensive half of d16, built so raw text is scanned ONCE:
+
+    * one corpus scan computes every text-derived quantity (digest,
+      token/stopword/punctuation counts, md5'd shingles) in a single
+      layered projection; downstream stages see only ids, counts, and
+      16-byte digests — raw text never shuffles and is never re-read;
+    * the benchmark shingle set (t05's doc_id % 97 == 0 eval suite) is
+      the only other documents access — a pushdown-filtered ~1% scan
+      that broadcasts;
+    * contamination overlap rides the SAME exploded-shingle rows as the
+      per-doc roll-up (one groupBy), and the d01 dedup rank is a
+      running survivor count over the digest window, so the quality ->
+      contamination -> dedup funnel is sequential (each stage gates the
+      next) with no extra corpus pass.
+    """
+    from equity_volatility_lakehouse_platform_spark.plans.text import _LEX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    t0 = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", "text", tok.alias("tok")
+    )
+    base = t0.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size("tok").alias("n_tok"),
+        tx.stopword_hits(F.col("tok"), _LEX["en"]).alias("n_stop"),
+        F.length("text").alias("len"),
+        F.length(F.regexp_replace("text", r"[.,;:!?]", "")).alias("len_np"),
+        F.when(
+            F.size("tok") >= 3,
+            F.transform(tx.shingles(F.col("tok")), lambda s: F.md5(s)),
+        ).alias("sh"),
+    )
+    bench = F.broadcast(
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(tok.alias("tok"))
+        .filter(F.size("tok") >= 3)
+        .select(
+            F.explode(
+                F.transform(tx.shingles(F.col("tok")), lambda s: F.md5(s))
+            ).alias("bs")
+        )
+        .distinct()
+    )
+    # explode_outer keeps shingle-less docs (< 3 tokens) as one NULL
+    # row: count_distinct skips NULL -> n_sh = 0, no bench hit.
+    ex = base.select(
+        "doc_id", "source", "digest", "n_tok", "n_stop", "len", "len_np",
+        F.explode_outer("sh").alias("s"),
+    )
+    perdoc = (
+        ex.join(bench, ex["s"] == bench["bs"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.first("digest").alias("digest"),
+            F.first("n_tok").alias("n_tok"),
+            F.first("n_stop").alias("n_stop"),
+            F.first("len").alias("len"),
+            F.first("len_np").alias("len_np"),
+            F.count_distinct("s").alias("n_sh"),
+            F.count_distinct("bs").alias("n_overlap"),
+        )
+    )
+    # t02's quality score, with every float op in the same order as the
+    # oracle (the >= gate is unrounded, so sub-ulp divergence would
+    # flip it — identical op order keeps both engines bit-equal).
+    score = (
+        F.least(F.col("n_tok") / 100.0, F.lit(1.0)) * 0.5
+        + F.least(
+            (F.col("n_stop") * 1.0 / F.nullif(F.col("n_tok"), F.lit(0))) * 5.0,
+            F.lit(1.0),
+        )
+        * 0.3
+        + (
+            1.0
+            - (F.col("len") - F.col("len_np"))
+            * 1.0
+            / F.nullif(F.col("len"), F.lit(0))
+        )
+        * 0.2
+    )
+    flags0 = perdoc.select(
+        "doc_id", "source", "digest", "n_tok",
+        F.coalesce(score >= _D16_QUALITY_MIN, F.lit(False)).alias("is_quality"),
+        ((F.col("n_sh") == 0) | (F.col("n_overlap") * 2 < F.col("n_sh"))).alias(
+            "is_clean"
+        ),
+    )
+    surv = F.col("is_quality") & F.col("is_clean")
+    wd = Window.partitionBy("digest").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = F.sum(F.when(surv, 1).otherwise(0)).over(wd)
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f":{_D16_SALT}"))
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return flags0.select(
+        "doc_id", "source", "n_tok", "is_quality", "is_clean",
+        (surv & (run == 1)).alias("is_unique"),
+        u32.alias("u32"),
+    )
+
+
+@register("d16_curation_dag", oracle=None)  # set below — composes the lexicon
+def d16_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FULL curation DAG as one registered query (round-8 VERDICT
+    # item 6 — d09 covers only the dedup slice): t02 quality gate ->
+    # t05 contamination screen -> d01 doc-level dedup -> ml16 domain
+    # rebalance -> t14 effective-size accounting, composed SEQUENTIALLY
+    # (each stage filters the next's input, unlike the standalone
+    # queries that each read the full corpus) with per-stage funnel
+    # counts and an exact doc_id-sum membership pin.
+    #
+    # Scale shape: `_d16_flagged` touches raw text exactly once (its
+    # docstring has the scan/shuffle audit); its NARROW output
+    # (ids + counts + booleans, ~40 B/row) is lazily checkpointed —
+    # the survivor manifest a production pipeline would write between
+    # stages — because two consumers need it (the per-source count
+    # aggregate that derives the ml16 downsample thresholds, and the
+    # final funnel roll-up). Everything downstream is metadata-sized:
+    # a |sources|-row count agg broadcast back, then ONE single-row
+    # aggregate.
+    flagged = _d16_flagged(spark, sf_dir).localCheckpoint(eager=False)
+    cnts = (
+        flagged.filter(F.col("is_unique"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    thr = cnts.crossJoin(
+        F.broadcast(cnts.agg(F.min("n_src").alias("mn")))
+    ).select(
+        "source",
+        F.floor(F.lit(4294967296.0) * F.col("mn") / F.col("n_src"))
+        .cast("bigint")
+        .alias("thr"),
+    )
+    final = flagged.join(F.broadcast(thr), "source", "left").select(
+        "*",
+        (
+            F.col("is_unique")
+            & (F.col("u32") < F.coalesce(F.col("thr"), F.lit(-1)))
+        ).alias("is_balanced"),
+    )
+    ret = F.col("tokens_final") * 1.0 / F.col("tokens_total")
+    return (
+        final.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("is_quality")).alias("n_quality"),
+            F.count_if(F.col("is_quality") & F.col("is_clean")).alias("n_clean"),
+            F.count_if(F.col("is_unique")).alias("n_unique"),
+            F.count_if(F.col("is_balanced")).alias("n_balanced"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.when(F.col("is_balanced"), F.col("n_tok"))).alias(
+                "tokens_final"
+            ),
+            F.sum(F.when(F.col("is_balanced"), F.col("doc_id"))).alias(
+                "kept_doc_id_sum"
+            ),
+        )
+        .select(
+            "n_docs", "n_quality", "n_clean", "n_unique", "n_balanced",
+            F.col("tokens_total").cast("bigint").alias("tokens_total"),
+            F.col("tokens_final").cast("bigint").alias("tokens_final"),
+            r6(ret - F.signum(ret) * F.lit(1e-9)).alias("token_retention"),
+            F.col("kept_doc_id_sum").cast("bigint").alias("kept_doc_id_sum"),
+        )
+    )
+
+
+def _d16_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans.text import _lex_sql
+
+    return rf"""
+    WITH t0 AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents WHERE doc_id % 97 <> 0
+    ), base AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             len(tok) AS n_tok,
+             len(list_filter(tok, x -> x IN ({_lex_sql('en')}))) AS n_stop,
+             length(text) AS len,
+             length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS len_np,
+             CASE WHEN len(tok) >= 3 THEN
+               list_transform(range(1, len(tok) - 1),
+                 i -> md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))
+             ELSE [NULL] END AS sh
+      FROM t0
+    ), bex AS (
+      SELECT unnest(list_transform(range(1, len(tok) - 1),
+               i -> md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))) AS bs
+      FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE len(tok) >= 3
+    ), bench AS (
+      SELECT DISTINCT bs FROM bex
+    ), ex AS (
+      SELECT doc_id, source, digest, n_tok, n_stop, len, len_np,
+             unnest(sh) AS s
+      FROM base
+    ), perdoc AS (
+      SELECT e.doc_id,
+             min(e.source) AS source, min(e.digest) AS digest,
+             min(e.n_tok) AS n_tok, min(e.n_stop) AS n_stop,
+             min(e.len) AS len, min(e.len_np) AS len_np,
+             count(DISTINCT e.s) AS n_sh,
+             count(DISTINCT b.bs) AS n_overlap
+      FROM ex e LEFT JOIN bench b ON e.s = b.bs
+      GROUP BY e.doc_id
+    ), flags0 AS (
+      SELECT doc_id, source, digest, n_tok,
+             COALESCE(
+               least(n_tok / 100.0, 1.0) * 0.5
+               + least((n_stop * 1.0 / NULLIF(n_tok, 0)) * 5.0, 1.0) * 0.3
+               + (1.0 - (len - len_np) * 1.0 / NULLIF(len, 0)) * 0.2
+               >= {_D16_QUALITY_MIN}, FALSE) AS is_quality,
+             (n_sh = 0 OR n_overlap * 2 < n_sh) AS is_clean
+      FROM perdoc
+    ), flagged AS (
+      SELECT doc_id, source, n_tok, is_quality, is_clean,
+             (is_quality AND is_clean)
+             AND SUM(CASE WHEN is_quality AND is_clean THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY digest ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+               AS is_unique,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{_D16_SALT}'),
+                                  1, 8)) AS BIGINT) AS u32
+      FROM flags0
+    ), cnts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      FROM flagged WHERE is_unique GROUP BY source
+    ), m AS (
+      SELECT min(n_src) AS mn FROM cnts
+    ), final AS (
+      SELECT f.*,
+             COALESCE(f.is_unique AND f.u32 <
+               CAST(floor(4294967296.0 * (SELECT mn FROM m) / c.n_src)
+                    AS BIGINT), FALSE) AS is_balanced
+      FROM flagged f LEFT JOIN cnts c ON c.source = f.source
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count_if(is_quality) AS BIGINT) AS n_quality,
+           CAST(count_if(is_quality AND is_clean) AS BIGINT) AS n_clean,
+           CAST(count_if(is_unique) AS BIGINT) AS n_unique,
+           CAST(count_if(is_balanced) AS BIGINT) AS n_balanced,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN is_balanced THEN n_tok END) AS BIGINT)
+             AS tokens_final,
+           (ROUND(sum(CASE WHEN is_balanced THEN n_tok END) * 1.0 / sum(n_tok)
+                  - sign(sum(CASE WHEN is_balanced THEN n_tok END) * 1.0
+                         / sum(n_tok)) * 0.000000001, 6) + 0.0)
+             AS token_retention,
+           CAST(sum(CASE WHEN is_balanced THEN doc_id END) AS BIGINT)
+             AS kept_doc_id_sum
+    FROM final
+    """
+
+
+_reg.set_oracle("d16_curation_dag", _d16_oracle())

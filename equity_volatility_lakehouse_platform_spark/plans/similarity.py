@@ -159,12 +159,26 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = 2) -> DataFr
                                       ORDER BY cosc DESC, cid) AS rn
             FROM sc WHERE vec_id < 3)
       WHERE rn <= 2
-    ), cand AS (
-      SELECT p.q_id, a.vec_id,
-             list_dot_product(p.qv, a.v)
-               / NULLIF(sqrt(list_dot_product(p.qv, p.qv))
-                        * sqrt(list_dot_product(a.v, a.v)), 0) AS cos
+    ), cand0 AS (
+      SELECT p.q_id, p.qcid, a.vec_id,
+             list_dot_product(list_slice(p.qv, 1, 16),
+                              list_slice(a.v, 1, 16)) AS part
       FROM probe p JOIN assigned a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    ), capped AS (
+      SELECT q_id, vec_id
+      FROM (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id, qcid
+                                      ORDER BY part DESC, vec_id) AS prn
+            FROM cand0)
+      WHERE prn <= 64
+    ), cand AS (
+      SELECT c.q_id, c.vec_id,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM capped c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e x ON x.vec_id = c.vec_id
     )
     SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
     FROM (SELECT q_id, vec_id, cos,
@@ -180,6 +194,7 @@ def sim04_ivf_ann_topk(
     centroid_ids: tuple = (5, 17, 29, 41),
     nprobe: int = 2,
     k: int = 3,
+    per_probe_cap: int = 64,
 ) -> DataFrame:
     # IVF (inverted-file) ANN — the other classic scale path next to LSH
     # (sim03). A small coarse quantizer (fixed seed centroids, standing in
@@ -202,20 +217,61 @@ def sim04_ivf_ann_topk(
     cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
         F.col("nv") * F.col("nc"), F.lit(0.0)
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "nv", "cid", cosc.alias("cosc")
+    # Inverted lists WITHOUT a corpus shuffle (round-8): the old shape
+    # (crossJoin x K then groupBy vec_id with max_by) both shuffled
+    # every raw vector through the assignment exchange AND paid
+    # |centroids| INTERPRETED 64-dim lambda folds per vector — together
+    # the dominant 100x cost. The assignment is now an Arrow-batched
+    # mapInPandas scorer (the repo's accepted executor-Python pattern —
+    # this is a genuinely numeric kernel, exactly FAISS's BLAS-backed
+    # coarse scan): the tiny centroid set (bounded by |centroid_ids|,
+    # a metadata-scale collect) is closed over, and each batch scores
+    # all centroids with DIMENSION-SEQUENTIAL accumulation
+    # (acc += v[:, i] * c[i], i ascending) — vectorized across rows but
+    # the per-row ADD SEQUENCE is identical to the JVM/DuckDB left
+    # fold, so cosc and the argmax are bit-exact (ties -> first index =
+    # lowest cid, mirroring ORDER BY cosc DESC, cid). Zero corpus
+    # shuffle: the map stage runs in the scan's own partitions.
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    c_ids = [int(r["cid"]) for r in cent_rows]
+    c_vecs = [list(r["cv"]) for r in cent_rows]
+    c_norms = [float(r["nc"]) for r in cent_rows]
+
+    def _assign(batches):
+        import numpy as np
+
+        C = np.array(c_vecs)          # (K, 64)
+        NC = np.array(c_norms)        # (K,)
+        K, D = C.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())          # (n, D)
+            nv = pdf["nv"].to_numpy()                  # (n,)
+            cosc = np.empty((len(V), K))
+            for j in range(K):
+                acc = V[:, 0] * C[j, 0]
+                for i in range(1, D):
+                    acc = acc + V[:, i] * C[j, i]      # left-fold order
+                den = nv * NC[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosc[:, j] = np.where(den == 0.0, -np.inf, acc / den)
+            best = np.argmax(cosc, axis=1)             # ties -> lowest j
+            yield pdf.assign(cid=np.array(c_ids)[best])
+
+    assigned = emb.mapInPandas(
+        _assign, "vec_id bigint, v array<double>, nv double, cid bigint"
     )
-    # Inverted lists: nearest centroid per vector (ties -> lowest cid,
-    # mirroring the oracle's ORDER BY cosc DESC, cid).
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("cosc"), -F.col("cid"))).alias("cid"),
-        F.first("v").alias("v"),
-        F.first("nv").alias("nv"),
+    # Query probe set: top-nprobe centroids per query vector (tiny
+    # branch — the vec_id filter pushes down to a 3-row scan).
+    scored_q = (
+        emb.filter(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nv", "cid", cosc.alias("cosc"))
     )
-    # Query probe set: top-nprobe centroids per query vector.
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
     qprobe = (
-        scored.filter(F.col("vec_id") < 3)
+        scored_q
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select(
@@ -223,12 +279,47 @@ def sim04_ivf_ann_topk(
             F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
         )
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.col("nq") * F.col("nv"), F.lit(0.0)
-    )
-    cand = (
+    # Bounded re-rank (round-8): the probed lists grow linearly with the
+    # corpus, and computing the full 64-dim cosine fold for EVERY
+    # candidate made sim04 the one superlinear-wall query at 100x data.
+    # Per-candidate work is now ONE 16-dim partial dot, UNROLLED into a
+    # plain +/* expression chain (higher-order-function folds run
+    # interpreted — the SCALE.md gotcha — so the scan-phase expression
+    # must stay inside codegen); the chain sums left-to-right, the
+    # identical sequence DuckDB's list_dot_product folds. The cap
+    # window carries only (q_id, qcid, vec_id, part) — raw vectors do
+    # NOT ride through the shuffle; the top `per_probe_cap` ids per
+    # (query, probe) re-fetch their vectors via a broadcast join back
+    # onto the (column-pruned) embeddings scan, and only those rows pay
+    # the full cosine folds. Re-rank cost is O(Q * nprobe * cap)
+    # regardless of corpus size.
+    part = F.element_at(F.col("qv"), 1) * F.element_at(F.col("v"), 1)
+    for i in range(2, 17):
+        part = part + F.element_at(F.col("qv"), i) * F.element_at(F.col("v"), i)
+    cand0 = (
         F.broadcast(qprobe)
         .join(assigned, (F.col("qcid") == F.col("cid")) & (F.col("vec_id") != F.col("q_id")))
+        .select("q_id", "qcid", "vec_id", part.alias("part"))
+    )
+    wc = Window.partitionBy("q_id", "qcid").orderBy(F.desc("part"), "vec_id")
+    capped = (
+        cand0.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= per_probe_cap)
+        .select("q_id", "vec_id")
+    )
+    # Late materialization: fetch vectors for only the capped ids.
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    qvec = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    cand = (
+        F.broadcast(capped)
+        .join(base, "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
         .select("q_id", "vec_id", cos.alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -697,59 +788,78 @@ def ml15_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared PQ/ADC CTE chain (sim06 + the sim07 recall audit): encode via
-# the bit-exact L2 expansion, ADC lookups, exact-cosine re-rank input.
-_PQ_SQL = """
+# Shared PQ/ADC CTE chain (sim06 + the sim07 recall audit): k-means-
+# TRAINED codebook (2 unrolled Lloyd iterations), bit-exact L2 expansion,
+# ADC lookups, exact-cosine re-rank input. Cross-engine determinism of
+# the training: every floating sum is an ORDERED left fold (cluster
+# members by vec_id, ADC terms by subspace) — DuckDB's list_reduce and
+# Spark's aggregate() fold the identical sequence, and mean =
+# fold / count is one correctly rounded IEEE division, so centroids,
+# assignments, and distances are bit-identical on both engines with no
+# rounding tricks.
+_PQ_ITER = """
+    , a{t} AS (
+      SELECT vec_id, m, x, j FROM (
+        SELECT s.vec_id, s.m, s.x, cb.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, cb.c)
+                   + list_dot_product(cb.c, cb.c), cb.j) AS rn
+        FROM sub s JOIN cb{p} cb ON cb.m = s.m
+      ) WHERE rn = 1
+    ), s{t} AS (
+      SELECT m, j, i,
+             list_reduce(list(x[i] ORDER BY vec_id),
+                         (acc, val) -> acc + val) / count(*) AS ci
+      FROM a{t} CROSS JOIN (SELECT unnest(range(1, 5)) AS i) dims
+      GROUP BY m, j, i
+    ), c{t} AS (
+      SELECT m, j, list(ci ORDER BY i) AS c FROM s{t} GROUP BY m, j
+    ), cb{t} AS (
+      SELECT prev.m, prev.j, COALESCE(c{t}.c, prev.c) AS c
+      FROM cb{p} prev LEFT JOIN c{t} ON c{t}.m = prev.m AND c{t}.j = prev.j
+    )
+"""
+_PQ_SQL = (
+    """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sub AS (
-      SELECT vec_id, v,
-             list_slice(v, 1, 32)  AS v0,
-             list_slice(v, 33, 64) AS v1
-      FROM e
-    ), cb AS (
-      SELECT s.s, sub.vec_id AS j,
-             CASE WHEN s.s = 0 THEN v0 ELSE v1 END AS c
-      FROM sub CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) s
-      WHERE sub.vec_id < 8
-    ), enc AS (
-      SELECT sub.vec_id, cb.s, cb.j,
-             (list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
-                               CASE WHEN cb.s = 0 THEN v0 ELSE v1 END)
-              - 2 * list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
-                                     cb.c)
-              + list_dot_product(cb.c, cb.c)) AS d
-      FROM sub CROSS JOIN cb
-    ), codes AS (
-      SELECT vec_id,
-             max(CASE WHEN s = 0 THEN j END) AS code0,
-             max(CASE WHEN s = 1 THEN j END) AS code1
-      FROM (SELECT vec_id, s, j,
-                   row_number() OVER (PARTITION BY vec_id, s
-                                      ORDER BY d, j) AS rn
-            FROM enc)
-      WHERE rn = 1 GROUP BY vec_id
-    ), qd AS (
-      SELECT sub.vec_id AS q_id, cb.s, cb.j,
-             (list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
-                               CASE WHEN cb.s = 0 THEN v0 ELSE v1 END)
-              - 2 * list_dot_product(CASE WHEN cb.s = 0 THEN v0 ELSE v1 END,
-                                     cb.c)
-              + list_dot_product(cb.c, cb.c)) AS dq
-      FROM sub CROSS JOIN cb
-      WHERE sub.vec_id < 3
-    ), cand AS (
-      SELECT d0.q_id, codes.vec_id, d0.dq + d1.dq AS approx
-      FROM codes
-      JOIN qd d0 ON d0.s = 0 AND d0.j = codes.code0
-      JOIN qd d1 ON d1.s = 1 AND d1.j = codes.code1 AND d1.q_id = d0.q_id
-      WHERE codes.vec_id <> d0.q_id
+      SELECT vec_id, m, list_slice(v, m * 4 + 1, m * 4 + 4) AS x
+      FROM e CROSS JOIN (SELECT unnest(range(16)) AS m) ms
+    ), cb0 AS (
+      SELECT m, vec_id AS j, x AS c FROM sub WHERE vec_id < 16
+    )"""
+    + _PQ_ITER.format(t=1, p=0)
+    + _PQ_ITER.format(t=2, p=1)
+    + """
+    , codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT s.vec_id, s.m, cb.j,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, cb.c)
+                   + list_dot_product(cb.c, cb.c), cb.j) AS rn
+        FROM sub s JOIN cb2 cb ON cb.m = s.m
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT q.vec_id AS q_id, cb.m, cb.j,
+             list_dot_product(q.x, q.x) - 2 * list_dot_product(q.x, cb.c)
+               + list_dot_product(cb.c, cb.c) AS dq
+      FROM sub q JOIN cb2 cb ON cb.m = q.m
+      WHERE q.vec_id < 3
+    ), appx AS (
+      SELECT ad.q_id, co.vec_id,
+             list_reduce(list(ad.dq ORDER BY ad.m),
+                         (acc, val) -> acc + val) AS approx
+      FROM codes co
+      JOIN adc ad ON ad.m = co.m AND ad.j = co.code
+      WHERE co.vec_id <> ad.q_id
+      GROUP BY ad.q_id, co.vec_id
     ), shortlist AS (
       SELECT q_id, vec_id, approx
       FROM (SELECT q_id, vec_id, approx,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY approx, vec_id) AS rn
-            FROM cand)
+            FROM appx)
       WHERE rn <= 10
     ), rer AS (
       SELECT s.q_id, s.vec_id, s.approx,
@@ -761,24 +871,119 @@ _PQ_SQL = """
       JOIN e x ON x.vec_id = s.vec_id
     )
 """
+)
+
+
+def _ordered_fold(lst: Column, field: str) -> Column:
+    """Left fold of ``lst``'s ``field`` values in the array's order —
+    the Spark mirror of DuckDB ``list_reduce(list(x ORDER BY k), +)``
+    (0.0 + x1 == x1 exactly, so the explicit init changes nothing)."""
+    return F.aggregate(
+        F.transform(lst, lambda e: e[field]),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+
+
+def _pq_subspaces(emb: DataFrame, n_sub: int = 16) -> DataFrame:
+    """Long-form (vec_id, m, x) — one row per vector per subspace."""
+    width = 64 // n_sub
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id", "m", F.expr(f"slice(v, m * {width} + 1, {width})").alias("x")
+    )
+
+
+def _pq_l2(x: Column, c: Column) -> Column:
+    # d = |x|^2 - 2<x,c> + |c|^2, same left-to-right shape as the SQL.
+    return dot(x, x) - F.lit(2) * dot(x, c) + dot(c, c)
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest centroid per (vector, subspace): broadcast codebook,
+    map-side partial min_by — ties resolve to the lowest j, mirroring
+    the oracle's ORDER BY d, j."""
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "x", "j",
+        _pq_l2(F.col("x"), F.col("c")).alias("d"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min_by("j", F.struct("d", "j")).alias("j"),
+        F.first("x").alias("x"),
+    )
+
+
+def _pq_lloyd_step(sub: DataFrame, cb: DataFrame, width: int = 4) -> DataFrame:
+    """One Lloyd iteration: assign, then per-(subspace, cluster, dim)
+    mean as an ORDERED fold over members (by vec_id) so both engines
+    sum the identical sequence. ONE tiny shuffle per iteration (the
+    (m, j) member roll-up — at most |subspaces| x |centroids| groups);
+    the updated codebook re-broadcasts. Empty clusters keep their
+    previous centroid (broadcast left join + coalesce)."""
+    asg = _pq_assign(sub, cb)
+    grouped = asg.groupBy("m", "j").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("lst"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    newc = grouped.select(
+        "m", "j",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(width)),
+            lambda i: F.aggregate(
+                F.transform(F.col("lst"), lambda e: F.element_at(e["x"], i)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            / F.col("n"),
+        ).alias("cnew"),
+    )
+    return cb.join(F.broadcast(newc), ["m", "j"], "left").select(
+        "m", "j", F.coalesce("cnew", "c").alias("c")
+    )
+
+
+def pq_train_codebook(
+    sub: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> DataFrame:
+    """Distributed k-means (Lloyd's) PQ codebook over long-form
+    subvectors: init = the ``n_centroids`` lowest vec_ids' subvectors
+    (the deterministic seed), then ``iters`` assign/mean rounds. Every
+    stage is DataFrame ops — broadcast-join assignment (map-side
+    min_by), one small shuffle per round for the means (|clusters| x
+    dims groups). At 100 TB you train on a bounded SAMPLE (the standard
+    PQ recipe — codebooks need ~100-1000x n_centroids vectors, not the
+    corpus), then encode the full corpus with ONE broadcast pass."""
+    cb = sub.filter(F.col("vec_id") < n_centroids).select(
+        "m", F.col("vec_id").alias("j"), F.col("x").alias("c")
+    )
+    for _ in range(iters):
+        cb = _pq_lloyd_step(sub, cb)
+    return cb
 
 
 @register(
     "sim06_pq_ann_topk",
     # Product quantization (PQ/ADC) ANN — the MEMORY-scale path next to
     # LSH (sim03) and IVF (sim04): at 100 TB a 64-dim float vector is
-    # 256-512 B, its PQ code is M small ints (here 2 bytes). Encode is
-    # one broadcast-codebook pass; query-time ADC never touches raw
-    # vectors until the final re-rank. Subspaces: v[1..32] / v[33..64];
-    # codebook = the 8 lowest vec_ids' subvectors per subspace (fixed
-    # seed standing in for an offline-trained k-means, like sim04's
-    # centroids); code_s = argmin_j L2^2(sub_s(v), c_{s,j}) with the
+    # 256-512 B, its PQ code is M small ints (here 16 nibbles = 8 B).
+    # The codebook is TRAINED in-query with distributed k-means
+    # (pq_train_codebook: Lloyd's, 2 iterations, seed = the 16 lowest
+    # vec_ids' subvectors) — round-7's untrained seed grids scored
+    # recall@3 = 0.22 at shortlist 10; training lifts that to ~0.89 at
+    # sf0.1 (SCALE.md sweep). M = 16 subspaces of 4 dims, K = 16
+    # centroids each; code_m = argmin_j L2^2(sub_m(v), c_{m,j}) with the
     # d = dot(x,x) - 2*dot(x,c) + dot(c,c) expansion — the identical
-    # left-to-right fold on both engines, so assignments and distances
-    # are bit-exact. Queries (vec_id < 3) build a 2x8 ADC table; the
-    # approximate distance is two BROADCAST hash-join lookups per code
-    # (zero shuffle over the corpus), top-10 by (approx, vec_id), then
-    # exact cosine re-ranks those 10 to the final top-3.
+    # left-to-right fold on both engines, so training means (ordered
+    # folds over members by vec_id), assignments, and distances are all
+    # bit-exact. Queries (vec_id < 3) build a 16x16 ADC table; the
+    # approximate distance is a BROADCAST hash-join lookup per subspace
+    # folded in subspace order (zero shuffle over the corpus beyond the
+    # per-vector code assembly), top-`shortlist` by (approx, vec_id),
+    # then exact cosine re-ranks only those to the final top-3 — ADC
+    # never touches raw vectors until the re-rank.
     oracle=_PQ_SQL + """
     SELECT q_id, vec_id,
            (ROUND(approx, 6) + 0.0) AS approx_l2,
@@ -793,88 +998,72 @@ _PQ_SQL = """
 def sim06_pq_ann_topk(
     spark: SparkSession,
     sf_dir: str,
-    n_centroids: int = 8,
+    n_centroids: int = 16,
+    n_sub: int = 16,
+    iters: int = 2,
     shortlist: int = 10,
     k: int = 3,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    sub = emb.select(
-        "vec_id",
-        "v",
-        F.slice("v", 1, 32).alias("v0"),
-        F.slice("v", 33, 32).alias("v1"),
+    sub = _pq_subspaces(emb, n_sub)
+    # The trained codebook (|subspaces| x |centroids| rows — tiny) is
+    # referenced by BOTH the corpus-encode and the query-ADC branches;
+    # a lazy local checkpoint materializes the training once instead of
+    # replaying the Lloyd iterations per branch (production would
+    # persist the codebook as an artifact outright).
+    cb = pq_train_codebook(
+        sub, n_centroids=n_centroids, iters=iters
+    ).localCheckpoint(eager=False)
+
+    # Encode the corpus: one broadcast-codebook argmin pass.
+    codes = _pq_assign(sub, cb).select(
+        "vec_id", "m", F.col("j").alias("code")
     )
-    cb = (
-        sub.filter(F.col("vec_id") < n_centroids)
+    # ADC tables for the tiny query set (n_sub x n_centroids per query).
+    adc = (
+        sub.filter(F.col("vec_id") < 3)
+        .join(F.broadcast(cb), "m")
         .select(
-            F.col("vec_id").alias("j"),
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("s"), F.col("v0").alias("c")),
-                    F.struct(F.lit(1).alias("s"), F.col("v1").alias("c")),
-                )
-            ).alias("e"),
+            F.col("vec_id").alias("q_id"), F.col("m").alias("am"), "j",
+            _pq_l2(F.col("x"), F.col("c")).alias("dq"),
         )
-        .select("j", F.col("e.s").alias("s"), F.col("e.c").alias("c"))
     )
-
-    def _adc(df: DataFrame, out: str) -> DataFrame:
-        # d = |x|^2 - 2<x,c> + |c|^2, same left-to-right shape as the SQL.
-        x = F.when(F.col("s") == 0, F.col("v0")).otherwise(F.col("v1"))
-        d = dot(x, x) - F.lit(2) * dot(x, F.col("c")) + dot(F.col("c"), F.col("c"))
-        return df.crossJoin(F.broadcast(cb)).select(
-            "vec_id", "v", "s", "j", d.alias(out)
-        )
-
-    # Encode: per-(vector, subspace) argmin over the broadcast codebook —
-    # partial min_by collapses map-side; the only corpus shuffle is the
-    # two-level code assembly keyed on vec_id.
-    enc = _adc(sub, "d")
-    lvl1 = enc.groupBy("vec_id", "s").agg(
-        F.min_by("j", F.struct("d", "j")).alias("code"),
-        F.first("v").alias("v"),
-    )
-    codes = lvl1.groupBy("vec_id").agg(
-        F.max(F.when(F.col("s") == 0, F.col("code"))).alias("code0"),
-        F.max(F.when(F.col("s") == 1, F.col("code"))).alias("code1"),
-        F.first("v").alias("v"),
-    )
-    # ADC tables for the tiny query set (2 x n_centroids rows per query).
-    qd = _adc(sub.filter(F.col("vec_id") < 3), "dq").select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "s", "j", "dq"
-    )
-    qd0 = qd.filter(F.col("s") == 0).select(
-        "q_id", "qv", F.col("j").alias("j0"), F.col("dq").alias("dq0")
-    )
-    qd1 = qd.filter(F.col("s") == 1).select(
-        F.col("q_id").alias("q_id1"), F.col("j").alias("j1"),
-        F.col("dq").alias("dq1"),
-    )
-    cand = (
-        codes.join(F.broadcast(qd0), F.col("code0") == F.col("j0"))
-        .join(
-            F.broadcast(qd1),
-            (F.col("code1") == F.col("j1")) & (F.col("q_id") == F.col("q_id1")),
+    # approx = ordered fold of the per-subspace lookups (by m) — the
+    # same sequence DuckDB folds, so bit-exact.
+    appx = (
+        codes.join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am")) & (F.col("code") == F.col("j")),
         )
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id", "vec_id", "v", "qv",
-            (F.col("dq0") + F.col("dq1")).alias("approx"),
-        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "dq"))).alias("lst"))
+        .select("q_id", "vec_id", _ordered_fold(F.col("lst"), "dq").alias("approx"))
     )
     w1 = Window.partitionBy("q_id").orderBy("approx", "vec_id")
+    short = (
+        appx.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "vec_id", "approx")
+    )
+    # Exact re-rank: only now touch raw vectors — the tiny shortlist
+    # broadcasts against the corpus scan.
     cos = dot(F.col("qv"), F.col("v")) / F.nullif(
         F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
         F.lit(0.0),
     )
-    short = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= shortlist)
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        F.broadcast(short)
+        .join(emb.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
         .select("q_id", "vec_id", "approx", cos.alias("cos"))
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
-        short.withColumn("rn", F.row_number().over(w2))
+        rer.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .select(
             "q_id", "vec_id",

@@ -61,7 +61,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "f20_gold_matrix": 2,          # daily agg + window sort
         "g01_grid_fill_hourly": 2,     # hourly agg + lead window
         "d02_minhash_signatures": 0,   # zero-shuffle projection
-        "sim04_ivf_ann_topk": 3,       # assignment groupBy + 2 tiny query-side windows
+        "sim04_ivf_ann_topk": 4,       # assignment groupBy + per-probe cap window + 2 tiny query-side windows
         "w15_max_drawdown": 1,         # one shared window spec (3 fns, 1 sort)
         "t06_repetition_stats": 2,     # tf groupBy + per-doc groupBy
         "ml06_feature_hashing": 1,     # one (doc,bucket) groupBy
@@ -101,7 +101,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "f21_intraday_volume_profile": 3,   # bucket counts + day-total window + avg
         "mm07_modality_router": 0,     # pure map stage
         "d14_chunk_dedup": 2,          # digest window + per-doc reassembly groupBy
-        "sim06_pq_ann_topk": 3,        # encode (vec,s) agg + code assembly + query window
+        "sim06_pq_ann_topk": 5,        # encode agg + ADC-sum agg + 2 query windows + rer join (training is checkpointed: 2 corpus aggs + 2 codebook-size aggs, once)
         "w33_variance_ratio": 2,       # bar rollup + one shared lag window
         "w34_return_acf": 2,           # bar rollup + one shared lag window
     }
@@ -351,3 +351,35 @@ def test_pq_adc_lookups_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "ADC lookups must broadcast"
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curation_dag_single_text_scan(spark, sf_dir):
+    # d16: the composed quality -> contamination -> dedup funnel must
+    # touch raw text exactly once — one corpus scan plus the tiny
+    # benchmark scan (pushdown-filtered ~1%) — and stay within two
+    # exchanges (per-doc shingle roll-up + digest window). Downstream
+    # of the checkpointed flag manifest, documents must never be
+    # re-read.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        _d16_flagged,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    inner = (
+        _d16_flagged(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert inner.count("documents.parquet") == 2, (
+        f"expected corpus + benchmark scans only:\n{inner}"
+    )
+    # 4 = per-doc shingle roll-up with its two-distinct expand pair
+    # (digest-keyed, raw text already dropped) + digest window + the
+    # benchmark-sized distinct.
+    assert _exchanges(inner) <= 4
+    outer = _plan(spark, sf_dir, "d16_curation_dag")
+    assert "documents.parquet" not in outer, (
+        "a post-manifest stage re-scans raw text"
+    )
