@@ -42,6 +42,26 @@ HEADLINE = [
     "st01_tumbling_window",
 ]
 
+# Extended tier (round 8): the heavy round-6/7/8 machinery with no prior
+# committed timing trend — streaming outer joins and timeout sessions,
+# MERGE/ZORDER sinks, chunk dedup, the curation DAG, trained-codebook
+# PQ, event segmentation. Timed best-of-3 (they are seconds-scale each)
+# and reported in the same JSON so regressions are visible
+# round-over-round; the headline total stays the 18-query metric for
+# cross-round comparability.
+EXTENDED = [
+    "st14_stream_stream_left_join",
+    "st15_stream_stream_right_join",
+    "st16_stream_stream_full_join",
+    "st17_stateful_timeout_sessions",
+    "snk09_merge_upsert",
+    "snk10_zorder_layout",
+    "d14_chunk_dedup",
+    "d16_curation_dag",
+    "sim06_pq_ann_topk",
+    "f19_event_segmentation",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,6 +101,24 @@ def main() -> None:
             dfs[name].write.mode("overwrite").format("noop").save()
             runs[name].append(time.perf_counter() - t0)
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+
+    # Extended tier: BUILD fresh per run (several of these queries stage
+    # side-effectful sinks / training checkpoints whose reuse would time
+    # a cache, not the machinery), best-of-3.
+    n_ext = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_RUNS", "3"))
+    ext_names = [n for n in EXTENDED if n in queries]
+    ext_runs: dict[str, list[float]] = {name: [] for name in ext_names}
+    for name in ext_names:
+        queries[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()  # warm codegen
+        for _ in range(n_ext):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            ext_runs[name].append(time.perf_counter() - t0)
+    ext_timings = {name: round(min(ts), 3) for name, ts in ext_runs.items()}
     spark.stop()
 
     # Variance alongside the headline floor: single numbers on a shared
@@ -107,8 +145,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "query_stats": {name: _stats(ts) for name, ts in runs.items()},
+                "queries": {**timings, **ext_timings},
+                "query_stats": {
+                    name: _stats(ts)
+                    for name, ts in {**runs, **ext_runs}.items()
+                },
+                "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf,
             }
         )

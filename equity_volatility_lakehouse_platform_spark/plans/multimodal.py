@@ -328,3 +328,113 @@ def mm07_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         modality.alias("modality"),
         F.length("payload").cast("bigint").alias("payload_bytes"),
     )
+
+
+@register(
+    "mm08_jpeg_header_parse",
+    # JPEG metadata sniff (round 8 — JPEG dominates any web-scraped
+    # multimodal corpus; mm06 covered PNG only). Unlike PNG, JPEG
+    # dimensions are NOT at a fixed offset: they live in the SOF0
+    # segment behind a variable-length chain of APPn/COM/DQT segments,
+    # so the Spark side must genuinely WALK the segment list — read
+    # marker, read big-endian length, skip — until SOF. Each row
+    # carries a genuine marker stream (SOI, JFIF APP0, a COM segment
+    # whose length VARIES with doc_id so fixed-offset "parsing" cannot
+    # pass, an Exif APP1 holding the orientation, DQT, SOF0), built
+    # with the same hex/unhex byte packing as mm06; the walk is a
+    # bounded fold (8 iterations, header bytes only — at 100 TB this
+    # reads ~130 bytes per image, never the payload). The oracle
+    # recomputes every field from doc_id arithmetic, so an error in
+    # either the packing or the walk (marker match, length endianness,
+    # offset advance) breaks the hash match. EXIF is simplified to the
+    # orientation tag at a fixed offset within APP1 — a full TIFF/IFD
+    # walk is the same fold pattern one level deeper.
+    oracle="""
+    SELECT doc_id,
+           CAST(124 + doc_id % 17 AS BIGINT)            AS jpeg_len,
+           CAST(16 + doc_id % 1024 AS BIGINT)           AS width,
+           CAST(16 + (doc_id // 1024) % 1024 AS BIGINT) AS height,
+           CAST(8 AS BIGINT)                            AS precision,
+           CAST(3 AS BIGINT)                            AS n_components,
+           CAST(1 + doc_id % 8 AS BIGINT)               AS orientation,
+           CAST(5 AS BIGINT)                            AS n_segments
+    FROM documents
+    """,
+)
+def mm08_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def be16_lit(col):
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    w = F.lit(16) + F.col("doc_id") % 1024
+    h = F.lit(16) + (F.col("doc_id") / 1024).cast("long") % 1024
+    orient = F.lit(1) + F.col("doc_id") % 8
+    com_n = (F.col("doc_id") % 17).cast("int")
+    jpeg = F.concat(
+        F.lit(bytes([0xFF, 0xD8])),                        # SOI
+        F.lit(bytes([0xFF, 0xE0, 0, 16])),                 # APP0 len=16
+        F.lit(b"JFIF\x00"),
+        F.lit(bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])),         # v1.1, no thumb
+        F.lit(bytes([0xFF, 0xFE])),                        # COM marker
+        be16_lit(F.lit(2) + com_n),                        # COM len varies
+        F.expr("repeat('x', CAST(doc_id % 17 AS INT))").cast("binary"),
+        F.lit(bytes([0xFF, 0xE1, 0, 10])),                 # APP1 len=10
+        F.lit(b"Exif\x00\x00"),
+        be16_lit(orient),                                  # orientation
+        F.lit(bytes([0xFF, 0xDB, 0, 67])),                 # DQT len=67
+        F.lit(bytes(65)),                                  # zeroed table
+        F.lit(bytes([0xFF, 0xC0, 0, 17, 8])),              # SOF0 len=17, prec 8
+        be16_lit(h), be16_lit(w),
+        F.lit(bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])),  # 3 components
+    )
+    built = docs.select("doc_id", jpeg.alias("jpeg"))
+
+    def byte_at(off):
+        return F.conv(F.hex(F.col("jpeg").substr(off, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+
+    def be16_at(off):
+        return F.conv(F.hex(F.col("jpeg").substr(off, F.lit(2))), 16, 10).cast(
+            "long"
+        )
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"),
+        null_l.alias("w"), null_l.alias("h"), null_l.alias("prec"),
+        null_l.alias("ncomp"), null_l.alias("orient"),
+        F.lit(0).cast("long").alias("nseg"),
+    )
+
+    def step(acc, _i):
+        done = acc["w"].isNotNull()
+        m2 = byte_at(acc["off"] + 1)
+        is_sof = m2 == 0xC0
+        seg_len = be16_at(acc["off"] + 2)
+        return F.when(done, acc).otherwise(
+            F.struct(
+                F.when(is_sof, acc["off"])
+                .otherwise(acc["off"] + 2 + seg_len)
+                .alias("off"),
+                F.when(is_sof, be16_at(acc["off"] + 7)).otherwise(acc["w"]).alias("w"),
+                F.when(is_sof, be16_at(acc["off"] + 5)).otherwise(acc["h"]).alias("h"),
+                F.when(is_sof, byte_at(acc["off"] + 4)).otherwise(acc["prec"]).alias("prec"),
+                F.when(is_sof, byte_at(acc["off"] + 9)).otherwise(acc["ncomp"]).alias("ncomp"),
+                F.when(m2 == 0xE1, be16_at(acc["off"] + 10)).otherwise(acc["orient"]).alias("orient"),
+                (acc["nseg"] + 1).alias("nseg"),
+            )
+        )
+
+    parsed = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, step)
+    return built.select(
+        "doc_id",
+        F.length("jpeg").cast("bigint").alias("jpeg_len"),
+        parsed["w"].alias("width"),
+        parsed["h"].alias("height"),
+        parsed["prec"].alias("precision"),
+        parsed["ncomp"].alias("n_components"),
+        parsed["orient"].alias("orientation"),
+        parsed["nseg"].alias("n_segments"),
+    )
