@@ -137,6 +137,84 @@ def _fit_predict(
     return 1.0 / (1.0 + np.exp(-np.clip(xt @ wgt, -30, 30)))
 
 
+def _fit_predict_tree(
+    x_tr,
+    y_tr,
+    x_te,
+    max_depth: int = 5,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
+):
+    """Deterministic depth-limited CART (gini), the second model family
+    of the reference's selection loop (my_model.py:163-178
+    get_decision_tree_params). sklearn's DecisionTreeClassifier when
+    present; otherwise a pure-numpy greedy splitter: candidate
+    thresholds are 15 deterministic quantile cuts per feature, ties
+    break to the first (lowest feature, lowest threshold) via strict
+    improvement, leaves predict the class-1 fraction. No RNG anywhere —
+    rerun-identical by construction."""
+    import numpy as np
+
+    try:
+        from sklearn.tree import DecisionTreeClassifier
+
+        clf = DecisionTreeClassifier(
+            max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf,
+            random_state=0,
+        )
+        clf.fit(x_tr, y_tr)
+        return clf.predict_proba(x_te)[:, 1]
+    except ImportError:
+        pass
+
+    def gini(y):
+        if not len(y):
+            return 0.0
+        p = y.mean()
+        return 2.0 * p * (1.0 - p)
+
+    def build(idx, depth):
+        y = y_tr[idx]
+        p = float(y.mean()) if len(y) else 0.0
+        if (
+            depth >= max_depth
+            or len(idx) < min_samples_split
+            or p in (0.0, 1.0)
+        ):
+            return ("leaf", p)
+        best = None
+        for f in range(x_tr.shape[1]):
+            vals = x_tr[idx, f]
+            cuts = np.unique(np.quantile(vals, np.linspace(0, 1, 17)[1:-1]))
+            for t in cuts:
+                mask = vals <= t
+                nl = int(mask.sum())
+                nr = len(idx) - nl
+                if nl < min_samples_leaf or nr < min_samples_leaf:
+                    continue
+                score = (
+                    nl * gini(y[mask]) + nr * gini(y[~mask])
+                ) / len(idx)
+                if best is None or score < best[0] - 1e-15:
+                    best = (score, f, float(t), idx[mask], idx[~mask])
+        if best is None:
+            return ("leaf", p)
+        _, f, t, left, right = best
+        return ("node", f, t, build(left, depth + 1), build(right, depth + 1))
+
+    tree = build(np.arange(len(y_tr)), 0)
+
+    def predict_row(row, node):
+        while node[0] == "node":
+            _, f, t, lo, hi = node
+            node = lo if row[f] <= t else hi
+        return node[1]
+
+    return np.array([predict_row(r, tree) for r in x_te])
+
+
 def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
     """accuracy / precision / recall / f1 (for class ``pos``) + midrank
     ROC-AUC from true labels and scores — no sklearn."""
@@ -184,11 +262,15 @@ def fit_eval(
     label_col: str,
     split_col: str = "split",
     train_value: str = "train",
+    model: str = "logistic_regression",
     max_iter: int = 300,
     lr: float = 0.5,
     c: float | None = None,
     class_weight: str | None = None,
     fit_intercept: bool = True,
+    max_depth: int = 5,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
 ) -> DataFrame:
     """Driver-side reference model loop (my_model.py:426-513,596-650):
     fit ONE binary classifier on the train split, score the rest, land
@@ -198,9 +280,11 @@ def fit_eval(
     The engine's job ends at the splits/encoding/imputation contract
     (SURVEY §2.12); fitting is BY DESIGN a ``toPandas()`` handoff — the
     matrix at this point is the small aggregated feature table, not raw
-    events. ``c`` / ``class_weight`` / ``fit_intercept`` expose the
-    reference's logistic-regression search space (my_model.py:123-133)
-    for ``trial_search``.
+    events. ``model`` selects the family ('logistic_regression' or
+    'decision_tree' — the reference trains six sklearn families; the
+    two portable ones here cover the linear and the tree-shaped
+    decision boundary); the remaining kwargs expose each family's
+    search space (my_model.py:123-178) for ``trial_search``.
     """
     pdf = df.select(*feature_cols, label_col, split_col).toPandas()
     train = pdf[pdf[split_col] == train_value]
@@ -209,12 +293,24 @@ def fit_eval(
     y_tr = train[label_col].to_numpy(dtype=float)
     x_te = test[feature_cols].to_numpy(dtype=float)
     y_te = test[label_col].to_numpy(dtype=float)
-    x_tr, x_te = _standardize(x_tr, x_te)
-    p_te = _fit_predict(
-        x_tr, y_tr, x_te,
-        max_iter=max_iter, lr=lr, c=c,
-        class_weight=class_weight, fit_intercept=fit_intercept,
-    )
+    if model == "decision_tree":
+        # No standardization: splits are invariant to monotonic
+        # feature transforms, and raw thresholds read better.
+        p_te = _fit_predict_tree(
+            x_tr, y_tr, x_te,
+            max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf,
+        )
+    elif model == "logistic_regression":
+        x_tr, x_te = _standardize(x_tr, x_te)
+        p_te = _fit_predict(
+            x_tr, y_tr, x_te,
+            max_iter=max_iter, lr=lr, c=c,
+            class_weight=class_weight, fit_intercept=fit_intercept,
+        )
+    else:
+        raise ValueError(f"unknown model family {model!r}")
     m = _binary_metrics(y_te, p_te)
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -262,32 +358,46 @@ def rolling_fit_eval(
     return out
 
 
-def sample_lr_params(seed: int, n_trials: int) -> list[dict]:
-    """Seeded random sampler over the reference's logistic-regression
-    search space (my_model.py:123-133 get_logistic_regression_params):
-    C log-uniform in [0.001, 10], class_weight in {None, 'balanced'},
-    fit_intercept in {True, False}. Deterministic: same seed, same
-    trials — the optuna study's role without the optuna dependency
-    (solver/penalty are sklearn-internal knobs with no behavioral
-    analogue in the portable model, so the space keeps the three
-    parameters that change the fitted function)."""
+def sample_model_params(model: str, rng) -> dict:
+    """One seeded draw from a model family's search space, mirroring
+    the reference's per-family optuna suggest blocks
+    (my_model.py:123-133 logistic, :163-178 decision tree). Only the
+    knobs that change the portable model's fitted function are kept
+    (solver/penalty/criterion are sklearn-internal)."""
     import math
+
+    if model == "logistic_regression":
+        return {
+            "c": math.exp(rng.uniform(math.log(0.001), math.log(10.0))),
+            "class_weight": rng.choice([None, "balanced"]),
+            "fit_intercept": rng.choice([True, False]),
+        }
+    if model == "decision_tree":
+        return {
+            "max_depth": rng.randint(1, 12),
+            "min_samples_split": rng.randint(2, 50),
+            "min_samples_leaf": rng.randint(1, 20),
+        }
+    raise ValueError(f"unknown model family {model!r}")
+
+
+def sample_lr_params(seed: int, n_trials: int) -> list[dict]:
+    """Seeded logistic-regression trial list (kept as the single-family
+    convenience entry; ``trial_search`` drives the general sampler)."""
     import random
 
     rng = random.Random(seed)
-    trials = []
-    for t in range(n_trials):
-        trials.append(
-            {
-                "trial": t,
-                "c": math.exp(
-                    rng.uniform(math.log(0.001), math.log(10.0))
-                ),
-                "class_weight": rng.choice([None, "balanced"]),
-                "fit_intercept": rng.choice([True, False]),
-            }
-        )
-    return trials
+    return [
+        {"trial": t, **sample_model_params("logistic_regression", rng)}
+        for t in range(n_trials)
+    ]
+
+
+def _fmt_params(params: dict) -> str:
+    return ",".join(
+        f"{k}={round(v, 6) if isinstance(v, float) else v}"
+        for k, v in sorted(params.items())
+    )
 
 
 def trial_search(
@@ -295,48 +405,55 @@ def trial_search(
     feature_cols: list[str],
     label_col: str,
     split_col: str = "split",
+    models: tuple = ("logistic_regression",),
     n_trials: int = 20,
     seed: int = 7,
     **fit_kwargs,
 ) -> DataFrame:
     """The reference's hyperparameter-selection loop (my_model.py:
-    135-162 logistic_regression_hyperparameters_selection: optuna
-    random search maximizing F1 on the temporal validation split),
-    re-expressed without the optuna/MLflow dependencies: ``n_trials``
-    seeded samples from the same (C, class_weight, fit_intercept)
-    space, one ``fit_eval`` per trial on the SAME leakage-safe split,
-    metrics landed as one DataFrame ordered best-F1-first. The engine
-    side is the split/encoding algebra; the trial loop is driver-side
-    by design (SURVEY §2.12), exactly like the reference's.
+    135-162: one optuna study per model family, random search
+    maximizing F1 on the temporal validation split), re-expressed
+    without the optuna/MLflow dependencies: per family, ``n_trials``
+    seeded samples from the same search space, one ``fit_eval`` per
+    trial on the SAME leakage-safe split, all families' metrics landed
+    as one DataFrame ordered best-F1-first with the sampled params
+    recorded as a canonical string. The engine side is the
+    split/encoding algebra; the trial loop is driver-side by design
+    (SURVEY §2.12), exactly like the reference's.
 
     Deterministic end to end: seeded sampler + deterministic fits, so
     rerunning yields the identical table (pinned in pytest)."""
+    import random
+
+    rng = random.Random(seed)
     rows = []
-    for p in sample_lr_params(seed, n_trials):
-        m = fit_eval(
-            df, feature_cols, label_col, split_col=split_col,
-            c=p["c"], class_weight=p["class_weight"],
-            fit_intercept=p["fit_intercept"], **fit_kwargs,
-        ).first()
-        rows.append(
-            (
-                p["trial"],
-                round(p["c"], 6),
-                p["class_weight"] or "none",
-                p["fit_intercept"],
-                m["n_train"],
-                m["n_test"],
-                m["accuracy"],
-                m["precision"],
-                m["recall"],
-                m["f1"],
-                m["roc_auc"],
+    t = 0
+    for model in models:
+        for _ in range(n_trials):
+            params = sample_model_params(model, rng)
+            m = fit_eval(
+                df, feature_cols, label_col, split_col=split_col,
+                model=model, **params, **fit_kwargs,
+            ).first()
+            rows.append(
+                (
+                    t,
+                    model,
+                    _fmt_params(params),
+                    m["n_train"],
+                    m["n_test"],
+                    m["accuracy"],
+                    m["precision"],
+                    m["recall"],
+                    m["f1"],
+                    m["roc_auc"],
+                )
             )
-        )
+            t += 1
     spark = df.sparkSession
     out = spark.createDataFrame(
         rows,
-        "trial INT, c DOUBLE, class_weight STRING, fit_intercept BOOLEAN, "
+        "trial INT, model STRING, params STRING, "
         "n_train BIGINT, n_test BIGINT, accuracy DOUBLE, precision DOUBLE, "
         "recall DOUBLE, f1 DOUBLE, roc_auc DOUBLE",
     )
@@ -365,8 +482,11 @@ def monthly_metric_table(
     x_tr = train[feature_cols].to_numpy(dtype=float)
     y_tr = train[label_col].to_numpy(dtype=float)
     x_all = pdf[feature_cols].to_numpy(dtype=float)
-    x_tr, x_all = _standardize(x_tr, x_all)
-    p_all = _fit_predict(x_tr, y_tr, x_all, **fit_kwargs)
+    if model_name == "decision_tree":
+        p_all = _fit_predict_tree(x_tr, y_tr, x_all, **fit_kwargs)
+    else:
+        x_tr, x_all = _standardize(x_tr, x_all)
+        p_all = _fit_predict(x_tr, y_tr, x_all, **fit_kwargs)
     pdf = pdf.assign(_p=p_all)
 
     import pandas as pd

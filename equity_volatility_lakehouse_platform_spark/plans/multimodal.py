@@ -438,3 +438,133 @@ def mm08_jpeg_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["orient"].alias("orientation"),
         parsed["nseg"].alias("n_segments"),
     )
+
+
+@register(
+    "mm09_routed_image_dims",
+    # The mm07 router COMPOSED with the per-format header parsers — the
+    # actual ingest shape at 100 TB: one pass sniffs the magic bytes,
+    # then each image row takes its format's metadata path (PNG IHDR at
+    # a fixed offset, JPEG via the mm08 segment walk) while non-image
+    # rows pass through with NULL dims, no payload read beyond the
+    # header either way. Each row carries a REAL payload for its route:
+    # doc_id % 4 == 0 -> the mm06 PNG signature+IHDR, % 4 == 1 -> the
+    # mm08 JPEG marker stream, else PDF/text prefixes. A single
+    # whole-stage-codegen projection routes AND parses — at scale this
+    # is the map stage that fans a mixed crawl into per-modality
+    # tables, and the dims columns are what downstream image filters
+    # (min-resolution gates) push down onto.
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg'
+                           WHEN 2 THEN 'application/pdf'
+                           ELSE 'text/plain' END AS modality,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 1024 AS BIGINT)
+                WHEN doc_id % 4 = 1 THEN CAST(16 + doc_id % 1024 AS BIGINT)
+                END AS width,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(16 + (doc_id // 1024) % 1024 AS BIGINT)
+                WHEN doc_id % 4 = 1 THEN CAST(16 + (doc_id // 1024) % 1024 AS BIGINT)
+                END AS height
+    FROM documents
+    """,
+)
+def mm09_routed_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sel = F.col("doc_id") % 4
+
+    def be32_lit(col):
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    def be16_lit(col):
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    w = F.lit(16) + F.col("doc_id") % 1024
+    h = F.lit(16) + (F.col("doc_id") / 1024).cast("long") % 1024
+    png = F.concat(
+        F.lit(bytes([137, 80, 78, 71, 13, 10, 26, 10])),
+        F.lit(bytes([0, 0, 0, 13])), F.lit(b"IHDR"),
+        be32_lit(w), be32_lit(h),
+        F.lit(bytes([8, 2, 0, 0, 0, 0, 0, 0, 0])),
+    )
+    # The mm08 marker stream, with the COM length varying per row.
+    com_n = (F.col("doc_id") % 17).cast("int")
+    jpeg = F.concat(
+        F.lit(bytes([0xFF, 0xD8])),
+        F.lit(bytes([0xFF, 0xE0, 0, 16])), F.lit(b"JFIF\x00"),
+        F.lit(bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])),
+        F.lit(bytes([0xFF, 0xFE])), be16_lit(F.lit(2) + com_n),
+        F.expr("repeat('x', CAST(doc_id % 17 AS INT))").cast("binary"),
+        F.lit(bytes([0xFF, 0xC0, 0, 17, 8])),
+        be16_lit(h), be16_lit(w),
+        F.lit(bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])),
+    )
+    payload = (
+        F.when(sel == 0, png)
+        .when(sel == 1, jpeg)
+        .when(sel == 2, F.concat(F.lit(b"%PDF-"), F.col("text").cast("binary")))
+        .otherwise(F.col("text").cast("binary"))
+    )
+    built = docs.select("doc_id", payload.alias("payload"))
+
+    def byte_at(off):
+        return F.conv(
+            F.hex(F.col("payload").substr(off, F.lit(1))), 16, 10
+        ).cast("long")
+
+    def be_at(off, n):
+        o = F.lit(off) if isinstance(off, int) else off
+        return F.conv(
+            F.hex(F.col("payload").substr(o, F.lit(n))), 16, 10
+        ).cast("long")
+
+    head8 = F.hex(F.expr("substring(payload, 1, 8)"))
+    head3 = F.hex(F.expr("substring(payload, 1, 3)"))
+    head5 = F.expr("substring(payload, 1, 5)").cast("string")
+    is_png = head8 == "89504E470D0A1A0A"
+    is_jpeg = head3 == "FFD8FF"
+    modality = (
+        F.when(is_png, F.lit("image/png"))
+        .when(is_jpeg, F.lit("image/jpeg"))
+        .when(head5 == "%PDF-", F.lit("application/pdf"))
+        .otherwise(F.lit("text/plain"))
+    )
+    # JPEG dims via the mm08 bounded segment walk.
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(3).cast("long").alias("off"),
+        null_l.alias("w"), null_l.alias("h"),
+    )
+
+    def step(acc, _i):
+        done = acc["w"].isNotNull()
+        m2 = byte_at(acc["off"] + 1)
+        is_sof = m2 == 0xC0
+        seg_len = be_at(acc["off"] + 2, 2)
+        return F.when(done, acc).otherwise(
+            F.struct(
+                F.when(is_sof, acc["off"])
+                .otherwise(acc["off"] + 2 + seg_len)
+                .alias("off"),
+                F.when(is_sof, be_at(acc["off"] + 7, 2)).otherwise(acc["w"]).alias("w"),
+                F.when(is_sof, be_at(acc["off"] + 5, 2)).otherwise(acc["h"]).alias("h"),
+            )
+        )
+
+    jw = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, step)
+    width = (
+        F.when(is_png, be_at(17, 4))
+        .when(is_jpeg, jw["w"])
+        .otherwise(null_l)
+    )
+    height = (
+        F.when(is_png, be_at(21, 4))
+        .when(is_jpeg, jw["h"])
+        .otherwise(null_l)
+    )
+    return built.select(
+        "doc_id",
+        modality.alias("modality"),
+        width.alias("width"),
+        height.alias("height"),
+    )

@@ -723,22 +723,35 @@ def test_trial_search_schema_order_and_determinism(spark):
         "split", F.when(F.col("t") < 900, "train").otherwise("test")
     ).localCheckpoint(eager=True)
 
-    t1 = trial_search(syn, ["x1", "x2"], "label", n_trials=6, seed=3, max_iter=60)
+    t1 = trial_search(
+        syn, ["x1", "x2"], "label",
+        models=("logistic_regression", "decision_tree"),
+        n_trials=4, seed=3, max_iter=60,
+    )
     assert [f.name for f in t1.schema.fields] == [
-        "trial", "c", "class_weight", "fit_intercept", "n_train", "n_test",
+        "trial", "model", "params", "n_train", "n_test",
         "accuracy", "precision", "recall", "f1", "roc_auc",
     ]
     rows1 = t1.collect()
-    assert len(rows1) == 6
+    assert len(rows1) == 8                             # 4 trials x 2 families
     f1s = [r["f1"] for r in rows1]
     assert f1s == sorted(f1s, reverse=True), "not ordered best-F1-first"
-    assert len({r["c"] for r in rows1}) == 6          # sampler actually varies C
-    assert all(0.001 <= r["c"] <= 10.0 for r in rows1)
-    assert {r["class_weight"] for r in rows1} <= {"none", "balanced"}
+    assert {r["model"] for r in rows1} == {
+        "logistic_regression", "decision_tree"
+    }
+    lr_params = [r["params"] for r in rows1 if r["model"] == "logistic_regression"]
+    assert len(set(lr_params)) == 4                    # sampler actually varies
+    assert all(p.startswith("c=") for p in lr_params)
+    dt_params = [r["params"] for r in rows1 if r["model"] == "decision_tree"]
+    assert all("max_depth=" in p for p in dt_params)
     assert all(r["n_train"] == 900 and r["n_test"] == 300 for r in rows1)
+    # the separable data is learnable by BOTH families
+    assert max(r["f1"] for r in rows1 if r["model"] == "decision_tree") > 0.8
 
     rows2 = trial_search(
-        syn, ["x1", "x2"], "label", n_trials=6, seed=3, max_iter=60
+        syn, ["x1", "x2"], "label",
+        models=("logistic_regression", "decision_tree"),
+        n_trials=4, seed=3, max_iter=60,
     ).collect()
     assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
 
