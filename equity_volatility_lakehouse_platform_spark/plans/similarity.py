@@ -132,6 +132,81 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = 2) -> DataFr
     return emb.select("vec_id", lsh_bucket(F.col("v"), bits).alias("bucket"))
 
 
+def _ivf_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+
+
+def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Inverted-list coarse assignment WITHOUT a corpus shuffle
+    (round-8): an Arrow-batched mapInPandas scorer (the repo's accepted
+    executor-Python pattern — this is a genuinely numeric kernel,
+    exactly FAISS's BLAS-backed coarse scan). The tiny centroid set
+    (metadata-scale collect) is closed over, and each batch scores all
+    centroids with DIMENSION-SEQUENTIAL accumulation
+    (acc += v[:, i] * c[i], i ascending) — vectorized across rows but
+    the per-row ADD SEQUENCE is identical to the JVM/DuckDB left fold,
+    so cosc and the argmax are bit-exact (ties -> first index = lowest
+    cid, mirroring ORDER BY cosc DESC, cid). The map stage runs in the
+    scan's own partitions. Shared by sim04 and sim08."""
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    c_ids = [int(r["cid"]) for r in cent_rows]
+    c_vecs = [list(r["cv"]) for r in cent_rows]
+    c_norms = [float(r["nc"]) for r in cent_rows]
+
+    def _assign(batches):
+        import numpy as np
+
+        C = np.array(c_vecs)          # (K, D)
+        NC = np.array(c_norms)        # (K,)
+        K, D = C.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())          # (n, D)
+            nv = pdf["nv"].to_numpy()                  # (n,)
+            cosc = np.empty((len(V), K))
+            for j in range(K):
+                acc = V[:, 0] * C[j, 0]
+                for i in range(1, D):
+                    acc = acc + V[:, i] * C[j, i]      # left-fold order
+                den = nv * NC[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosc[:, j] = np.where(den == 0.0, -np.inf, acc / den)
+            best = np.argmax(cosc, axis=1)             # ties -> lowest j
+            yield pdf.assign(cid=np.array(c_ids)[best])
+
+    return emb.mapInPandas(
+        _assign, "vec_id bigint, v array<double>, nv double, cid bigint"
+    )
+
+
+def ivf_probe(
+    emb: DataFrame, cent: DataFrame, nprobe: int, n_queries: int = 3
+) -> DataFrame:
+    """Per-query top-``nprobe`` centroid probe set — a tiny branch (the
+    vec_id filter pushes down to an ``n_queries``-row scan)."""
+    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("nv") * F.col("nc"), F.lit(0.0)
+    )
+    scored_q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nv", "cid", cosc.alias("cosc"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
+    return (
+        scored_q
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
+        )
+    )
+
+
 @register(
     "sim04_ivf_ann_topk",
     oracle="""
@@ -199,86 +274,19 @@ def sim04_ivf_ann_topk(
     # IVF (inverted-file) ANN — the other classic scale path next to LSH
     # (sim03). A small coarse quantizer (fixed seed centroids, standing in
     # for an offline-trained codebook) is broadcast; every vector is
-    # assigned to its nearest centroid (argmax cosine), forming inverted
-    # lists keyed by centroid id. Queries probe their ``nprobe`` nearest
-    # lists and exact cosine re-ranks only those candidates. The codebook
-    # size |centroid_ids| and ``nprobe`` are THE recall/cost knobs
-    # (probe fraction ~= nprobe / K); defaults = the oracle. At 100 TB the
-    # corpus never shuffles for the probe: the broadcast x K expansion and
-    # the per-vector argmax collapse map-side (partial max_by), so the one
-    # shuffle is the assignment groupBy, and probing is a broadcast join of
-    # the tiny query set against the lists.
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
-    )
+    # assigned to its nearest centroid (argmax cosine) by the Arrow
+    # scorer `ivf_assign` (zero corpus shuffle), forming inverted lists
+    # keyed by centroid id. Queries probe their ``nprobe`` nearest
+    # lists; a cheap partial distance caps each probed list before the
+    # exact cosine re-rank. The codebook size |centroid_ids|, ``nprobe``
+    # and ``per_probe_cap`` are THE recall/cost knobs (probe fraction
+    # ~= nprobe / K); defaults = the oracle.
+    emb = _ivf_emb(spark, sf_dir)
     cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("nc")
     )
-    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
-        F.col("nv") * F.col("nc"), F.lit(0.0)
-    )
-    # Inverted lists WITHOUT a corpus shuffle (round-8): the old shape
-    # (crossJoin x K then groupBy vec_id with max_by) both shuffled
-    # every raw vector through the assignment exchange AND paid
-    # |centroids| INTERPRETED 64-dim lambda folds per vector — together
-    # the dominant 100x cost. The assignment is now an Arrow-batched
-    # mapInPandas scorer (the repo's accepted executor-Python pattern —
-    # this is a genuinely numeric kernel, exactly FAISS's BLAS-backed
-    # coarse scan): the tiny centroid set (bounded by |centroid_ids|,
-    # a metadata-scale collect) is closed over, and each batch scores
-    # all centroids with DIMENSION-SEQUENTIAL accumulation
-    # (acc += v[:, i] * c[i], i ascending) — vectorized across rows but
-    # the per-row ADD SEQUENCE is identical to the JVM/DuckDB left
-    # fold, so cosc and the argmax are bit-exact (ties -> first index =
-    # lowest cid, mirroring ORDER BY cosc DESC, cid). Zero corpus
-    # shuffle: the map stage runs in the scan's own partitions.
-    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    c_ids = [int(r["cid"]) for r in cent_rows]
-    c_vecs = [list(r["cv"]) for r in cent_rows]
-    c_norms = [float(r["nc"]) for r in cent_rows]
-
-    def _assign(batches):
-        import numpy as np
-
-        C = np.array(c_vecs)          # (K, 64)
-        NC = np.array(c_norms)        # (K,)
-        K, D = C.shape
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["v"].to_numpy())          # (n, D)
-            nv = pdf["nv"].to_numpy()                  # (n,)
-            cosc = np.empty((len(V), K))
-            for j in range(K):
-                acc = V[:, 0] * C[j, 0]
-                for i in range(1, D):
-                    acc = acc + V[:, i] * C[j, i]      # left-fold order
-                den = nv * NC[j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cosc[:, j] = np.where(den == 0.0, -np.inf, acc / den)
-            best = np.argmax(cosc, axis=1)             # ties -> lowest j
-            yield pdf.assign(cid=np.array(c_ids)[best])
-
-    assigned = emb.mapInPandas(
-        _assign, "vec_id bigint, v array<double>, nv double, cid bigint"
-    )
-    # Query probe set: top-nprobe centroids per query vector (tiny
-    # branch — the vec_id filter pushes down to a 3-row scan).
-    scored_q = (
-        emb.filter(F.col("vec_id") < 3)
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nv", "cid", cosc.alias("cosc"))
-    )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
-    qprobe = (
-        scored_q
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-            F.col("nv").alias("nq"), F.col("cid").alias("qcid"),
-        )
-    )
+    assigned = ivf_assign(emb, cent)
+    qprobe = ivf_probe(emb, cent, nprobe)
     # Bounded re-rank (round-8): the probed lists grow linearly with the
     # corpus, and computing the full 64-dim cosine fold for EVERY
     # candidate made sim04 the one superlinear-wall query at 100x data.
@@ -819,7 +827,9 @@ _PQ_ITER = """
       FROM cb{p} prev LEFT JOIN c{t} ON c{t}.m = prev.m AND c{t}.j = prev.j
     )
 """
-_PQ_SQL = (
+# Prefix (training + encode + query ADC tables) is shared with the
+# IVFADC composition (sim08); _PQ_SQL adds the whole-corpus ADC scan.
+_PQ_PREFIX = (
     """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -846,7 +856,12 @@ _PQ_SQL = (
                + list_dot_product(cb.c, cb.c) AS dq
       FROM sub q JOIN cb2 cb ON cb.m = q.m
       WHERE q.vec_id < 3
-    ), appx AS (
+    )"""
+)
+_PQ_SQL = (
+    _PQ_PREFIX
+    + """
+    , appx AS (
       SELECT ad.q_id, co.vec_id,
              list_reduce(list(ad.dq ORDER BY ad.m),
                          (acc, val) -> acc + val) AS approx
@@ -1149,6 +1164,219 @@ def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 @register(
+    "sim08_ivfadc_topk",
+    # IVFADC (round 8) — the production FAISS index shape, composing the
+    # engine's two ANN halves: sim04's inverted lists PRUNE the corpus
+    # (only ``nprobe`` lists per query are touched), sim06's trained PQ
+    # codes RANK the surviving candidates by ADC lookup (8 B codes, no
+    # raw vectors), and only the top-``shortlist`` pay the exact cosine.
+    # At 100 TB both structures are precomputed artifacts (the coarse
+    # lists partition the corpus; codes ride alongside as columns) and a
+    # query reads nprobe/K of the codes and exactly ``shortlist`` raw
+    # vectors. Everything is bit-exact cross-engine: the Arrow coarse
+    # scorer reproduces the SQL fold (sim04), the trained codebook's
+    # means are ordered folds (sim06), and the ADC sum folds in
+    # subspace order.
+    oracle=_PQ_PREFIX + """
+    , cvt AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 17, 29, 41)
+    ), scj AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.v, c.cv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv)), 0) AS cosc
+      FROM e CROSS JOIN cvt c
+    ), iassigned AS (
+      SELECT vec_id, cid
+      FROM (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM scj)
+      WHERE rn = 1
+    ), iprobe AS (
+      SELECT vec_id AS q_id, cid AS qcid
+      FROM (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM scj WHERE vec_id < 3)
+      WHERE rn <= 2
+    ), candp AS (
+      SELECT p.q_id, a.vec_id
+      FROM iprobe p JOIN iassigned a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    ), appx AS (
+      SELECT cp.q_id, cp.vec_id,
+             list_reduce(list(ad.dq ORDER BY ad.m),
+                         (acc, val) -> acc + val) AS approx
+      FROM candp cp
+      JOIN codes co ON co.vec_id = cp.vec_id
+      JOIN adc ad ON ad.q_id = cp.q_id AND ad.m = co.m AND ad.j = co.code
+      GROUP BY cp.q_id, cp.vec_id
+    ), shortlist AS (
+      SELECT q_id, vec_id, approx
+      FROM (SELECT q_id, vec_id, approx,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY approx, vec_id) AS rn
+            FROM appx)
+      WHERE rn <= 10
+    ), rer AS (
+      SELECT s.q_id, s.vec_id, s.approx,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM shortlist s
+      JOIN e q ON q.vec_id = s.q_id
+      JOIN e x ON x.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id,
+           (ROUND(approx, 6) + 0.0) AS approx_l2,
+           (ROUND(cos, 6) + 0.0)    AS cosine
+    FROM (SELECT q_id, vec_id, approx, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM rer)
+    WHERE rn <= 3
+    """,
+)
+def sim08_ivfadc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    centroid_ids: tuple = (5, 17, 29, 41),
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    n_sub: int = 16,
+    iters: int = 2,
+    shortlist: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    emb = _ivf_emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    # Coarse stage: lists + probes (ids only past this point).
+    assigned = ivf_assign(emb, cent).select("vec_id", "cid")
+    qprobe = ivf_probe(emb, cent, nprobe).select("q_id", "qcid")
+    candp = (
+        F.broadcast(qprobe)
+        .join(
+            assigned,
+            (F.col("qcid") == F.col("cid")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+    )
+    # Fine stage: trained PQ codes rank the candidates by ADC lookup.
+    sub = _pq_subspaces(_emb(spark, sf_dir), n_sub)
+    cb = pq_train_codebook(
+        sub, n_centroids=n_centroids, iters=iters
+    ).localCheckpoint(eager=False)
+    codes = _pq_assign(sub, cb).select("vec_id", "m", F.col("j").alias("code"))
+    adc = (
+        sub.filter(F.col("vec_id") < 3)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("aq"), F.col("m").alias("am"), "j",
+            _pq_l2(F.col("x"), F.col("c")).alias("dq"),
+        )
+    )
+    appx = (
+        F.broadcast(candp)
+        .join(codes, "vec_id")
+        .join(
+            F.broadcast(adc),
+            (F.col("m") == F.col("am"))
+            & (F.col("code") == F.col("j"))
+            & (F.col("q_id") == F.col("aq")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "dq"))).alias("lst"))
+        .select(
+            "q_id", "vec_id", _ordered_fold(F.col("lst"), "dq").alias("approx")
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy("approx", "vec_id")
+    short = (
+        appx.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= shortlist)
+        .select("q_id", "vec_id", "approx")
+    )
+    # Exact re-rank: late materialization — only the shortlist touches
+    # raw vectors.
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    qvec = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    rer = (
+        F.broadcast(short)
+        .join(base, "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
+        .select("q_id", "vec_id", "approx", cos.alias("cos"))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id", "vec_id",
+            r6("approx").alias("approx_l2"),
+            r6("cos").alias("cosine"),
+        )
+    )
+
+
+_SIM08_ORACLE_PREFIX_MARKER = True  # (sim09 composes sim08's chain below)
+
+
+@register(
+    "sim09_ivfadc_recall",
+    # Recall@3 of the composed IVFADC path (sim08) against the exact
+    # baseline — completing the audit triad: every ANN path in the
+    # engine ships with its recall measurement (sim05 for LSH, sim07
+    # for PQ, sim09 for IVF+PQ). IVFADC's loss has THREE stages (coarse
+    # list pruning, code quantization error, shortlist cap), so the
+    # audit runs the full composed pipeline.
+    oracle=None,  # set below — reuses sim08's CTE chain
+)
+def sim09_ivfadc_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    ann = sim08_ivfadc_topk(spark, sf_dir, k=k).select("q_id", "vec_id")
+    emb = _ivf_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    exact = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    hit = ann.withColumnRenamed("vec_id", "a_vec")
+    return (
+        exact.join(
+            hit,
+            (exact["q_id"] == hit["q_id"]) & (exact["vec_id"] == hit["a_vec"]),
+            "left",
+        )
+        .drop(hit["q_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec").alias("n_hit"),
+            r6(F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("recall_at_3"),
+        )
+    )
+
+
+@register(
     "ml17_calibration_bins",
     # Calibration table + per-bin Brier decomposition for the ml14
     # score: the reliability diagram every classifier eval plots next
@@ -1215,3 +1443,43 @@ def ml17_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _sim09_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r
+
+    sim08 = _r.all_oracles()["sim08_ivfadc_topk"]
+    final_marker = "SELECT q_id, vec_id,\n           (ROUND(approx, 6) + 0.0) AS approx_l2"
+    head, _final = sim08.split(final_marker, 1)
+    return head + """, ivf_topk AS (
+      SELECT q_id, vec_id
+      FROM (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM rer)
+      WHERE rn <= 3
+    ), exact_topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.v, e.v)
+                   / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(e.v, e.v)), 0) DESC,
+                 e.vec_id) AS rn
+        FROM e q JOIN e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rn <= 3
+    )
+    SELECT x.q_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+           (ROUND(count(a.vec_id) * 1.0 / count(*), 6) + 0.0) AS recall_at_3
+    FROM exact_topk x
+    LEFT JOIN ivf_topk a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY x.q_id
+    """
+
+
+from equity_volatility_lakehouse_platform_spark.plans import registry as _simreg  # noqa: E402
+
+_simreg.set_oracle("sim09_ivfadc_recall", _sim09_oracle())

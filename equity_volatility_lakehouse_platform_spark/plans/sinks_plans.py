@@ -551,3 +551,50 @@ def snk13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum("value")).alias("total_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "snk14_shallow_clone",
+    # Delta CLONE parity (round 8): shallow-clone the seeded table —
+    # ZERO data copied, the clone's v0 manifest references the source's
+    # files absolutely — then DELETE on the clone and verify the three
+    # snapshots a clone contract promises: the source is untouched, the
+    # clone's v0 equals the source, and the clone's v1 carries the
+    # delete. Copy-on-write localizes the touched source files into the
+    # clone (sources/acid.py:clone); `side` labels the three reads.
+    oracle=f"""
+    SELECT 'source' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone_v0' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'clone_v1' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_orderstatus
+    """,
+)
+def snk14_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="evlp_snk14_")
+    src = AcidTable(spark, base + "/src")
+    src.overwrite(orders)
+    clone = src.clone(base + "/clone")
+    clone.delete_where(F.col("o_orderkey") % 5 == 0)
+
+    def _agg(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money("o_totalprice").alias("total_price"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return (
+        _agg(src.read(), "source")
+        .unionByName(_agg(clone.read(0), "clone_v0"))
+        .unionByName(_agg(clone.read(1), "clone_v1"))
+    )

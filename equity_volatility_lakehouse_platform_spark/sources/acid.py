@@ -409,12 +409,7 @@ class AcidTable:
                     .distinct()
                     .collect()
                 )
-                for row in hit:
-                    p = urllib.parse.unquote(urllib.parse.urlparse(row.f).path)
-                    affected.add(
-                        os.path.relpath(p, os.path.abspath(self.root))
-                    )
-                assert all(not r.startswith("..") for r in affected), affected
+                affected = self._resolve_hits(manifest, hit)
             kept = [f for f in manifest["files"] if f not in affected]
             new_files: list[str] = []
             if affected:
@@ -454,22 +449,35 @@ class AcidTable:
             .distinct()
         )
 
+    def _resolve_hits(self, manifest: dict, hit_rows) -> set[str]:
+        """Map ``input_file_name`` hits back to MANIFEST ENTRIES by
+        absolute path — works for both table-relative entries and the
+        absolute external references a shallow ``clone`` starts with.
+        Every hit must resolve to a listed entry, or the rewrite set is
+        wrong — fail loudly rather than drop files silently."""
+        by_abs = {
+            os.path.abspath(os.path.join(self.root, f)): f
+            for f in manifest["files"]
+        }
+        entries = set()
+        for row in hit_rows:
+            p = os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(row.f).path)
+            )
+            entry = by_abs.get(p)
+            assert entry is not None, (p, sorted(by_abs)[:3])
+            entries.add(entry)
+        return entries
+
     def _affected_files(self, manifest: dict, condition: Column) -> set[str]:
-        """Relative paths of files containing at least one matching row —
-        the copy-on-write unit. O(files) metadata on the driver (the same
-        contract as Delta's file-level pruning)."""
+        """Manifest entries of files containing at least one matching
+        row — the copy-on-write unit. O(files) metadata on the driver
+        (the same contract as Delta's file-level pruning)."""
         if not manifest["files"]:
             return set()
-        hit = self._probe(manifest, condition).collect()
-        abs_root = os.path.abspath(self.root) + os.sep
-        rels = set()
-        for row in hit:
-            p = urllib.parse.unquote(urllib.parse.urlparse(row.f).path)
-            rels.add(os.path.relpath(p, os.path.abspath(self.root)))
-        # Every hit must resolve inside the table, or the rewrite set is
-        # wrong — fail loudly rather than drop files silently.
-        assert all(not r.startswith("..") for r in rels), (abs_root, rels)
-        return rels
+        return self._resolve_hits(
+            manifest, self._probe(manifest, condition).collect()
+        )
 
     def _rewrite(
         self, op: str, condition: Column, transform, max_retries: int = 5
@@ -669,14 +677,48 @@ class AcidTable:
         self._try_commit(latest + 1, "zorder", files, manifest["schema"])
         return latest + 1
 
+    def clone(self, target_root: str) -> "AcidTable":
+        """SHALLOW CLONE (Delta's ``CLONE``): a new INDEPENDENT table
+        whose version-0 manifest references the source's current data
+        files by ABSOLUTE path — zero bytes copied, O(1) metadata, the
+        instant dev/test copy of a 100 TB table. The clone then evolves
+        on its own:
+
+        * appends/merges land new files under the CLONE's root;
+        * copy-on-write ops (DELETE/UPDATE/MERGE) localize any touched
+          source file into the clone — the source file is only
+          DEREFERENCED from the clone's next manifest, never modified,
+          so the source table and its time travel are untouched;
+        * ``vacuum`` walks only the clone's own data dir, so referenced
+          source files are structurally beyond its reach.
+
+        The source must not vacuum away files the clone still
+        references — the same retention contract Delta documents for
+        shallow clones."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        manifest = self._manifest(latest)
+        target = AcidTable(self.spark, target_root)
+        abs_files = [
+            os.path.abspath(os.path.join(self.root, f))
+            for f in manifest["files"]
+        ]
+        target._try_commit(0, "clone", abs_files, manifest["schema"])
+        return target
+
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO commit (crash debris, lost
-        races). Returns the deleted relative paths."""
+        races). Returns the deleted relative paths. Walks only THIS
+        table's data dir: absolute references into a clone SOURCE are
+        structurally out of reach."""
         live: set[str] = set()
         for manifest in self.history():
             live.update(manifest["files"])
         deleted = []
         data_root = os.path.join(self.root, _DATA)
+        if not os.path.isdir(data_root):
+            return deleted  # a fresh shallow clone owns no data yet
         for wdir in os.listdir(data_root):
             for f in os.listdir(os.path.join(data_root, wdir)):
                 rel = os.path.join(_DATA, wdir, f)

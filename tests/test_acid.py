@@ -642,3 +642,65 @@ def test_n_writer_merge_stress_serializable(spark, orders, data):
     finally:
         for r in roots:
             _sh.rmtree(r, ignore_errors=True)
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, orders, root):
+    # Round-8: Delta-CLONE parity. The clone reads the source's bytes
+    # without copying them, then evolves independently — appends land
+    # under the clone, copy-on-write localizes touched source files
+    # (dereference, never modify), and vacuum on the clone cannot reach
+    # the source's data.
+    import os
+
+    src = AcidTable(spark, root + "/src")
+    src.overwrite(orders.limit(100))
+    src.append(orders.limit(120).subtract(orders.limit(100)))
+    n_src_versions = src.latest_version() + 1
+
+    clone = src.clone(root + "/clone")
+    # zero-copy: no parquet under the clone's root
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(root + "/clone")
+        for f in fs
+    )
+    assert clone.read().count() == 120
+    assert clone.read().exceptAll(src.read()).count() == 0
+
+    # independent append: clone gains rows, source does not
+    extra = orders.limit(130).subtract(orders.limit(120))
+    clone.append(extra)
+    assert clone.read().count() == 130
+    assert src.read().count() == 120
+    assert src.latest_version() + 1 == n_src_versions  # source untouched
+
+    # copy-on-write DELETE on the clone localizes, never mutates source
+    src_files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root + "/src")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    mtimes = {p: os.path.getmtime(p) for p in src_files_before}
+    clone.delete_where(F.col("o_orderkey") % 3 == 0)
+    kept = clone.read()
+    assert kept.filter(F.col("o_orderkey") % 3 == 0).count() == 0
+    assert src.read().filter(F.col("o_orderkey") % 3 == 0).count() > 0
+    for p in src_files_before:
+        assert os.path.getmtime(p) == mtimes[p], f"source file touched: {p}"
+
+    # vacuum on the clone deletes nothing of the source's
+    clone.vacuum()
+    assert all(os.path.exists(p) for p in src_files_before)
+    # and the clone's own time travel still works back to version 0
+    assert clone.read(0).count() == 120
+
+
+def test_clone_of_empty_table_and_fresh_clone_vacuum(spark, orders, root):
+    t = AcidTable(spark, root + "/t")
+    with pytest.raises(FileNotFoundError):
+        t.clone(root + "/c0")
+    t.overwrite(orders.limit(5))
+    c = t.clone(root + "/c1")
+    assert c.vacuum() == []           # no own data dir yet: no-op
+    assert c.read().count() == 5
