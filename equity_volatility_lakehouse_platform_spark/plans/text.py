@@ -937,3 +937,101 @@ def t14_effective_corpus_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("chunk_kept") * 1.0 / F.col("total")).alias("chunk_retention"),
         )
     )
+
+
+@register(
+    "t15_bigram_logprob",
+    # Bigram-LM fluency scoring (round 8) — the step past t07's unigram
+    # model that separates "rare words" from "implausible SEQUENCES"
+    # (word-salad/boilerplate detection): fit corpus bigram counts, then
+    # score each document by its mean negative log-likelihood under an
+    # interpolated backoff model
+    #   P(w2 | w1) = 0.7 * c(w1,w2)/c(w1 ·) + 0.3 * c(w2)/N
+    # (always > 0 — no OOV zeros — and every operand is a corpus count,
+    # so the inner arithmetic is bit-identical across engines; the
+    # ln-sums take the standard r6s nudge for 1-ulp libm drift).
+    # `n_hapax_bigrams` counts the doc's corpus-unique bigrams — the
+    # novelty tail. Scale shape mirrors t07: one bigram-grain groupBy
+    # builds the model (map-side combined), scoring joins broadcast the
+    # model tables, and the per-doc reduce is a second combined groupBy;
+    # raw text never shuffles (bigram strings do — hash them for a
+    # 100 TB vocabulary, same note as t07).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), tokf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ct
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), ntok AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n FROM tokf
+    ), bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), bigf AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2
+    ), unif AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigf GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+             f.c12,
+             0.7 * (f.c12 * 1.0 / u.c1)
+             + 0.3 * (tf.ct * 1.0 / (SELECT n FROM ntok)) AS p
+      FROM bi b
+      JOIN bigf f ON f.w1 = b.w1 AND f.w2 = b.w2
+      JOIN unif u ON u.w1 = b.w1
+      JOIN tokf tf ON tf.tok = b.w2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count_if(c12 = 1) AS BIGINT) AS n_hapax_bigrams,
+           (ROUND((-SUM(ln(p)) / count(*))
+                  - sign(-SUM(ln(p)) / count(*)) * 0.000000001, 6) + 0.0)
+             AS avg_neg_ll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    t = docs.select("doc_id", tok.alias("t"))
+    toks = t.select("doc_id", F.explode("t").alias("tok"))
+    tokf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    ntok = tokf.agg(F.sum("ct").alias("n"))
+    bi = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigf = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unif = bigf.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    p = (
+        F.lit(0.7) * (F.col("c12") * 1.0 / F.col("c1"))
+        + F.lit(0.3) * (F.col("ct") * 1.0 / F.col("n"))
+    )
+    scored = (
+        bi.join(F.broadcast(bigf), ["w1", "w2"])
+        .join(F.broadcast(unif), "w1")
+        .join(F.broadcast(tokf.withColumnRenamed("tok", "w2")), "w2")
+        .crossJoin(F.broadcast(ntok))
+        .select("doc_id", "c12", p.alias("p"))
+    )
+    neg_ll = -F.sum(F.log("p")) / F.count(F.lit(1))
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_if(F.col("c12") == 1).alias("n_hapax_bigrams"),
+        neg_ll.alias("_nll"),
+    )
+    return out.select(
+        "doc_id", "n_bigrams", "n_hapax_bigrams",
+        r6(F.col("_nll") - F.signum("_nll") * F.lit(1e-9)).alias("avg_neg_ll"),
+    )

@@ -797,3 +797,76 @@ def test_monthly_metric_table_reference_shape(spark):
         syn, ["x1", "x2"], "label", "d", max_iter=60
     ).collect()
     assert [r.asDict() for r in rows] == [r.asDict() for r in rows2]
+
+
+def test_ivf_assign_arrow_scorer_bit_exact(spark, sf_dir):
+    # Round-8: the mapInPandas coarse scorer's dimension-sequential
+    # accumulation must reproduce the JVM fold BIT-exactly — same
+    # argmax, same tie-breaks — against the pure-DataFrame reference
+    # (crossJoin + max_by over the same cosc expression).
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ivf_emb,
+        dot,
+        ivf_assign,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id").isin(5, 17, 29, 41)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(emb, cent).select("vec_id", "cid").collect()
+    }
+    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("nv") * F.col("nc"), F.lit(0.0)
+    )
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cosc.alias("cosc"))
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("cosc"), -F.col("cid"))).alias("cid"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_pq_lloyd_step_keeps_empty_clusters_and_is_deterministic(spark):
+    # Round-8: a Lloyd update where some clusters receive no members
+    # must RETAIN those clusters' previous centroids (coalesce path),
+    # and the ordered-fold means must be rerun-identical.
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _pq_lloyd_step,
+        _pq_subspaces,
+        pq_train_codebook,
+    )
+
+    # 8 vectors clustered tightly around TWO points, but K=4 seeds:
+    # two seed centroids end up member-less after assignment.
+    base = [100.0] * 64
+    rows = []
+    for i in range(8):
+        center = 0.0 if i % 2 == 0 else 1000.0
+        rows.append((i, [center + (i + 1) * 0.001 * (d + 1) for d in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    sub = _pq_subspaces(emb, 16)
+    cb0 = sub.filter(F.col("vec_id") < 4).select(
+        "m", F.col("vec_id").alias("j"), F.col("x").alias("c")
+    )
+    cb1 = _pq_lloyd_step(sub, cb0)
+    assert cb1.count() == 16 * 4  # no cluster row lost
+    # member-less clusters keep their EXACT previous centroid
+    prev = {(r["m"], r["j"]): r["c"] for r in cb0.collect()}
+    after = {(r["m"], r["j"]): r["c"] for r in cb1.collect()}
+    assert set(prev) == set(after)
+    moved = sum(1 for k in prev if prev[k] != after[k])
+    retained = sum(1 for k in prev if prev[k] == after[k])
+    assert moved > 0 and retained > 0, (moved, retained)
+
+    t1 = {(r["m"], r["j"]): r["c"]
+          for r in pq_train_codebook(sub, 4, 2).collect()}
+    t2 = {(r["m"], r["j"]): r["c"]
+          for r in pq_train_codebook(sub, 4, 2).collect()}
+    assert t1 == t2, "codebook training is not rerun-identical"
