@@ -591,3 +591,51 @@ def test_load_table_rejects_conflicting_explicit_conf(spark, sf_dir):
             load_table(spark, sf_dir, "events")
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_curation_dag_edge_corpora(spark, tmp_path):
+    # d16 funnel semantics on crafted corpora (the sf tables never hit
+    # these edges): exact duplicates keep ONE survivor; a benchmark-
+    # contaminated doc is dropped at the contamination stage; short
+    # (<3-token) docs are never spuriously "contaminated"; and a
+    # single-source corpus downsamples to ~min_n = itself (threshold
+    # 2^32 => every unique survivor kept).
+    import os
+
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d16_curation_dag,
+    )
+
+    good = ("the of and to in is for " * 20).strip()     # high quality
+    # doc 97 is a BENCHMARK doc (97 % 97 == 0); doc 5 copies its text,
+    # so every one of doc 5's shingles collides -> contaminated.
+    docs = [
+        (1, good, "en", "src0"),
+        (2, good, "en", "src0"),                          # exact dup of 1
+        (3, good + " extra tail tokens", "en", "src0"),
+        (5, "unique shingle alpha " * 40, "en", "src0"),  # = bench text
+        (7, "ok go", "en", "src0"),                       # <3 tokens
+        (97, "unique shingle alpha " * 40, "en", "src0"), # benchmark doc
+    ]
+    pdf = [
+        {"doc_id": i, "text": t, "lang": lg, "source": s, "n_chars": len(t)}
+        for i, t, lg, s in docs
+    ]
+    sf_dir = str(tmp_path / "sf_edge")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        pdf, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+
+    row = d16_curation_dag(spark, sf_dir).first()
+    assert row["n_docs"] == 5            # 97 excluded as benchmark
+    # doc 7 fails the length gate (2 tokens, score < threshold);
+    # 1, 2, 3, 5 are high quality
+    assert row["n_quality"] == 4
+    # doc 5 is contaminated (its shingles == the benchmark's)
+    assert row["n_clean"] == 3
+    # docs 1 and 2 are byte-identical: one survivor
+    assert row["n_unique"] == 2
+    # single source: min_n == n_src -> threshold 2^32, all kept
+    assert row["n_balanced"] == 2
+    assert row["kept_doc_id_sum"] == 1 + 3
