@@ -4104,3 +4104,122 @@ def sql05_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """).localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView("sql05_events")
+
+
+@register(
+    "j18_interval_overlap_join",
+    # Interval x interval OVERLAP join (round 8) — the operator j05/j13
+    # (point-in-interval tagging) stops short of: find every
+    # overlapping (click-session, view-session) pair per user, with the
+    # overlap length. Sessions are 6h-gap maximal runs (st02's rule) so
+    # intervals span arbitrary lengths. The naive plan is an inequality
+    # join (BNLJ, |A| x |B| per user); the SCALE plan here explodes each
+    # interval to its covered DAY CHUNKS and equi-joins on (user, day) —
+    # one shuffle keyed on (user, chunk), cost linear in interval-days +
+    # true collisions, never all-pairs. Any overlapping (even touching)
+    # pair shares the day chunk of an overlap point, so chunking loses
+    # nothing; DISTINCT collapses multi-chunk pairs; the final predicate
+    # keeps true overlaps. All epoch-second integers — bit-exact.
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS es, event_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ), sess AS (
+      SELECT user_id, event_type, es,
+             SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 21600
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY es, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM (SELECT user_id, event_type, es, event_id,
+                   lag(es) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY es, event_id) AS prev_es
+            FROM base)
+    ), iv AS (
+      SELECT user_id, event_type, sid,
+             CAST(min(es) AS BIGINT) AS s, CAST(max(es) AS BIGINT) AS e
+      FROM sess GROUP BY user_id, event_type, sid
+    ), a AS (SELECT user_id, sid AS a_sid, s AS a_s, e AS a_e
+             FROM iv WHERE event_type = 'click'),
+    b AS (SELECT user_id, sid AS b_sid, s AS b_s, e AS b_e
+          FROM iv WHERE event_type = 'view')
+    SELECT a.user_id, a.a_sid, b.b_sid,
+           a.a_s, a.a_e, b.b_s, b.b_e,
+           CAST(least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s) AS BIGINT)
+             AS overlap_seconds
+    FROM a JOIN b ON b.user_id = a.user_id
+                 AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+    """,
+)
+def j18_interval_overlap_join(
+    spark: SparkSession, sf_dir: str, gap_s: int = 21600, chunk_s: int = 86400
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_timestamp("ts").alias("es"),
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    brk = F.when(
+        F.lag("es").over(w).isNull()
+        | (F.col("es") - F.lag("es").over(w) > gap_s),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_type", "es",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "event_type", "sid").agg(
+        F.min("es").alias("s"), F.max("es").alias("e")
+    )
+    a = iv.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("sid").alias("a_sid"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = iv.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"), F.col("sid").alias("b_sid"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    # Chunk explode: each interval lands in every day it covers.
+    ac = a.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("a_s") / chunk_s).cast("long"),
+                (F.col("a_e") / chunk_s).cast("long"),
+            )
+        ).alias("chunk"),
+    )
+    bc = b.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("b_s") / chunk_s).cast("long"),
+                (F.col("b_e") / chunk_s).cast("long"),
+            )
+        ).alias("chunk"),
+    )
+    pairs = (
+        ac.join(
+            bc,
+            (F.col("user_id") == F.col("b_user"))
+            & (ac["chunk"] == bc["chunk"]),
+        )
+        .select("user_id", "a_sid", "b_sid", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+    )
+    return pairs.select(
+        "user_id", "a_sid", "b_sid", "a_s", "a_e", "b_s", "b_e",
+        (
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+        ).cast("bigint").alias("overlap_seconds"),
+    )

@@ -812,7 +812,7 @@ _PQ_ITER = """
                row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                  list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, cb.c)
                    + list_dot_product(cb.c, cb.c), cb.j) AS rn
-        FROM sub s JOIN cb{p} cb ON cb.m = s.m
+        FROM tsub s JOIN cb{p} cb ON cb.m = s.m
       ) WHERE rn = 1
     ), s{t} AS (
       SELECT m, j, i,
@@ -838,6 +838,8 @@ _PQ_PREFIX = (
       FROM e CROSS JOIN (SELECT unnest(range(16)) AS m) ms
     ), cb0 AS (
       SELECT m, vec_id AS j, x AS c FROM sub WHERE vec_id < 16
+    ), tsub AS (
+      SELECT * FROM sub WHERE vec_id < 2048
     )"""
     + _PQ_ITER.format(t=1, p=0)
     + _PQ_ITER.format(t=2, p=1)
@@ -931,6 +933,68 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def pq_encode(emb: DataFrame, cb: DataFrame, n_sub: int = 16) -> DataFrame:
+    """Arrow-batched PQ corpus ENCODE: one map pass assigns every
+    vector's subspace codes against the (collected, metadata-scale)
+    trained codebook. Same kernel recipe as ``ivf_assign`` —
+    dimension-sequential accumulation reproduces the JVM fold's add
+    sequence exactly (xx - 2*xc + cc per centroid, argmin ties to the
+    lowest j = numpy's first index), so codes are bit-identical to the
+    ``_pq_assign`` DataFrame path (pinned in pytest) at a fraction of
+    the interpreted-fold cost. Zero corpus shuffle: runs in the scan's
+    own partitions."""
+    by_m: dict = {}
+    for r in cb.collect():
+        by_m.setdefault(int(r["m"]), []).append((int(r["j"]), list(r["c"])))
+    for m in by_m:
+        by_m[m].sort()
+    ms = sorted(by_m)
+
+    def _enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = {
+            m: (
+                np.array([j for j, _ in by_m[m]]),
+                np.array([c for _, c in by_m[m]]),
+            )
+            for m in ms
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for m in ms:
+                js, Cm = cents[m]
+                K, W = Cm.shape
+                X = V[:, m * W:(m + 1) * W]
+                xx = X[:, 0] * X[:, 0]
+                for i in range(1, W):
+                    xx = xx + X[:, i] * X[:, i]        # left-fold order
+                d = np.empty((len(X), K))
+                for jj in range(K):
+                    xc = X[:, 0] * Cm[jj, 0]
+                    cc = Cm[jj, 0] * Cm[jj, 0]
+                    for i in range(1, W):
+                        xc = xc + X[:, i] * Cm[jj, i]
+                        cc = cc + Cm[jj, i] * Cm[jj, i]
+                    d[:, jj] = xx - 2.0 * xc + cc      # _pq_l2's op order
+                best = np.argmin(d, axis=1)            # ties -> lowest j
+                frames.append(
+                    pd.DataFrame(
+                        {"vec_id": vec_ids, "m": m, "code": js[best]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", "v").mapInPandas(
+        _enc, "vec_id bigint, m int, code bigint"
+    )
+
+
 def _pq_lloyd_step(sub: DataFrame, cb: DataFrame, width: int = 4) -> DataFrame:
     """One Lloyd iteration: assign, then per-(subspace, cluster, dim)
     mean as an ORDERED fold over members (by vec_id) so both engines
@@ -961,21 +1025,28 @@ def _pq_lloyd_step(sub: DataFrame, cb: DataFrame, width: int = 4) -> DataFrame:
 
 
 def pq_train_codebook(
-    sub: DataFrame, n_centroids: int = 16, iters: int = 2
+    sub: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    train_limit: int = 2048,
 ) -> DataFrame:
     """Distributed k-means (Lloyd's) PQ codebook over long-form
     subvectors: init = the ``n_centroids`` lowest vec_ids' subvectors
     (the deterministic seed), then ``iters`` assign/mean rounds. Every
     stage is DataFrame ops — broadcast-join assignment (map-side
     min_by), one small shuffle per round for the means (|clusters| x
-    dims groups). At 100 TB you train on a bounded SAMPLE (the standard
-    PQ recipe — codebooks need ~100-1000x n_centroids vectors, not the
-    corpus), then encode the full corpus with ONE broadcast pass."""
+    dims groups). Training reads only the ``train_limit`` lowest-id
+    vectors — the bounded-SAMPLE recipe that keeps training cost
+    CONSTANT in corpus size (codebooks need ~100-1000x n_centroids
+    vectors, not the corpus; round-8 measured 32x wall at 100x data
+    with full-corpus training). The full corpus is then encoded in one
+    Arrow pass (``pq_encode``)."""
     cb = sub.filter(F.col("vec_id") < n_centroids).select(
         "m", F.col("vec_id").alias("j"), F.col("x").alias("c")
     )
+    tsub = sub.filter(F.col("vec_id") < train_limit)
     for _ in range(iters):
-        cb = _pq_lloyd_step(sub, cb)
+        cb = _pq_lloyd_step(tsub, cb)
     return cb
 
 
@@ -1030,10 +1101,8 @@ def sim06_pq_ann_topk(
         sub, n_centroids=n_centroids, iters=iters
     ).localCheckpoint(eager=False)
 
-    # Encode the corpus: one broadcast-codebook argmin pass.
-    codes = _pq_assign(sub, cb).select(
-        "vec_id", "m", F.col("j").alias("code")
-    )
+    # Encode the corpus: one Arrow map pass (zero shuffle).
+    codes = pq_encode(emb, cb, n_sub)
     # ADC tables for the tiny query set (n_sub x n_centroids per query).
     adc = (
         sub.filter(F.col("vec_id") < 3)
@@ -1269,7 +1338,7 @@ def sim08_ivfadc_topk(
     cb = pq_train_codebook(
         sub, n_centroids=n_centroids, iters=iters
     ).localCheckpoint(eager=False)
-    codes = _pq_assign(sub, cb).select("vec_id", "m", F.col("j").alias("code"))
+    codes = pq_encode(_emb(spark, sf_dir), cb, n_sub)
     adc = (
         sub.filter(F.col("vec_id") < 3)
         .join(F.broadcast(cb), "m")

@@ -47,6 +47,10 @@ QUERIES = [
     "st10_stream_stream_join",
     "f19_event_segmentation",
     "ml07_leakage_safe_split",
+    # round-8 additions: the new heavy machinery's scale trend
+    "sim06_pq_ann_topk",
+    "sim08_ivfadc_topk",
+    "d16_curation_dag",
 ]
 
 
@@ -137,6 +141,26 @@ def _time(df) -> float:
     return best
 
 
+# Queries whose plan LAZILY CHECKPOINTS an internal stage (PQ training,
+# the d16 flag manifest): re-saving one DataFrame would reuse the
+# materialized checkpoint and time only the serving half — rebuild the
+# query per run so every timed run pays the whole pipeline.
+REBUILD = {"sim06_pq_ann_topk", "sim08_ivfadc_topk", "d16_curation_dag"}
+
+
+def _time_rebuild(fn, spark, d) -> float:
+    # best-of-1 after warm: each run retrains, so one timed run is the
+    # budget-honest choice (the training dominates, and it is exactly
+    # what is being measured).
+    fn(spark, d).write.mode("overwrite").format("noop").save()  # warm
+    best = float("inf")
+    for _ in range(1):
+        t0 = time.perf_counter()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_100x"
@@ -153,7 +177,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
     failures: list[str] = []
-    for name in QUERIES:
+    # $SPOT_QUERIES: comma-separated subset (split long runs across
+    # invocations); $SPOT_MERGE: read the existing out_json and only
+    # update/append this run's rows.
+    run_queries = [
+        q for q in os.environ.get("SPOT_QUERIES", "").split(",") if q
+    ] or QUERIES
+    if out_json and os.environ.get("SPOT_MERGE") and os.path.exists(out_json):
+        with open(out_json) as fh:
+            prior = json.load(fh)
+        results.update(prior.get("results", {}))
+        failures.extend(prior.get("failures", []))
+    for name in run_queries:
         if name.startswith("st"):
             # Streaming queries materialize EAGERLY (the registered fn
             # runs the stream and localCheckpoints the sink) — time the
@@ -166,6 +201,11 @@ def main() -> int:
             qs[name](spark, out)
             t_big = time.perf_counter() - t0
             x_base = x_big = 0
+        elif name in REBUILD:
+            t_base = _time_rebuild(qs[name], spark, src)
+            t_big = _time_rebuild(qs[name], spark, out)
+            x_base = _exchanges(qs[name](spark, src))
+            x_big = _exchanges(qs[name](spark, out))
         else:
             base_df = qs[name](spark, src)
             big_df = qs[name](spark, out)

@@ -870,3 +870,31 @@ def test_pq_lloyd_step_keeps_empty_clusters_and_is_deterministic(spark):
     t2 = {(r["m"], r["j"]): r["c"]
           for r in pq_train_codebook(sub, 4, 2).collect()}
     assert t1 == t2, "codebook training is not rerun-identical"
+
+
+def test_pq_encode_arrow_matches_dataframe_path(spark, sf_dir):
+    # Round-8: the Arrow PQ encoder must produce BIT-identical codes to
+    # the pure-DataFrame broadcast-argmin path over the same trained
+    # codebook (same distances, same lowest-j tie-breaks).
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        _pq_assign,
+        _pq_subspaces,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    emb = _emb(spark, sf_dir)
+    sub = _pq_subspaces(emb, 16)
+    cb = pq_train_codebook(sub, n_centroids=16, iters=2).localCheckpoint(
+        eager=True
+    )
+    got = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in pq_encode(emb, cb, 16).collect()
+    }
+    want = {
+        (r["vec_id"], r["m"]): r["j"]
+        for r in _pq_assign(sub, cb).select("vec_id", "m", "j").collect()
+    }
+    assert got == want
