@@ -4122,7 +4122,7 @@ def sql05_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps true overlaps. All epoch-second integers — bit-exact.
     oracle="""
     WITH base AS (
-      SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS es, event_id
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id
       FROM events WHERE event_type IN ('click', 'view')
     ), sess AS (
       SELECT user_id, event_type, es,
