@@ -139,22 +139,39 @@ def main() -> None:
             "n": n,
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": {**timings, **ext_timings},
-                "query_stats": {
-                    name: _stats(ts)
-                    for name, ts in {**runs, **ext_runs}.items()
-                },
-                "extended_total": round(sum(ext_timings.values()), 3),
-                "sf": sf,
-            }
-        )
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that window. Rounds 6-8 silently shipped
+    # parsed=null because query_stats pushed the line past the window.
+    # So: per-run variance stats go to a sidecar file, and the printed
+    # line carries only the driver contract fields (measured ~1 kB).
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # `value` == sum(queries); extended-tier timings live under
+        # their own key so a consumer summing `queries` reproduces the
+        # headline metric exactly.
+        "queries": timings,
+        "extended_queries": ext_timings,
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "sf": sf,
+    }
+    full = dict(record)
+    full["query_stats"] = {
+        name: _stats(ts) for name, ts in {**runs, **ext_runs}.items()
+    }
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
     )
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    line = json.dumps(record)
+    if len(line) > 1800:  # never outgrow the capture window again
+        record.pop("extended_queries", None)
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":

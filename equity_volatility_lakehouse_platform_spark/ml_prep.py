@@ -229,12 +229,18 @@ def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
     prec = tp / (tp + fp) if (tp + fp) else 0.0
     rec = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
-    n_pos = int((y_te == 1).sum())
-    n_neg = int((y_te == 0).sum())
+    # AUC for the REQUESTED class: when pos != 1 the score ranking is
+    # flipped (a low class-1 score ranks class-``pos`` high), so the
+    # midrank Mann-Whitney sum runs over -p_te and positives = is_pos.
+    # Previously this always scored class 1, silently returning a
+    # class-1 AUC inside a class-0 metrics dict.
+    auc_scores = p_te if pos == 1.0 else -p_te
+    n_pos = int(is_pos.sum())
+    n_neg = int((~is_pos).sum())
     if n_pos and n_neg:
-        order = np.argsort(p_te, kind="mergesort")
-        ranks = np.empty(len(p_te), dtype=float)
-        sorted_p = p_te[order]
+        order = np.argsort(auc_scores, kind="mergesort")
+        ranks = np.empty(len(auc_scores), dtype=float)
+        sorted_p = auc_scores[order]
         i = 0
         while i < len(sorted_p):
             j = i
@@ -242,7 +248,7 @@ def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
                 j += 1
             ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
             i = j + 1
-        auc = (ranks[y_te == 1].sum() - n_pos * (n_pos + 1) / 2.0) / (
+        auc = (ranks[is_pos].sum() - n_pos * (n_pos + 1) / 2.0) / (
             n_pos * n_neg
         )
     else:

@@ -294,7 +294,7 @@ def mm06_png_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 'text/plain' END AS modality,
            CAST(octet_length(encode(text))
                 + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 3
-                                  WHEN 2 THEN 5 ELSE 0 END AS BIGINT)
+                                  WHEN 2 THEN 5 ELSE 1 END AS BIGINT)
              AS payload_bytes
     FROM documents
     """,
@@ -310,7 +310,10 @@ def mm07_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sel == 0, F.lit(bytes([137, 80, 78, 71, 13, 10, 26, 10])))
         .when(sel == 1, F.lit(bytes([0xFF, 0xD8, 0xFF])))
         .when(sel == 2, F.lit(b"%PDF-"))
-        .otherwise(F.lit(b"")),
+        # Neutral sentinel on the text route: routing must depend on
+        # the assigned modality, not on whether corpus text happens to
+        # open with '%PDF-' or an image magic.
+        .otherwise(F.lit(b"\x00")),
         F.col("text").cast("binary"),
     )
     built = docs.select("doc_id", payload.alias("payload"))
@@ -503,7 +506,12 @@ def mm09_routed_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sel == 0, png)
         .when(sel == 1, jpeg)
         .when(sel == 2, F.concat(F.lit(b"%PDF-"), F.col("text").cast("binary")))
-        .otherwise(F.col("text").cast("binary"))
+        # Text route gets a neutral sentinel byte (as the PDF route
+        # gets %PDF-): classification must depend on the ROUTE, never
+        # on corpus content — a doc whose text happens to start with
+        # '%PDF-' or an image magic would otherwise route differently
+        # from the doc_id%4 oracle rule.
+        .otherwise(F.concat(F.lit(b"\x00"), F.col("text").cast("binary")))
     )
     built = docs.select("doc_id", payload.alias("payload"))
 

@@ -187,7 +187,12 @@ def main() -> int:
         with open(out_json) as fh:
             prior = json.load(fh)
         results.update(prior.get("results", {}))
-        failures.extend(prior.get("failures", []))
+        # Drop prior failure entries for queries re-run this invocation:
+        # a query that failed before but passes now must not carry a
+        # stale (or duplicated) failure row into the merged artifact.
+        failures.extend(
+            f for f in prior.get("failures", []) if f not in run_queries
+        )
     for name in run_queries:
         if name.startswith("st"):
             # Streaming queries materialize EAGERLY (the registered fn

@@ -602,6 +602,35 @@ def test_fit_eval_end_to_end(spark, sf_dir):
         assert 0.0 <= r[k] <= 1.0
 
 
+def test_binary_metrics_auc_respects_pos_class():
+    # _binary_metrics(pos=0) scores the CLASS-0 ranking: positives are
+    # y==0 and the score axis is flipped (low class-1 score == high
+    # class-0 rank). AUC is symmetric under that simultaneous swap, so
+    # the value must EQUAL the class-1 AUC — the test pins that the
+    # requested-class path lands on the same number the identity
+    # guarantees, rather than hardcoding class 1.
+    import numpy as np
+
+    from equity_volatility_lakehouse_platform_spark.ml_prep import _binary_metrics
+
+    rng = np.random.RandomState(7)
+    y = (rng.rand(400) < 0.4).astype(float)
+    # Informative but imperfect scores, tie-free.
+    p = y * 0.5 + rng.rand(400) * 0.7
+    m1 = _binary_metrics(y, p, pos=1.0)
+    m0 = _binary_metrics(y, p, pos=0.0)
+    assert m1["roc_auc"] > 0.5
+    assert abs(m0["roc_auc"] - m1["roc_auc"]) < 1e-12
+    # Perfectly separable: both class views score 1.0.
+    ys = np.array([0.0, 0.0, 1.0, 1.0])
+    ps = np.array([0.1, 0.2, 0.8, 0.9])
+    assert _binary_metrics(ys, ps, pos=1.0)["roc_auc"] == 1.0
+    assert _binary_metrics(ys, ps, pos=0.0)["roc_auc"] == 1.0
+    # Degenerate single-class input: AUC undefined -> 0.0 for either view.
+    yd = np.ones(5)
+    assert _binary_metrics(yd, np.linspace(0, 1, 5), pos=0.0)["roc_auc"] == 0.0
+
+
 @PROP
 @given(rows=events_strategy, lookback=st.integers(1, 8), cap=st.integers(3, 20))
 def test_slice_giant_keys_window_equivalence(spark, rows, lookback, cap):
