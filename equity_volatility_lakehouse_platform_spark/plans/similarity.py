@@ -207,6 +207,121 @@ def ivf_probe(
     )
 
 
+def _ivf_lloyd_step(train: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
+    """One spherical-k-means Lloyd iteration over FULL vectors (the
+    coarse quantizer's training, round 9): assign each training vector
+    to its max-cosine centroid (ties -> lowest cid, NULL cosines last —
+    the identical ORDER BY on both engines), then recompute each
+    centroid as the per-dimension ORDERED fold mean over its members
+    (by vec_id) so Spark and DuckDB sum the identical sequence. Empty
+    clusters keep their previous centroid. One tiny shuffle per
+    iteration (|clusters| x dims groups); the sample is bounded, so
+    training cost is CONSTANT in corpus size."""
+    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("nv") * F.col("nc"), F.lit(0.0)
+    )
+    scored = train.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "v", "cid", cosc.alias("cosc")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("cosc"), "cid")
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    grouped = asg.groupBy("cid").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("lst"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    newc = grouped.select(
+        "cid",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda i: F.aggregate(
+                F.transform(F.col("lst"), lambda e: F.element_at(e["v"], i)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            / F.col("n"),
+        ).alias("cvnew"),
+    )
+    upd = cb.join(F.broadcast(newc), "cid", "left").select(
+        "cid", F.coalesce("cvnew", "cv").alias("cv")
+    )
+    return upd.select(
+        "cid", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("nc")
+    )
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 4,
+    iters: int = 2,
+    train_limit: int = 2048,
+) -> DataFrame:
+    """Distributed spherical k-means for the IVF COARSE quantizer
+    (round 9; the fine/PQ analogue is ``pq_train_codebook``). Seed =
+    the ``n_centroids`` lowest vec_ids' vectors; training reads only
+    the ``train_limit`` lowest-id vectors (the bounded-sample recipe —
+    codebooks need ~100-1000x n_centroids vectors, not the corpus).
+    Returns (cid, cv, nc) — the same shape the seed quantizer produced,
+    so ``ivf_assign``/``ivf_probe`` compose unchanged. Round-8's
+    4-vector SEED quantizer put sim09's composed recall@3 at 0.56
+    (SCALE.md); training is the standard fix (FAISS trains the coarse
+    quantizer before building inverted lists)."""
+    cb = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    train = emb.filter(F.col("vec_id") < train_limit).select(
+        "vec_id", "v", "nv"
+    )
+    for _ in range(iters):
+        cb = _ivf_lloyd_step(train, cb)
+    return cb
+
+
+# DuckDB mirror of ivf_train_centroids: the identical seed, assignment
+# ordering, and per-dimension ordered-fold means (list_reduce over
+# members by vec_id == Spark's aggregate over the array_sort'ed
+# collect_list), so the trained centroids are bit-exact cross-engine.
+# Composes after any chain that defines an `e`(vec_id, v) CTE.
+_IVF_TRAIN_ITER = """
+    , ia{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT s.vec_id, s.v, cb.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_dot_product(s.v, cb.cv)
+                   / NULLIF(s.nv * sqrt(list_dot_product(cb.cv, cb.cv)), 0)
+                   DESC, cb.cid) AS rn
+        FROM itr s CROSS JOIN icb{p} cb
+      ) WHERE rn = 1
+    ), isum{t} AS (
+      SELECT cid, i,
+             list_reduce(list(v[i] ORDER BY vec_id),
+                         (acc, val) -> acc + val) / count(*) AS ci
+      FROM ia{t} CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+      GROUP BY cid, i
+    ), ic{t} AS (
+      SELECT cid, list(ci ORDER BY i) AS cv FROM isum{t} GROUP BY cid
+    ), icb{t} AS (
+      SELECT prev.cid, COALESCE(ic{t}.cv, prev.cv) AS cv
+      FROM icb{p} prev LEFT JOIN ic{t} ON ic{t}.cid = prev.cid
+    )
+"""
+_IVF_TRAIN_SQL = (
+    """
+    , itr AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
+      FROM e WHERE vec_id < 2048
+    ), icb0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4
+    )"""
+    + _IVF_TRAIN_ITER.format(t=1, p=0)
+    + _IVF_TRAIN_ITER.format(t=2, p=1)
+)
+
+
 @register(
     "sim04_ivf_ann_topk",
     oracle="""
@@ -1243,12 +1358,17 @@ def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # lists partition the corpus; codes ride alongside as columns) and a
     # query reads nprobe/K of the codes and exactly ``shortlist`` raw
     # vectors. Everything is bit-exact cross-engine: the Arrow coarse
-    # scorer reproduces the SQL fold (sim04), the trained codebook's
-    # means are ordered folds (sim06), and the ADC sum folds in
-    # subspace order.
-    oracle=_PQ_PREFIX + """
+    # scorer reproduces the SQL fold (sim04), BOTH codebooks' k-means
+    # means are ordered folds (coarse: ivf_train_centroids, round 9;
+    # fine: pq_train_codebook, round 8), and the ADC sum folds in
+    # subspace order. Round 9 trains the COARSE quantizer too — the
+    # round-8 seed quantizer (4 arbitrary corpus vectors) made coarse
+    # pruning the dominant recall loss (sim09 = 0.56 vs PQ-alone 0.89);
+    # with both stages trained the composed path stops leaving recall
+    # on the table for free.
+    oracle=_PQ_PREFIX + _IVF_TRAIN_SQL + """
     , cvt AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 17, 29, 41)
+      SELECT cid, cv FROM icb2
     ), scj AS (
       SELECT e.vec_id, c.cid,
              list_dot_product(e.v, c.cv)
@@ -1309,7 +1429,8 @@ def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 def sim08_ivfadc_topk(
     spark: SparkSession,
     sf_dir: str,
-    centroid_ids: tuple = (5, 17, 29, 41),
+    n_coarse: int = 4,
+    coarse_iters: int = 2,
     nprobe: int = 2,
     n_centroids: int = 16,
     n_sub: int = 16,
@@ -1318,10 +1439,13 @@ def sim08_ivfadc_topk(
     k: int = 3,
 ) -> DataFrame:
     emb = _ivf_emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-        F.col("nv").alias("nc"),
-    )
+    # Coarse quantizer is TRAINED (round 9): spherical k-means over the
+    # bounded sample, same seed/fold discipline as the PQ codebook. The
+    # tiny result is checkpointed once — ivf_assign/ivf_probe both
+    # collect it (metadata-scale).
+    cent = ivf_train_centroids(
+        emb, n_centroids=n_coarse, iters=coarse_iters
+    ).localCheckpoint(eager=False)
     # Coarse stage: lists + probes (ids only past this point).
     assigned = ivf_assign(emb, cent).select("vec_id", "cid")
     qprobe = ivf_probe(emb, cent, nprobe).select("q_id", "qcid")
