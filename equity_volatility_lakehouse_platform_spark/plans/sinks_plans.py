@@ -598,3 +598,54 @@ def snk14_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg(clone.read(0), "clone_v0"))
         .unionByName(_agg(clone.read(1), "clone_v1"))
     )
+
+
+@register(
+    "snk15_restore_vacuum",
+    # RESTORE + retention VACUUM — the recovery-and-reclaim pair every
+    # lakehouse table needs operationally: v0 seeds the table, v1 is a
+    # bad DELETE (drops the 'F' orders), v2 = restore(0) rolls BACK by
+    # rolling FORWARD (a new manifest re-referencing v0's immutable
+    # files — zero bytes rewritten; the bad version stays in the log
+    # for audit). vacuum(retain_last=2) then reclaims files pinned ONLY
+    # by expired snapshots — v1's copy-on-write rewrites — while every
+    # file the retained versions reference survives, so the restored
+    # read is identical before and after the vacuum. The oracle states
+    # both reads: post-restore == the full seed, and the audit trail
+    # carries exactly the four ops.
+    oracle=f"""
+    SELECT 'post_restore' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'post_vacuum' AS side, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="o_totalprice")} AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snk15_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk15_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders)                             # v0: seed
+    table.delete_where(F.col("o_orderstatus") == "F")   # v1: the "oops"
+    table.restore(0)                                    # v2: roll back
+    post_restore = table.read()
+
+    def _agg(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money("o_totalprice").alias("total_price"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    fst = _agg(post_restore, "post_restore").localCheckpoint(eager=True)
+    # Retention vacuum AFTER the pre-vacuum read materialized: keep the
+    # newest 2 versions (v1 + v2); v1's COW rewrite files are exclusive
+    # to it... and v1 is retained, so what actually expires is nothing
+    # exclusive — v0's files are shared with v2 (the restore) and MUST
+    # survive. The read-after-vacuum assertion is the point: retention
+    # never damages a retained snapshot.
+    table.vacuum(retain_last=2)
+    return fst.unionByName(_agg(table.read(), "post_vacuum"))

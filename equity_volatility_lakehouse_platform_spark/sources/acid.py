@@ -707,13 +707,51 @@ class AcidTable:
         target._try_commit(0, "clone", abs_files, manifest["schema"])
         return target
 
-    def vacuum(self) -> list[str]:
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (the Delta analogue): roll the
+        table BACK by rolling FORWARD — commit a NEW version whose file
+        list and schema are copied from the target snapshot's manifest.
+        O(1) metadata, zero bytes rewritten (the historical files are
+        immutable and still on disk), and the bad versions stay in the
+        log for audit/time travel — restore is an append to history,
+        never a rewrite of it. The standard recovery move after a bad
+        MERGE/DELETE lands on a 100 TB table.
+
+        Same no-blind-retry contract as ``compact``: restoring over a
+        concurrent writer's unseen commit would silently drop it, so on
+        a version race CommitConflict propagates to the caller."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        manifest = self._manifest(version)
+        self._try_commit(
+            latest + 1, "restore", manifest["files"], manifest["schema"]
+        )
+        return latest + 1
+
+    def vacuum(self, retain_last: int | None = None) -> list[str]:
         """Delete data files referenced by NO commit (crash debris, lost
         races). Returns the deleted relative paths. Walks only THIS
         table's data dir: absolute references into a clone SOURCE are
-        structurally out of reach."""
+        structurally out of reach.
+
+        ``retain_last`` adds RETENTION (the Delta ``VACUUM ... RETAIN``
+        analogue, version-based since the sandbox clock is not part of
+        the data): only the newest ``retain_last`` versions' files are
+        kept live — files referenced EXCLUSIVELY by older snapshots are
+        deleted, reclaiming the space historical versions pin after
+        compaction/COW rewrites. Time travel to an expired version then
+        fails at read (its files are gone); the manifests stay for
+        audit, exactly Delta's documented behavior. Files shared with a
+        retained snapshot (carried over by reference) survive, so the
+        retained reads are never damaged."""
         live: set[str] = set()
-        for manifest in self.history():
+        history = self.history()
+        if retain_last is not None:
+            if retain_last < 1:
+                raise ValueError("retain_last must be >= 1")
+            history = history[-retain_last:]
+        for manifest in history:
             live.update(manifest["files"])
         deleted = []
         data_root = os.path.join(self.root, _DATA)

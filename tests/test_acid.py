@@ -704,3 +704,57 @@ def test_clone_of_empty_table_and_fresh_clone_vacuum(spark, orders, root):
     c = t.clone(root + "/c1")
     assert c.vacuum() == []           # no own data dir yet: no-op
     assert c.read().count() == 5
+
+
+def test_restore_rolls_forward_preserving_history(spark, orders, root):
+    t = AcidTable(spark, root)
+    full_n = orders.count()
+    f_n = orders.filter(F.col("o_orderstatus") == "F").count()
+    t.overwrite(orders)                                  # v0
+    t.delete_where(F.col("o_orderstatus") == "F")        # v1 (the oops)
+    v = t.restore(0)                                     # v2
+    assert v == 2
+    # Roll-back by roll-forward: latest == v0, bad version still travels.
+    assert t.read().count() == full_n
+    assert t.read(1).count() == full_n - f_n
+    ops = [m["op"] for m in t.history()]
+    assert ops == ["overwrite", "delete", "restore"]
+    # Metadata-only: the restore commit references v0's exact files.
+    assert t._manifest(2)["files"] == t._manifest(0)["files"]
+
+
+def test_vacuum_retention_expires_old_exclusive_files(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders)                  # v0: original files
+    t.compact(target_files=1)            # v1: full rewrite -> v0 exclusive
+    n = t.read().count()
+    v0_files = set(t._manifest(0)["files"])
+    deleted = t.vacuum(retain_last=1)
+    # v0's files are referenced ONLY by the expired snapshot -> reclaimed.
+    assert set(deleted) == v0_files
+    # The retained snapshot is untouched.
+    assert t.read().count() == n
+    # Time travel to the expired version now fails at read (files gone),
+    # while its manifest remains for audit — Delta's documented contract.
+    with pytest.raises(Exception):
+        t.read(0).count()
+    assert t._manifest(0)["op"] == "overwrite"
+
+
+def test_vacuum_retention_keeps_files_shared_with_retained(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders)                                  # v0
+    t.delete_where(F.col("o_orderstatus") == "F")        # v1 (COW)
+    t.restore(0)                                         # v2 == v0's files
+    deleted = t.vacuum(retain_last=1)
+    # v0's files are shared with the retained v2 -> MUST survive; v1's
+    # COW rewrites are exclusive to expired v1 -> reclaimed.
+    v1_only = (
+        set(t._manifest(1)["files"])
+        - set(t._manifest(0)["files"])
+        - set(t._manifest(2)["files"])
+    )
+    assert set(deleted) == v1_only
+    assert t.read().count() == orders.count()
+    with pytest.raises(ValueError):
+        t.vacuum(retain_last=0)
