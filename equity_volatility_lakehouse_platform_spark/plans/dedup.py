@@ -1340,3 +1340,128 @@ def _d16_oracle() -> str:
 
 
 _reg.set_oracle("d16_curation_dag", _d16_oracle())
+
+
+@register(
+    "d17_semantic_dedup",
+    # SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup,
+    # the third rung after exact (d01) and near-duplicate (d03/d06):
+    # k-means-cluster the embedding space, then prune epsilon-balls
+    # WITHIN each cluster so the all-pairs cosine never runs globally —
+    # the clustering is exactly what makes semantic dedup tractable at
+    # 100 TB (pairwise work is sum n_c^2, bounded by choosing K ~
+    # sqrt(corpus) so clusters stay memory-sized; here K=4 on the test
+    # corpus). Stage 1 reuses the engine's trained coarse quantizer
+    # (similarity.ivf_train_centroids — spherical k-means, ordered-fold
+    # means, bit-exact DuckDB mirror) and the Arrow assignment scorer
+    # (ivf_assign, zero corpus shuffle). Stage 2 is a grouped Arrow
+    # kernel per cluster: the pairwise cosine folds dimension-
+    # sequentially (the identical left-fold sequence DuckDB's
+    # list_dot_product computes), and a vector is a DUPLICATE iff some
+    # LOWER-id cluster-mate sits within the epsilon-ball (keep-first
+    # rule, the d11/d14 convention). tau = 0.45 — epsilon is corpus-
+    # tuned in SemDeDup; this synthetic corpus is near-orthogonal
+    # (max intra-cluster cos ~0.5), so the published 0.95-on-CLIP scale
+    # would flag nothing. max_intra_cos pins the full pairwise
+    # computation in the value hash even where no row crosses tau.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+    + "{train}"
+    + """
+    , sall AS (
+      SELECT e.vec_id, e.v, cb.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, cb.cv)
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(cb.cv, cb.cv)), 0)
+                 DESC, cb.cid) AS rn
+      FROM e CROSS JOIN icb2 cb
+    ), asg AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv, cid
+      FROM sall WHERE rn = 1
+    ), agg AS (
+      SELECT a.vec_id, a.cid,
+             max(list_dot_product(a.v, b.v)
+                 / NULLIF(a.nv * b.nv, 0)) AS mx
+      FROM asg a LEFT JOIN asg b
+        ON b.cid = a.cid AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id, a.cid
+    )
+    SELECT vec_id, cid,
+           (ROUND(mx, 6) + 0.0) AS max_intra_cos,
+           CAST(COALESCE(mx >= 0.45, FALSE) AS BOOLEAN) AS is_dup
+    FROM agg
+    """,
+)
+def d17_semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = 0.45
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ivf_emb,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    cent = ivf_train_centroids(emb, n_centroids=4, iters=2).localCheckpoint(
+        eager=False
+    )
+    assigned = ivf_assign(emb, cent)  # vec_id, v, nv, cid — no shuffle
+
+    def _prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())           # (n, D)
+        nv = pdf["nv"].to_numpy()
+        n, D = V.shape
+        # Dimension-sequential accumulation: G[i,j] folds sum_d v_i[d] *
+        # v_j[d] in ascending d — the exact left-fold sequence of
+        # list_dot_product / the JVM aggregate (same recipe as
+        # ivf_assign/pq_encode).
+        G = np.outer(V[:, 0], V[:, 0])
+        for d in range(1, D):
+            G = G + np.outer(V[:, d], V[:, d])
+        den = np.outer(nv, nv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den == 0.0, np.nan, G / den)
+        tril = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i only
+        cos = np.where(tril, cos, np.nan)
+        # max over lower-id comparable mates; all-NaN row -> NaN (the
+        # first vector of each cluster; mapped to NULL JVM-side).
+        with np.errstate(invalid="ignore"):
+            mx = np.nanmax(
+                np.where(np.isnan(cos), -np.inf, cos), axis=1
+            )
+        mx = np.where(np.isinf(mx), np.nan, mx)
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "cid": pdf["cid"], "mx": mx}
+        )
+
+    pruned = assigned.groupBy("cid").applyInPandas(
+        _prune, "vec_id bigint, cid bigint, mx double"
+    )
+    mx = F.when(F.isnan("mx"), F.lit(None)).otherwise(F.col("mx"))
+    return pruned.select(
+        "vec_id",
+        "cid",
+        r6(mx).alias("max_intra_cos"),
+        F.coalesce(mx >= F.lit(0.45), F.lit(False)).alias("is_dup"),
+    )
+
+
+def _d17_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r2
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _IVF_TRAIN_SQL,
+    )
+
+    return _r2.all_oracles()["d17_semantic_dedup"].replace(
+        "{train}", _IVF_TRAIN_SQL
+    )
+
+
+_reg.set_oracle("d17_semantic_dedup", _d17_oracle())

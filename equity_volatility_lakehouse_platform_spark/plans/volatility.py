@@ -1000,3 +1000,115 @@ def w35_mean_reversion_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("half_life_days"),
     )
+
+
+_PI2 = repr(math.pi / 2.0)  # bipower scaling mu1^-2 = pi/2
+
+
+@register(
+    "w36_bipower_jump",
+    # Realized variance vs bipower variation — the Barndorff-Nielsen &
+    # Shephard (2004) jump decomposition, THE intraday complement to the
+    # daily range estimators (w19): RV = sum r_i^2 converges to
+    # integrated variance PLUS squared jumps, BV = (pi/2) sum
+    # |r_i||r_{i-1}| to integrated variance ONLY, so max(RV - BV, 0) is
+    # the day's jump contribution and its share of RV flags jump days.
+    # Per (user, day) over the intraday tick returns, days with >= 4
+    # positive-price ticks (>= 3 returns, the minimum that gives BV two
+    # bipower terms). Every floating sum is an ORDERED left fold over
+    # the tick sequence (by ts, event_id) — list_reduce in DuckDB,
+    # aggregate() on the sorted collect_list in Spark — so RV/BV are
+    # bit-identical cross-engine; ln/division inputs are identical
+    # doubles and the outputs take the nudged round (w19's rule).
+    # Scale: one groupBy shuffle on (user, day); per-day tick arrays are
+    # bounded by the trading day, so the fold is O(ticks/day) per group
+    # — no window, no self-join.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id, value
+      FROM events WHERE value > 0
+    ), g AS (
+      SELECT user_id, day,
+             list(value ORDER BY ts, event_id) AS vals,
+             count(*) AS n_ticks
+      FROM e GROUP BY user_id, day
+    ), f AS (
+      SELECT user_id, day,
+             list_transform(range(2, len(vals) + 1),
+                            i -> ln(vals[i] / vals[i-1])) AS rs
+      FROM g WHERE n_ticks >= 4
+    ), agg AS (
+      SELECT user_id, day, len(rs) AS n_ret,
+             list_reduce(list_transform(rs, r -> r * r),
+                         (acc, x) -> acc + x) AS rv,
+             {_PI2} * list_reduce(
+                 list_transform(range(2, len(rs) + 1),
+                                i -> abs(rs[i]) * abs(rs[i-1])),
+                 (acc, x) -> acc + x) AS bv
+      FROM f
+    ), j AS (
+      SELECT user_id, day, n_ret, rv, bv,
+             greatest(rv - bv, 0.0) AS jv,
+             greatest(rv - bv, 0.0) / NULLIF(rv, 0) AS js
+      FROM agg
+    )
+    SELECT user_id, day, CAST(n_ret AS BIGINT) AS n_ret,
+           {_r6s_sql("rv")} AS rv,
+           {_r6s_sql("bv")} AS bv,
+           {_r6s_sql("jv")} AS jump_var,
+           {_r6s_sql("js")} AS jump_share
+    FROM j
+    """,
+)
+def w36_bipower_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)  # pushes to the scan (w19's guard)
+        .select("user_id", F.date_trunc("day", "ts").alias("day"),
+                "ts", "event_id", "value")
+    )
+    g = ev.groupBy("user_id", "day").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("lst"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).filter(F.col("n_ticks") >= 4)
+    # Layered projections (w08's rule): vals once, returns once, folds
+    # once, rounds over plain refs.
+    vals = g.select(
+        "user_id", "day",
+        F.expr("transform(lst, e -> e.value)").alias("vals"),
+    )
+    rets = vals.select(
+        "user_id", "day",
+        F.expr(
+            "transform(sequence(2, size(vals)),"
+            " i -> ln(element_at(vals, i) / element_at(vals, i - 1)))"
+        ).alias("rs"),
+    )
+    folds = rets.select(
+        "user_id", "day",
+        F.size("rs").cast("bigint").alias("n_ret"),
+        F.expr(
+            "aggregate(transform(rs, r -> r * r), 0D, (acc, x) -> acc + x)"
+        ).alias("rv"),
+        F.expr(
+            f"{_PI2}D * aggregate("
+            "  transform(sequence(2, size(rs)),"
+            "            i -> abs(element_at(rs, i))"
+            "                 * abs(element_at(rs, i - 1))),"
+            "  0D, (acc, x) -> acc + x)"
+        ).alias("bv"),
+    )
+    return _round_step(
+        folds.withColumn("jv", F.greatest(F.col("rv") - F.col("bv"), F.lit(0.0)))
+        .withColumn("js", F.col("jv") / F.nullif(F.col("rv"), F.lit(0.0))),
+        ["user_id", "day", "n_ret"],
+        [
+            ("rv", F.col("rv"), "r6s"),
+            ("bv", F.col("bv"), "r6s"),
+            ("jump_var", F.col("jv"), "r6s"),
+            ("jump_share", F.col("js"), "r6s"),
+        ],
+    )
