@@ -576,3 +576,133 @@ def mm09_routed_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         width.alias("width"),
         height.alias("height"),
     )
+
+
+@register(
+    "mm10_wav_header_parse",
+    # WAV/RIFF metadata sniff (round 9) — the audio sibling of mm06/mm08
+    # and a genuinely DIFFERENT parse: RIFF is LITTLE-endian (PNG/JPEG
+    # are big-endian), chunks are WORD-ALIGNED (an odd-sized chunk is
+    # followed by a pad byte the walk must skip), and the fmt chunk sits
+    # behind a variable-length LIST/INFO chunk so fixed-offset "parsing"
+    # cannot pass. Each row builds a genuine RIFF stream — "RIFF"
+    # [le32 size] "WAVE", a LIST chunk whose length varies with doc_id
+    # (odd lengths exercise the pad rule), the 16-byte PCM fmt chunk
+    # (tag/channels/rate/byte-rate/block-align/bits), and a data chunk —
+    # then walks it with a bounded 3-iteration fold reading 4-byte ids
+    # and le32 sizes, advancing size + size%2. Pure whole-stage-codegen
+    # byte arithmetic (hex/unhex/substr/conv), no Python, no shuffle; at
+    # 100 TB this reads ~60 header bytes per clip, never the payload.
+    # The oracle recomputes every field from doc_id arithmetic, so an
+    # error in packing OR the walk (endianness, pad skip, field offsets)
+    # breaks the hash.
+    oracle="""
+    SELECT doc_id,
+           CAST(56 + doc_id % 13 + (doc_id % 13) % 2 AS BIGINT) AS wav_len,
+           CAST(3 AS BIGINT)                        AS n_chunks,
+           CAST(1 AS BIGINT)                        AS audio_format,
+           CAST(1 + doc_id % 2 AS BIGINT)           AS channels,
+           CAST(8000 * (1 + doc_id % 5) AS BIGINT)  AS sample_rate,
+           CAST(8000 * (1 + doc_id % 5)
+                * (1 + doc_id % 2) * 2 AS BIGINT)   AS byte_rate,
+           CAST((1 + doc_id % 2) * 2 AS BIGINT)     AS block_align,
+           CAST(16 AS BIGINT)                       AS bits_per_sample,
+           CAST(4 AS BIGINT)                        AS data_size
+    FROM documents
+    """,
+)
+def mm10_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def le_bytes(col, n):
+        # Little-endian byte packing: lowest byte first (the mirror of
+        # mm06's be32 helper).
+        parts = []
+        for i in range(n):
+            b = (col / F.lit(256 ** i)).cast("long") % 256
+            parts.append(F.unhex(F.lpad(F.hex(b), 2, "0")))
+        return F.concat(*parts)
+
+    chans = F.lit(1) + F.col("doc_id") % 2
+    rate = F.lit(8000) * (F.lit(1) + F.col("doc_id") % 5)
+    block = chans * 2
+    brate = rate * block
+    info_n = F.col("doc_id") % 13
+    pad = info_n % 2
+    # total = 12 (RIFF hdr) + 8 + info + pad (LIST) + 24 (fmt) + 12 (data)
+    riff_size = F.lit(48) + info_n + pad  # file length - 8
+    wav = F.concat(
+        F.lit(b"RIFF"), le_bytes(riff_size, 4), F.lit(b"WAVE"),
+        F.lit(b"LIST"), le_bytes(info_n, 4),
+        F.expr("repeat('i', CAST(doc_id % 13 AS INT))").cast("binary"),
+        F.when(pad == 1, F.lit(b"\x00")).otherwise(F.lit(b"")),  # word align
+        F.lit(b"fmt "), le_bytes(F.lit(16), 4),
+        le_bytes(F.lit(1), 2),       # PCM tag
+        le_bytes(chans, 2),
+        le_bytes(rate, 4),
+        le_bytes(brate, 4),
+        le_bytes(block, 2),
+        le_bytes(F.lit(16), 2),      # bits/sample
+        F.lit(b"data"), le_bytes(F.lit(4), 4), F.lit(bytes(4)),
+    )
+    built = docs.select("doc_id", wav.alias("wav"))
+
+    def byte_at(off):
+        return F.conv(F.hex(F.col("wav").substr(off, F.lit(1))), 16, 10).cast(
+            "long"
+        )
+
+    def le16_at(off):
+        return byte_at(off) + F.lit(256) * byte_at(off + 1)
+
+    def le32_at(off):
+        return (
+            byte_at(off)
+            + F.lit(256) * byte_at(off + 1)
+            + F.lit(65536) * byte_at(off + 2)
+            + F.lit(16777216) * byte_at(off + 3)
+        )
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(13).cast("long").alias("off"),   # first chunk after RIFF hdr
+        null_l.alias("fmt_tag"), null_l.alias("chans"), null_l.alias("rate"),
+        null_l.alias("brate"), null_l.alias("block"), null_l.alias("bits"),
+        null_l.alias("dsize"), F.lit(0).cast("long").alias("nch"),
+    )
+
+    def step(acc, _i):
+        past_end = acc["off"] + 7 > F.length("wav")
+        cid = F.col("wav").substr(acc["off"].cast("int"), F.lit(4))
+        size = le32_at(acc["off"] + 4)  # le32 chunk size after the 4-byte id
+        is_fmt = cid == F.lit(b"fmt ")
+        is_data = cid == F.lit(b"data")
+        body = acc["off"] + 8
+        nxt = acc["off"] + 8 + size + size % 2  # WORD-ALIGN advance
+        return F.when(past_end, acc).otherwise(
+            F.struct(
+                nxt.alias("off"),
+                F.when(is_fmt, le16_at(body)).otherwise(acc["fmt_tag"]).alias("fmt_tag"),
+                F.when(is_fmt, le16_at(body + 2)).otherwise(acc["chans"]).alias("chans"),
+                F.when(is_fmt, le32_at(body + 4)).otherwise(acc["rate"]).alias("rate"),
+                F.when(is_fmt, le32_at(body + 8)).otherwise(acc["brate"]).alias("brate"),
+                F.when(is_fmt, le16_at(body + 12)).otherwise(acc["block"]).alias("block"),
+                F.when(is_fmt, le16_at(body + 14)).otherwise(acc["bits"]).alias("bits"),
+                F.when(is_data, size).otherwise(acc["dsize"]).alias("dsize"),
+                (acc["nch"] + 1).alias("nch"),
+            )
+        )
+
+    parsed = F.aggregate(F.sequence(F.lit(1), F.lit(4)), init, step)
+    return built.select(
+        "doc_id",
+        F.length("wav").cast("bigint").alias("wav_len"),
+        parsed["nch"].alias("n_chunks"),
+        parsed["fmt_tag"].alias("audio_format"),
+        parsed["chans"].alias("channels"),
+        parsed["rate"].alias("sample_rate"),
+        parsed["brate"].alias("byte_rate"),
+        parsed["block"].alias("block_align"),
+        parsed["bits"].alias("bits_per_sample"),
+        parsed["dsize"].alias("data_size"),
+    )

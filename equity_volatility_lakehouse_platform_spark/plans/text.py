@@ -1035,3 +1035,111 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams", "n_hapax_bigrams",
         r6(F.col("_nll") - F.signum("_nll") * F.lit(1e-9)).alias("avg_neg_ll"),
     )
+
+
+@register(
+    "t16_gopher_quality_gates",
+    # The Gopher rule BATTERY (Rae et al. 2021, §A1.1) as per-rule
+    # boolean gates — the filter configuration every LLM corpus pipeline
+    # starts from, complementing t02's continuous score and t06's
+    # repetition stats with the actual pass/fail surface downstream
+    # filters push down on. Every rule is INTEGER arithmetic
+    # (cross-multiplied thresholds — 5*n_alpha >= 4*n_tok instead of
+    # n_alpha/n_tok >= 0.8) so no float boundary can split the engines.
+    # All six rules are list-scalar expressions over one tokenization —
+    # ONE map stage, zero shuffle, rules evaluate in the scan's own
+    # partitions at any corpus size. Constant-true rules on this
+    # synthetic corpus (alpha, symbol) are still exercised end-to-end:
+    # the hash covers their columns, and the varying rules (word count,
+    # mean word length, stopword presence, duplicate ratio) vary row by
+    # row.
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(tok) AS n_tok,
+             COALESCE(list_sum(list_transform(tok, x -> length(x))), 0)
+               AS sum_len,
+             len(list_filter(tok, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+             len(list_filter(tok, x -> contains(x, '#')
+                                       OR contains(x, '...'))) AS n_sym,
+             len(list_filter(list_distinct(tok),
+                             x -> x IN ({_lex_sql('en')}))) AS n_stop,
+             len(list_distinct(tok)) AS n_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           n_tok >= 50 AND n_tok <= 100000            AS r_word_count,
+           sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok AS r_mean_word_len,
+           5 * n_alpha >= 4 * n_tok                   AS r_alpha_fraction,
+           10 * n_sym <= n_tok                        AS r_symbol_ratio,
+           n_stop >= 2                                AS r_stopwords,
+           2 * n_distinct >= n_tok                    AS r_dup_ratio,
+           CAST((CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 0 ELSE 1 END)
+              + (CASE WHEN sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+                      THEN 0 ELSE 1 END)
+              + (CASE WHEN 5 * n_alpha >= 4 * n_tok THEN 0 ELSE 1 END)
+              + (CASE WHEN 10 * n_sym <= n_tok THEN 0 ELSE 1 END)
+              + (CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END)
+              + (CASE WHEN 2 * n_distinct >= n_tok THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_failed,
+           n_tok >= 50 AND n_tok <= 100000
+             AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+             AND 5 * n_alpha >= 4 * n_tok
+             AND 10 * n_sym <= n_tok
+             AND n_stop >= 2
+             AND 2 * n_distinct >= n_tok              AS passes
+    FROM m
+    """,
+)
+def t16_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    # Tokenize ONCE (t02's layering rule), then integer counters, then
+    # the gates over plain refs.
+    m = docs.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(tok, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("bigint").alias("sum_len"),
+        F.size(F.filter(tok, lambda x: x.rlike("^[a-z]+$"))).cast(
+            "bigint"
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
+        ).cast("bigint").alias("n_sym"),
+        F.size(
+            F.array_intersect(tok, F.lit(list(_LEX["en"])).cast("array<string>"))
+        ).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
+    )
+    gates = {
+        "r_word_count": (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000),
+        "r_mean_word_len": (F.col("sum_len") >= 3 * F.col("n_tok"))
+        & (F.col("sum_len") <= 10 * F.col("n_tok")),
+        "r_alpha_fraction": 5 * F.col("n_alpha") >= 4 * F.col("n_tok"),
+        "r_symbol_ratio": 10 * F.col("n_sym") <= F.col("n_tok"),
+        "r_stopwords": F.col("n_stop") >= 2,
+        "r_dup_ratio": 2 * F.col("n_distinct") >= F.col("n_tok"),
+    }
+    flagged = m.select(
+        "doc_id", "n_tok", *[c.alias(n) for n, c in gates.items()]
+    )
+    n_failed = sum(
+        F.when(F.col(n), 0).otherwise(1) for n in gates
+    ).cast("bigint")
+    passes = F.lit(True)
+    for n in gates:
+        passes = passes & F.col(n)
+    return flagged.select(
+        "doc_id", "n_tok", *gates.keys(),
+        n_failed.alias("n_failed"), passes.alias("passes"),
+    )
