@@ -1676,3 +1676,170 @@ def _sim09_oracle() -> str:
 from equity_volatility_lakehouse_platform_spark.plans import registry as _simreg  # noqa: E402
 
 _simreg.set_oracle("sim09_ivfadc_recall", _sim09_oracle())
+
+
+@register(
+    "sim10_mmr_diversify",
+    # Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    # DIVERSIFIED re-rank every retrieval stack runs on top of its ANN
+    # shortlist (dedup-adjacent: near-identical hits crowd out coverage).
+    # Inherently SEQUENTIAL: pick the most relevant candidate, then k-1
+    # times pick argmax of 0.7*rel(d) - 0.3*max_{s in S} sim(d, s) over
+    # the not-yet-selected (ties -> lowest vec_id). Spark side: the
+    # JVM folds compute rel (query-candidate cosine) and the candidate-
+    # pairwise cosines; the per-query selection loop runs in a grouped
+    # Arrow kernel over the BOUNDED shortlist (10 candidates, 90 pair
+    # rows per query — at 100 TB the shortlist is capped by the ANN
+    # stage, so MMR cost is O(k * shortlist) per query regardless of
+    # corpus). Oracle: the identical selection as a DuckDB RECURSIVE CTE
+    # carrying the selected list (the d15/f19 recursive-oracle device) —
+    # both engines compare bit-identical doubles (0.7*rel - 0.3*maxsim,
+    # same op order), so the picks agree exactly.
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3
+    ), cand AS (
+      SELECT q_id, vec_id, rel, v FROM (
+        SELECT q.q_id, e.vec_id, e.v,
+               list_dot_product(q.qv, e.v)
+                 / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v)), 0) AS rel,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 list_dot_product(q.qv, e.v)
+                   / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.v, e.v)), 0) DESC,
+                 e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 10
+    ), pairs AS (
+      SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0) AS s
+      FROM cand a JOIN cand b
+        ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+    ), sel AS (
+      SELECT q_id, 1 AS step, [vec_id] AS selected, vec_id, rel AS score
+      FROM (SELECT q_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1
+      UNION ALL
+      SELECT q_id, step + 1, list_append(selected, vec_id), vec_id, score
+      FROM (
+        SELECT s.q_id, s.step, s.selected, r.vec_id,
+               0.7 * r.rel - 0.3 * (
+                 SELECT max(p.s) FROM pairs p
+                 WHERE p.q_id = s.q_id AND p.a = r.vec_id
+                   AND list_contains(s.selected, p.b)) AS score,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY
+                 0.7 * r.rel - 0.3 * (
+                   SELECT max(p.s) FROM pairs p
+                   WHERE p.q_id = s.q_id AND p.a = r.vec_id
+                     AND list_contains(s.selected, p.b)) DESC,
+                 r.vec_id) AS rn
+        FROM sel s JOIN cand r ON r.q_id = s.q_id
+          AND NOT list_contains(s.selected, r.vec_id)
+        WHERE s.step < 5
+      ) WHERE rn = 1
+    )
+    SELECT q_id, CAST(step AS BIGINT) AS rank, vec_id,
+           (ROUND(score, 6) + 0.0) AS mmr_score
+    FROM sel
+    """,
+)
+def sim10_mmr_diversify(
+    spark: SparkSession,
+    sf_dir: str,
+    shortlist: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    # NOTE: mu is passed explicitly rather than derived as 1 - lam —
+    # 1.0 - 0.7 is NOT the double literal 0.3 (it is 0.300...04), and
+    # the oracle's 0.3 must be mirrored bit-exactly.
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    rel = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", rel.alias("rel"), "v")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= shortlist)
+        .drop("rn")
+    )
+    # Candidate-pairwise cosines: shortlist^2 rows per query, computed
+    # by the same JVM fold — the MMR input is tiny by construction.
+    a = cand.select(
+        "q_id", F.col("vec_id").alias("a_id"), F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"),
+    )
+    b = cand.select(
+        F.col("q_id").alias("qb"), F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+    )
+    s_ab = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))),
+        F.lit(0.0),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("qb") == F.col("q_id")) & (F.col("b_id") != F.col("a_id")),
+        )
+        .select("q_id", "a_id", "rel_a", "b_id", s_ab.alias("s_ab"))
+    )
+
+    def _mmr(pdf):
+        import pandas as pd
+
+        out = []
+        q_id = int(pdf["q_id"].iloc[0])
+        rel_by = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel_by[int(r.a_id)] = float(r.rel_a)
+            sim[(int(r.a_id), int(r.b_id))] = float(r.s_ab)
+        ids = sorted(rel_by)
+        # Step 1: pure relevance (ties -> lowest id via ascending scan
+        # with strict >).
+        best, best_sc = None, None
+        for d in ids:
+            if best is None or rel_by[d] > best_sc:
+                best, best_sc = d, rel_by[d]
+        sel = [best]
+        out.append((q_id, 1, best, best_sc))
+        while len(sel) < k and len(sel) < len(ids):
+            best, best_sc = None, None
+            for d in ids:
+                if d in sel:
+                    continue
+                mx = max(sim[(d, s)] for s in sel)
+                sc = lam * rel_by[d] - mu * mx  # same op order as SQL
+                if best is None or sc > best_sc:
+                    best, best_sc = d, sc
+            sel.append(best)
+            out.append((q_id, len(sel), best, best_sc))
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "vec_id", "score"]
+        )
+
+    picked = pairs.groupBy("q_id").applyInPandas(
+        _mmr, "q_id bigint, rank bigint, vec_id bigint, score double"
+    )
+    return picked.select(
+        "q_id", "rank", "vec_id", r6("score").alias("mmr_score")
+    )
