@@ -646,3 +646,117 @@ def f24_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ret").alias("n_obs"),
         r6s(F.avg(F.col("ret") - F.col("mean_ret"))).alias("avg_abnormal_ret"),
     )
+
+
+@register(
+    "f25_cross_sectional_zrank",
+    # Cross-sectional neutralization — the canonical alpha-factor
+    # transform (rank/z-score each day's returns ACROSS symbols, not
+    # along time): every w-query windows WITHIN a symbol; factor models
+    # need the TRANSPOSE, per-day stats over the symbol axis. Two
+    # inherent shuffles (by symbol for the lag, by day for the cross
+    # section — the axis flip is the cost, same as any factor pipeline);
+    # the per-day moments are ORDERED folds over the day's return list
+    # (by user_id) so both engines sum the identical sequence, and the
+    # tiny per-day stats table broadcasts back onto the rows. Rank ties
+    # break on user_id; z uses the sample std (n-1), days with a single
+    # cross-sectional observation are dropped.
+    oracle=DAILY_CTE + f"""
+    , rets AS (
+      SELECT user_id, day,
+             close / NULLIF(lag(close) OVER {W}, 0) - 1 AS ret
+      FROM daily
+    ), r2 AS (
+      SELECT * FROM rets WHERE ret IS NOT NULL
+    ), ds AS (
+      SELECT day, list(ret ORDER BY user_id) AS lst, count(*) AS n
+      FROM r2 GROUP BY day HAVING count(*) >= 2
+    ), st AS (
+      SELECT day, n, lst,
+             list_reduce(lst, (a, b) -> a + b) / n AS mu
+      FROM ds
+    ), st2 AS (
+      SELECT day, n, mu,
+             sqrt(list_reduce(list_transform(lst, x -> (x - mu) * (x - mu)),
+                              (a, b) -> a + b) / (n - 1)) AS sd
+      FROM st
+    ), ranked AS (
+      SELECT r.user_id, r.day, r.ret, s.n, s.mu, s.sd,
+             row_number() OVER (PARTITION BY r.day
+                                ORDER BY r.ret, r.user_id) AS rk
+      FROM r2 r JOIN st2 s USING (day)
+    )
+    SELECT user_id, day,
+           (ROUND(ret - sign(ret) * 0.000000001, 6) + 0.0) AS ret,
+           CAST(rk AS BIGINT) AS cs_rank,
+           CAST(n AS BIGINT) AS cs_n,
+           (ROUND((ret - mu) / NULLIF(sd, 0)
+                  - sign((ret - mu) / NULLIF(sd, 0)) * 0.000000001, 6)
+            + 0.0) AS cs_z,
+           (ROUND((rk - 1) * 1.0 / (n - 1)
+                  - sign((rk - 1) * 1.0 / (n - 1)) * 0.000000001, 6)
+            + 0.0) AS cs_pct_rank
+    FROM ranked
+    """,
+)
+def f25_cross_sectional_zrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("day")
+    rets = (
+        daily.select(
+            "user_id", "day",
+            (
+                F.col("close") / F.nullif(F.lag("close").over(wu), F.lit(0.0))
+                - 1
+            ).alias("ret"),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    ds = (
+        rets.groupBy("day")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("user_id", "ret"))).alias(
+                "pairs"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("day", "n", F.expr("transform(pairs, e -> e.ret)").alias("lst"))
+    )
+    st = ds.select(
+        "day", "n", "lst",
+        F.expr("aggregate(lst, 0D, (a, b) -> a + b)").alias("_sum"),
+    ).select("day", "n", "lst", (F.col("_sum") / F.col("n")).alias("mu"))
+    st2 = st.select(
+        "day", "n", "mu",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(lst, x -> (x - mu) * (x - mu)),"
+                " 0D, (a, b) -> a + b)"
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    wd = Window.partitionBy("day").orderBy("ret", "user_id")
+    ranked = (
+        rets.join(F.broadcast(st2), "day")
+        .withColumn("rk", F.row_number().over(wd))
+    )
+    out = ranked.select(
+        "user_id", "day", "ret",
+        F.col("rk").cast("bigint").alias("cs_rank"),
+        F.col("n").cast("bigint").alias("cs_n"),
+        ((F.col("ret") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))).alias(
+            "_z"
+        ),
+        ((F.col("rk") - 1) * 1.0 / (F.col("n") - 1)).alias("_pr"),
+    )
+    return out.select(
+        "user_id", "day",
+        r6s("ret").alias("ret"),
+        "cs_rank", "cs_n",
+        r6s("_z").alias("cs_z"),
+        r6s("_pr").alias("cs_pct_rank"),
+    )

@@ -662,3 +662,75 @@ def ml16_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_docs", "n_kept", "kept_doc_id_sum")
     )
+
+
+@register(
+    "ml18_random_projection",
+    # Johnson-Lindenstrauss random projection (64 -> 8 dims) — the
+    # standard cheap dimensionality reduction run before clustering /
+    # ANN indexing when the native embedding is wide. The projection
+    # matrix is DETERMINISTIC pseudo-random (r_j[i] = sin(i * (100 + j)),
+    # the sim02 hyperplane device with an offset family so it shares no
+    # plane with the LSH queries) — reproducible in any engine with no
+    # shared RNG. Each output dim is one ordered left-fold dot product
+    # (zip_with/aggregate == list_dot_product), so the projections are
+    # bit-identical cross-engine; norm_ratio audits the JL property
+    # (projected norm * sqrt(d/k) over original norm ~= 1) per vector.
+    # Map-only: zero shuffle at any corpus size.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+      SELECT vec_id, v,
+             [list_dot_product(v, list_transform(range(1, 65),
+                  i -> sin(i * (100.0 + j)))) FOR j IN range(1, 9)] AS y
+      FROM e
+    )
+    SELECT vec_id,
+    """
+    + ",\n".join(
+        f"""       (ROUND(y[{j}] - sign(y[{j}]) * 0.000000001, 6) + 0.0)
+             AS y{j}"""
+        for j in range(1, 9)
+    )
+    + """,
+           (ROUND(sqrt(list_dot_product(y, y) * 8.0)
+                    / NULLIF(sqrt(list_dot_product(v, v)), 0)
+                  - sign(sqrt(list_dot_product(y, y) * 8.0)
+                         / NULLIF(sqrt(list_dot_product(v, v)), 0))
+                    * 0.000000001, 6) + 0.0) AS norm_ratio
+    FROM p
+    """,
+)
+def ml18_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        dot,
+    )
+
+    emb = _emb(spark, sf_dir)
+
+    def proj(j: int):
+        weights = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(i.cast("double") * (100.0 + j)),
+        )
+        return dot(F.col("v"), weights)
+
+    p = emb.select(
+        "vec_id", "v",
+        F.array(*[proj(j) for j in range(1, 9)]).alias("y"),
+    )
+    raw = p.select(
+        "vec_id",
+        *[F.get(F.col("y"), j - 1).alias(f"y{j}") for j in range(1, 9)],
+        (
+            F.sqrt(dot(F.col("y"), F.col("y")) * 8.0)
+            / F.nullif(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0))
+        ).alias("norm_ratio"),
+    )
+    return raw.select(
+        "vec_id",
+        *[r6s(f"y{j}").alias(f"y{j}") for j in range(1, 9)],
+        r6s("norm_ratio").alias("norm_ratio"),
+    )
