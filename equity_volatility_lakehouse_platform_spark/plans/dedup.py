@@ -1418,25 +1418,43 @@ def d17_semantic_dedup(
         V = np.stack(pdf["v"].to_numpy())           # (n, D)
         nv = pdf["nv"].to_numpy()
         n, D = V.shape
+        # RUNTIME GUARD (the skew_guard philosophy — fail loud with the
+        # mitigation, never hang): the epsilon-ball prune is O(n^2) per
+        # cluster BY DESIGN (SemDeDup's tractability comes from K
+        # scaling with the corpus, ~sqrt(N), keeping clusters bounded).
+        # A cluster past the bound means K is under-provisioned for the
+        # corpus — raising K is the fix, not a bigger kernel.
+        if n > 16384:
+            raise ValueError(
+                f"d17_semantic_dedup: cluster of {n} vectors exceeds the "
+                "16384 pairwise-prune bound; raise n_centroids (SemDeDup "
+                "scales K ~ sqrt(corpus)) so clusters stay memory-sized"
+            )
         # Dimension-sequential accumulation: G[i,j] folds sum_d v_i[d] *
         # v_j[d] in ascending d — the exact left-fold sequence of
         # list_dot_product / the JVM aggregate (same recipe as
-        # ivf_assign/pq_encode).
-        G = np.outer(V[:, 0], V[:, 0])
-        for d in range(1, D):
-            G = G + np.outer(V[:, d], V[:, d])
-        den = np.outer(nv, nv)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(den == 0.0, np.nan, G / den)
-        tril = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i only
-        cos = np.where(tril, cos, np.nan)
-        # max over lower-id comparable mates; all-NaN row -> NaN (the
-        # first vector of each cluster; mapped to NULL JVM-side).
-        with np.errstate(invalid="ignore"):
-            mx = np.nanmax(
-                np.where(np.isnan(cos), -np.inf, cos), axis=1
-            )
-        mx = np.where(np.isinf(mx), np.nan, mx)
+        # ivf_assign/pq_encode). BLOCKWISE over i-rows so peak memory is
+        # O(block * n), not O(n^2).
+        mx = np.full(n, np.nan)
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            Vb = V[lo:hi]
+            G = np.outer(Vb[:, 0], V[:, 0])
+            for d in range(1, D):
+                G = G + np.outer(Vb[:, d], V[:, d])
+            den = np.outer(nv[lo:hi], nv)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, np.nan, G / den)
+            # j < i only: mask columns >= the row's global index.
+            cols = np.arange(n)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            cos = np.where(cols < rows, cos, np.nan)
+            with np.errstate(invalid="ignore"):
+                m = np.nanmax(
+                    np.where(np.isnan(cos), -np.inf, cos), axis=1
+                )
+            mx[lo:hi] = np.where(np.isinf(m), np.nan, m)
         return pd.DataFrame(
             {"vec_id": pdf["vec_id"], "cid": pdf["cid"], "mx": mx}
         )

@@ -703,34 +703,85 @@ def ml16_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ml18_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
-        _emb,
-        dot,
-    )
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import _emb
 
     emb = _emb(spark, sf_dir)
 
-    def proj(j: int):
-        weights = F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.sin(i.cast("double") * (100.0 + j)),
+    # Arrow-batched kernel (round-9 spot fix, two iterations deep): the
+    # first cut's transform+aggregate HOF folds ran INTERPRETED (the
+    # SCALE.md gotcha; 41.8x wall at 100x data for a map-only plan), and
+    # unrolling 8 x 64-term expression chains blew past HugeMethodLimit
+    # so codegen silently fell back to interpretation too (12.8x). The
+    # projection is a genuinely NUMERIC kernel — exactly the ivf_assign/
+    # pq_encode situation — so it takes the same recipe: the 8 x 64
+    # sin-weight matrix is evaluated ONCE on the JVM (F.sin over
+    # literals — the identical Math.sin doubles the oracle was verified
+    # against), closed over, and each Arrow batch accumulates
+    # DIMENSION-SEQUENTIALLY (acc = acc + V[:, i] * w[j, i], i
+    # ascending) — vectorized across rows with the per-row add sequence
+    # identical to list_dot_product's left fold. np.sqrt and the final
+    # division are single correctly-rounded IEEE ops on both engines.
+    wrow = (
+        spark.range(1)
+        .select(
+            *[
+                F.array(
+                    *[
+                        F.sin(F.lit(float(i) * (100 + j)))
+                        for i in range(1, 65)
+                    ]
+                ).alias(f"w{j}")
+                for j in range(1, 9)
+            ]
         )
-        return dot(F.col("v"), weights)
-
-    p = emb.select(
-        "vec_id", "v",
-        F.array(*[proj(j) for j in range(1, 9)]).alias("y"),
+        .first()
     )
-    raw = p.select(
-        "vec_id",
-        *[F.get(F.col("y"), j - 1).alias(f"y{j}") for j in range(1, 9)],
-        (
-            F.sqrt(dot(F.col("y"), F.col("y")) * 8.0)
-            / F.nullif(F.sqrt(dot(F.col("v"), F.col("v"))), F.lit(0.0))
-        ).alias("norm_ratio"),
+    w_mat = [list(wrow[f"w{j}"]) for j in range(1, 9)]
+
+    def _project(batches):
+        import numpy as np
+        import pandas as pd
+
+        W = np.array(w_mat)  # (8, 64)
+        K, D = W.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())  # (n, 64)
+            Y = np.empty((len(V), K))
+            for j in range(K):
+                acc = V[:, 0] * W[j, 0]
+                for i in range(1, D):
+                    acc = acc + V[:, i] * W[j, i]  # left-fold order
+                Y[:, j] = acc
+            dot_y = Y[:, 0] * Y[:, 0]
+            for j in range(1, K):
+                dot_y = dot_y + Y[:, j] * Y[:, j]
+            dot_v = V[:, 0] * V[:, 0]
+            for i in range(1, D):
+                dot_v = dot_v + V[:, i] * V[:, i]
+            den = np.sqrt(dot_v)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(
+                    den == 0.0, np.nan, np.sqrt(dot_y * 8.0) / den
+                )
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(K):
+                out[f"y{j + 1}"] = Y[:, j]
+            out["norm_ratio"] = ratio
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id bigint, "
+        + ", ".join(f"y{j} double" for j in range(1, 9))
+        + ", norm_ratio double"
+    )
+    raw = emb.select("vec_id", "v").mapInPandas(_project, schema)
+    nr = F.when(F.isnan("norm_ratio"), F.lit(None)).otherwise(
+        F.col("norm_ratio")
     )
     return raw.select(
         "vec_id",
         *[r6s(f"y{j}").alias(f"y{j}") for j in range(1, 9)],
-        r6s("norm_ratio").alias("norm_ratio"),
+        r6s(nr).alias("norm_ratio"),
     )

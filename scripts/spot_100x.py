@@ -51,6 +51,18 @@ QUERIES = [
     "sim06_pq_ann_topk",
     "sim08_ivfadc_topk",
     "d16_curation_dag",
+    # round-9 additions. d17_semantic_dedup is deliberately NOT here:
+    # its per-cluster pairwise prune is O(n^2) by design and the fixed
+    # K=4 oracle fixture under-provisions clusters at 100x — the kernel
+    # raises its cluster-size guard (16384) with the SemDeDup fix
+    # (K ~ sqrt(corpus)). Logged per the no-silent-caps rule; SCALE.md
+    # round-9 addendum carries the story.
+    "w36_bipower_jump",
+    "f25_cross_sectional_zrank",
+    "sim10_mmr_diversify",
+    "ml18_random_projection",
+    "t16_gopher_quality_gates",
+    "mm10_wav_header_parse",
 ]
 
 
