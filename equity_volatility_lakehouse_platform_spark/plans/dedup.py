@@ -1483,3 +1483,102 @@ def _d17_oracle() -> str:
 
 
 _reg.set_oracle("d17_semantic_dedup", _d17_oracle())
+
+
+@register(
+    "d18_cdc_chunk_dedup",
+    # CONTENT-DEFINED chunking dedup (round 9) — the shift-robust
+    # complement to d14's fixed 16-token chunks: d14's boundaries move
+    # when a single token is inserted upstream (every later chunk
+    # changes, dedup misses), CDC boundaries are a function of CONTENT
+    # (cut before any token whose hash % 8 == 0, the Gear/Rabin
+    # breakpoint rule at expected chunk ~8 tokens), so an insertion
+    # perturbs only the chunk it lands in. Same cross-engine md5-prefix
+    # hash as the MinHash family, so every stage is oracle-checkable.
+    # Cost shape vs d14: CDC pays one extra regroup round (the running
+    # breakpoint count needs token order — window by doc, then
+    # (doc, chunk) roll-up) before the SAME global machinery: one
+    # shuffle keyed on the 128-bit chunk digest for first-occurrence,
+    # reassembly bounded by output size. All stages per-doc or
+    # per-chunk — nothing global beyond the digest key.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+      FROM t
+    ), flg AS (
+      SELECT doc_id, i, tok[i] AS tk,
+             CASE WHEN CAST(('0x' || substr(md5(tok[i]), 1, 15)) AS BIGINT)
+                       % 8 = 0
+                  THEN 1 ELSE 0 END AS brk
+      FROM c
+    ), chn AS (
+      SELECT doc_id, i, tk,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS ci
+      FROM flg
+    ), ch AS (
+      SELECT doc_id, ci, string_agg(tk, ' ' ORDER BY i) AS chunk_text
+      FROM chn GROUP BY doc_id, ci
+    ), r AS (
+      SELECT doc_id, ci, chunk_text,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, ci) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)         AS n_chunks,
+           CAST(count_if(rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+                               ' ' ORDER BY ci), '') AS dedup_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def d18_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("tok"))
+    flg = t.select(
+        "doc_id",
+        F.posexplode("tok").alias("pos", "tk"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        "tk",
+        F.when(tx.token_hash(F.col("tk")) % 8 == 0, 1).otherwise(0).alias(
+            "brk"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    chn = flg.select(
+        "doc_id", "i", "tk", F.sum("brk").over(wdoc).alias("ci")
+    )
+    ch = (
+        chn.groupBy("doc_id", "ci")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "tk"))).alias("lst"))
+        .select(
+            "doc_id", "ci",
+            F.array_join(
+                F.expr("transform(lst, e -> e.tk)"), " "
+            ).alias("chunk_text"),
+        )
+    )
+    wdig = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "ci")
+    ranked = ch.withColumn("rn", F.row_number().over(wdig))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(filter("
+                    "  collect_list(CASE WHEN rn = 1"
+                    "               THEN struct(ci, chunk_text) END),"
+                    "  x -> x IS NOT NULL)), e -> e.chunk_text)"
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
