@@ -649,3 +649,43 @@ def snk15_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never damages a retained snapshot.
     table.vacuum(retain_last=2)
     return fst.unionByName(_agg(table.read(), "post_vacuum"))
+
+
+@register(
+    "snk16_merge_delete_branch",
+    # Three-branch MERGE (Delta's WHEN MATCHED AND cond THEN DELETE /
+    # WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT) — the one
+    # MERGE clause snk09's upsert stops short of, and the shape every
+    # CDC-applying pipeline needs (a tombstone in the source deletes the
+    # target row in the SAME atomic commit as the updates). Source = the
+    # even-key orders with price+1; matched 'F' sources take the DELETE
+    # branch, other matched sources the UPDATE branch (no unmatched keys
+    # here — snk09 covers inserts). The oracle restates the final table:
+    # odd keys unchanged, even non-F keys price+1, even 'F' keys gone.
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col=
+               "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0 "
+               "ELSE o_totalprice END")} AS total_price
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    """,
+)
+def snk16_merge_delete_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evlp_snk16_") + "/orders_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(orders)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    table.merge_full(
+        source, ["o_orderkey"],
+        delete_condition=F.col("o_orderstatus") == "F",
+    )
+    return table.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money("o_totalprice").alias("total_price"),
+    )

@@ -339,9 +339,35 @@ class AcidTable:
     def merge_upsert(
         self, updates: DataFrame, keys: list[str], max_retries: int = 5
     ) -> int:
+        """Two-branch transactional MERGE (UPDATE matched / INSERT
+        unmatched). See ``merge_full`` for the three-branch form with a
+        WHEN MATCHED ... DELETE clause."""
+        return self.merge_full(
+            updates, keys, delete_condition=None, max_retries=max_retries,
+            _op="merge_upsert",
+        )
+
+    def merge_full(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        delete_condition: Column | None = None,
+        max_retries: int = 5,
+        _op: str = "merge",
+    ) -> int:
         """Full transactional MERGE (the Delta ``WHEN MATCHED THEN
         UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`` upsert — the op
-        ``merge_insert_only``'s DO-NOTHING semantics stop short of).
+        ``merge_insert_only``'s DO-NOTHING semantics stop short of),
+        optionally with the THIRD Delta branch: ``WHEN MATCHED AND
+        <delete_condition> THEN DELETE``. ``delete_condition`` is a
+        Column over the SOURCE row: matched targets whose source image
+        satisfies it are removed instead of updated; UNMATCHED source
+        rows satisfying it match no clause and are ignored (Delta's
+        documented semantics). Implementation: the copy-on-write probe/
+        rewrite removes ALL matched keys' old images; the landing batch
+        is the source MINUS its delete-flagged rows — update keys land
+        their new image, delete keys land nothing (= deleted), inserts
+        land fresh.
 
         Copy-on-write: a keys-only semi-join probe finds the files
         holding matched rows (column-pruned scan + the small key set;
@@ -358,6 +384,11 @@ class AcidTable:
         race the probe re-runs against the winner's snapshot. The source
         must match the table schema (no implicit evolution — use
         ``append`` for schema-widening loads)."""
+        landing = (
+            updates.filter(~delete_condition)
+            if delete_condition is not None
+            else updates
+        )
         dup = (
             updates.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -375,7 +406,7 @@ class AcidTable:
             latest = self.latest_version()
             if latest is None:
                 try:
-                    return self._commit_loop("merge_upsert", updates, lambda b: b, 1)
+                    return self._commit_loop(_op, landing, lambda b: b, 1)
                 except CommitConflict:
                     continue
             manifest = self._manifest(latest)
@@ -420,18 +451,18 @@ class AcidTable:
                     .join(key_df, keys, "left_anti")
                 )
                 new_files += self._write_data(survivors)
-            new_files += self._write_data(updates)
+            new_files += self._write_data(landing)
             try:
                 self._try_commit(
                     latest + 1,
-                    "merge_upsert",
+                    _op,
                     kept + new_files,
                     manifest["schema"],
                 )
                 return latest + 1
             except CommitConflict:
                 continue  # recompute the affected set against the winner
-        raise CommitConflict(f"lost {max_retries} merge_upsert races on {self.root}")
+        raise CommitConflict(f"lost {max_retries} {_op} races on {self.root}")
 
     # ----------------------------------------------- copy-on-write DML --
     def _probe(self, manifest: dict, condition: Column) -> DataFrame:

@@ -758,3 +758,31 @@ def test_vacuum_retention_keeps_files_shared_with_retained(spark, orders, root):
     assert t.read().count() == orders.count()
     with pytest.raises(ValueError):
         t.vacuum(retain_last=0)
+
+
+def test_merge_full_delete_branch_semantics(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders)
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = evens.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    t.merge_full(src, ["o_orderkey"],
+                 delete_condition=F.col("o_orderstatus") == "F")
+    final = t.read()
+    # Matched 'F' sources deleted; matched others updated; odd untouched.
+    n_even_f = evens.filter(F.col("o_orderstatus") == "F").count()
+    assert final.count() == orders.count() - n_even_f
+    assert final.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderstatus") == "F")
+    ).count() == 0
+    assert t.history()[-1]["op"] == "merge"
+
+
+def test_merge_full_unmatched_delete_rows_are_ignored(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.overwrite(orders.filter(F.col("o_orderkey") % 2 == 1))  # odds only
+    # Source: even keys (all unmatched), every row delete-flagged.
+    src = orders.filter(F.col("o_orderkey") % 2 == 0)
+    before = t.read().count()
+    t.merge_full(src, ["o_orderkey"], delete_condition=F.lit(True))
+    # No clause matches an unmatched delete row -> table unchanged.
+    assert t.read().count() == before
