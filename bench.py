@@ -60,6 +60,16 @@ EXTENDED = [
     "d16_curation_dag",
     "sim06_pq_ann_topk",
     "f19_event_segmentation",
+    # round 9: trained-coarse IVFADC, semantic/CDC dedup, the MMR
+    # re-rank, the jump decomposition, the cross-sectional transform,
+    # and the streaming CDC apply.
+    "sim08_ivfadc_topk",
+    "d17_semantic_dedup",
+    "d18_cdc_chunk_dedup",
+    "sim10_mmr_diversify",
+    "w36_bipower_jump",
+    "f25_cross_sectional_zrank",
+    "st21_stream_cdc_apply",
 ]
 
 

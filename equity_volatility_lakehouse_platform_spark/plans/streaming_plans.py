@@ -660,3 +660,30 @@ def st20_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_dlq_ingest_stream(spark, sf_dir)
+
+
+@register(
+    "st21_stream_cdc_apply",
+    # Streaming CDC apply with DELETE tombstones — the Debezium loop
+    # closing streaming x ACID x MERGE: each micro-batch's inserts,
+    # updates, and deletes land as ONE atomic commit via foreachBatch ->
+    # merge_full(tombstone_col). The two change batches are built to
+    # commute, so the file stream's discovery order cannot change the
+    # final snapshot, which the oracle states in closed form over the
+    # source table.
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           (ROUND(CASE WHEN event_id % 3 <> 2 AND event_id % 5 = 0
+                            AND event_type <> 'click'
+                       THEN value + 1.0 ELSE value END, 6) + 0.0) AS value
+    FROM events
+    WHERE NOT (event_id % 3 <> 2 AND event_id % 5 = 0
+               AND event_type = 'click')
+    """,
+)
+def st21_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_cdc_apply_stream,
+    )
+
+    return run_cdc_apply_stream(spark, sf_dir)

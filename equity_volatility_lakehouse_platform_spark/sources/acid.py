@@ -352,6 +352,7 @@ class AcidTable:
         updates: DataFrame,
         keys: list[str],
         delete_condition: Column | None = None,
+        tombstone_col: str | None = None,
         max_retries: int = 5,
         _op: str = "merge",
     ) -> int:
@@ -383,12 +384,30 @@ class AcidTable:
         one aggregate over the (small) source batch. On a lost commit
         race the probe re-runs against the winner's snapshot. The source
         must match the table schema (no implicit evolution — use
-        ``append`` for schema-widening loads)."""
+        ``append`` for schema-widening loads).
+
+        ``tombstone_col`` is the CDC-feed form of the delete branch: the
+        source carries a boolean flag column that is NOT part of the
+        table schema (Debezium's op='d', Delta CDF's _change_type).
+        Flagged rows delete their matched targets; the flag column is
+        dropped before the landing write and excluded from the schema
+        check. Mutually exclusive with ``delete_condition``."""
+        if tombstone_col is not None:
+            if delete_condition is not None:
+                raise ValueError(
+                    "pass either delete_condition or tombstone_col, not both"
+                )
+            delete_condition = F.col(tombstone_col).cast("boolean")
         landing = (
             updates.filter(~delete_condition)
             if delete_condition is not None
             else updates
         )
+        if tombstone_col is not None:
+            landing = landing.drop(tombstone_col)
+            schema_src = updates.drop(tombstone_col)
+        else:
+            schema_src = updates
         dup = (
             updates.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -412,7 +431,9 @@ class AcidTable:
             manifest = self._manifest(latest)
             schema = T._parse_datatype_string(manifest["schema"])
             table_fields = {f.name: f.dataType for f in schema.fields}
-            batch_fields = {f.name: f.dataType for f in updates.schema.fields}
+            batch_fields = {
+                f.name: f.dataType for f in schema_src.schema.fields
+            }
             if batch_fields != table_fields:
                 missing = sorted(set(table_fields) - set(batch_fields))
                 extra = sorted(set(batch_fields) - set(table_fields))

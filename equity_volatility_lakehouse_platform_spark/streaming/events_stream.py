@@ -911,3 +911,83 @@ def run_dlq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return summary.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply with DELETE tombstones (round 9): the
+    Debezium-shaped loop — a change stream whose records carry a
+    boolean ``_tombstone`` flag lands micro-batch by micro-batch through
+    ``foreachBatch -> AcidTable.merge_full(tombstone_col=...)``, so each
+    batch's inserts, updates, AND deletes commit as ONE atomic version.
+
+    Seed = the events with event_id % 3 != 2. The change stream carries
+    two files (maxFilesPerTrigger=1 -> two micro-batches), built to
+    COMMUTE so file-discovery order cannot matter:
+
+    * an INSERT batch: the % 3 == 2 events (unflagged);
+    * an ops batch over SEED keys with % 5 == 0: 'click' rows flagged
+      as tombstones (matched -> DELETE), the rest re-imaged with
+      value + 1.0 (matched -> UPDATE).
+
+    Final snapshot (the closed-form oracle): every event, minus the
+    seed-key % 5 == 0 clicks, with value + 1.0 on the surviving
+    seed-key % 5 == 0 rows."""
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    tmp_root = tempfile.mkdtemp(prefix="cdcstream_")
+    src_dir = os.path.join(tmp_root, "src")
+    try:
+        seed = events.filter(F.col("event_id") % 3 != 2)
+        table = AcidTable(spark, os.path.join(tmp_root, "table"))
+        table.overwrite(seed)
+        inserts = events.filter(F.col("event_id") % 3 == 2).withColumn(
+            "_tombstone", F.lit(False)
+        )
+        ops = (
+            events.filter(
+                (F.col("event_id") % 3 != 2) & (F.col("event_id") % 5 == 0)
+            )
+            .withColumn("_tombstone", F.col("event_type") == "click")
+            .withColumn(
+                "value",
+                F.when(
+                    F.col("event_type") == "click", F.col("value")
+                ).otherwise(F.col("value") + F.lit(1.0)),
+            )
+        )
+        inserts.coalesce(1).write.parquet(os.path.join(src_dir, "b0"))
+        ops.coalesce(1).write.parquet(os.path.join(src_dir, "b1"))
+        stream_schema = inserts.schema
+        s = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+
+        def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+            table.merge_full(
+                batch_df, keys=["event_id"], tombstone_col="_tombstone"
+            )
+
+        query = (
+            s.writeStream.foreachBatch(apply_cdc)
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return (
+            table.read()
+            .select(
+                "event_id", "user_id", "ts", "event_type",
+                r6(F.col("value")).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
