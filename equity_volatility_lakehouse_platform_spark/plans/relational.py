@@ -4223,3 +4223,57 @@ def j18_interval_overlap_join(
             F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
         ).cast("bigint").alias("overlap_seconds"),
     )
+
+
+@register(
+    "sc11_url_parse",
+    # URL parsing (round 9) — the scalar surface every web-corpus
+    # pipeline leans on (host-level dedup keys, path filters, tracking-
+    # param scrubs). Each row BUILDS a genuine URL from doc_id
+    # arithmetic (the mm06 device: the oracle recomputes every component
+    # arithmetically, so an error in either the construction or the
+    # parse breaks the hash), then parses it back JVM-side with
+    # parse_url (PROTOCOL/HOST/PATH/QUERY and a single-parameter
+    # extraction) — whole-stage codegen, no Python, no shuffle; at
+    # 100 TB this is a map stage over the crawl manifest.
+    oracle="""
+    SELECT doc_id,
+           'https' AS scheme,
+           'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+           '/p/' || CAST(doc_id % 7 AS VARCHAR) AS path,
+           'q=' || CAST(doc_id % 3 AS VARCHAR)
+               || '&page=' || CAST(doc_id % 5 AS VARCHAR) AS query,
+           CAST(doc_id % 5 AS VARCHAR) AS page_param,
+           CAST(doc_id % 50 AS BIGINT) AS host_key
+    FROM documents
+    """,
+)
+def sc11_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?q="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&page="),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    built = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return built.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
+        host.alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias(
+            "page_param"
+        ),
+        # The host-level dedup key: the numeric subdomain recovered FROM
+        # the parsed host (not from doc_id — the parse is the query).
+        F.regexp_extract(host, r"^h(\d+)\.", 1).cast("bigint").alias(
+            "host_key"
+        ),
+    )
