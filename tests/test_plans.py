@@ -383,3 +383,27 @@ def test_curation_dag_single_text_scan(spark, sf_dir):
     assert "documents.parquet" not in outer, (
         "a post-manifest stage re-scans raw text"
     )
+
+
+def test_round9_shuffle_budgets(spark, sf_dir):
+    # The numbers each round-9 plan's comment promises.
+    budgets = {
+        "w36_bipower_jump": 1,           # one (user, day) groupBy; folds are map-side
+        "w37_time_range_window": 1,      # one window sort (RANGE frame)
+        "t16_gopher_quality_gates": 0,   # list-scalar map stage
+        "mm10_wav_header_parse": 0,      # codegen byte walk
+        "sc11_url_parse": 0,             # codegen parse_url projection
+        "ml18_random_projection": 0,     # Arrow kernel in the scan's partitions
+        "d18_cdc_chunk_dedup": 4,        # doc window + chunk roll-up + digest window + reassembly
+    }
+    for name, budget in budgets.items():
+        n = _exchanges(_plan(spark, sf_dir, name))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_f25_day_stats_broadcast_back(spark, sf_dir):
+    # The per-day cross-sectional stats table must BROADCAST onto the
+    # return rows (it is tiny — one row per day); a shuffled join here
+    # would re-exchange the whole fact by day a second time.
+    plan = _plan(spark, sf_dir, "f25_cross_sectional_zrank")
+    assert "BroadcastHashJoin" in plan
