@@ -785,3 +785,107 @@ def ml18_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[r6s(f"y{j}").alias(f"y{j}") for j in range(1, 9)],
         r6s(nr).alias("norm_ratio"),
     )
+
+
+@register(
+    "ml19_purged_kfold",
+    # PURGED k-fold with embargo (Lopez de Prado, "Advances in
+    # Financial ML" ch.7) — the CV every financial-ML eval needs and
+    # random k-fold gets wrong: test folds are CONTIGUOUS day blocks
+    # (no look-ahead leakage through shuffled days), and train excludes
+    # an EMBARGO of E days around each test block so features whose
+    # windows span the boundary (every w-family feature) cannot leak
+    # test information into train. Complements ml03's rolling-origin
+    # splits (walk-forward) with the rotation structure, and ml07's
+    # near-dup-cluster split (identity leakage) with temporal leakage
+    # control. ALL integer day-index arithmetic — fold membership,
+    # block bounds, embargo bands, and the di-sum membership pins are
+    # exact on both engines; the tiny day table broadcasts everywhere.
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ), idx AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS di,
+             count(*) OVER () AS n
+      FROM days
+    ), folds AS (
+      SELECT unnest(range(5)) AS f
+    ), cls AS (
+      SELECT f.f, i.di,
+             ((i.di - 1) * 5) // i.n = f.f AS is_test,
+             (f.f * i.n + 4) // 5 + 1 AS lo,
+             ((f.f + 1) * i.n + 4) // 5 AS hi
+      FROM idx i CROSS JOIN folds f
+    ), lab AS (
+      SELECT f, di,
+             CASE WHEN is_test THEN 'test'
+                  WHEN di >= lo - 3 AND di < lo THEN 'embargo'
+                  WHEN di > hi AND di <= hi + 3 THEN 'embargo'
+                  ELSE 'train' END AS cls
+      FROM cls
+    )
+    SELECT CAST(f AS BIGINT) AS fold,
+           CAST(count_if(cls = 'test') AS BIGINT)    AS n_test,
+           CAST(count_if(cls = 'embargo') AS BIGINT) AS n_embargo,
+           CAST(count_if(cls = 'train') AS BIGINT)   AS n_train,
+           CAST(sum(CASE WHEN cls = 'test' THEN di END) AS BIGINT)
+             AS test_di_sum,
+           CAST(sum(CASE WHEN cls = 'train' THEN di END) AS BIGINT)
+             AS train_di_sum
+    FROM lab GROUP BY f
+    """,
+)
+def ml19_purged_kfold(
+    spark: SparkSession, sf_dir: str, k: int = 5, embargo: int = 3
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.orderBy("day")
+    idx = days.select(
+        "day",
+        F.row_number().over(w).alias("di"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    folds = spark.range(k).select(F.col("id").alias("f"))
+    cls = idx.crossJoin(F.broadcast(folds)).select(
+        "f", "di",
+        (((F.col("di") - 1) * k).cast("long") / F.col("n")).cast("long")
+        .alias("_blk"),
+        F.expr(f"(f * n + {k - 1}) div {k} + 1").alias("lo"),
+        F.expr(f"((f + 1) * n + {k - 1}) div {k}").alias("hi"),
+    ).select(
+        "f", "di", "lo", "hi", (F.col("_blk") == F.col("f")).alias("is_test")
+    )
+    lab = cls.select(
+        "f", "di",
+        F.when(F.col("is_test"), "test")
+        .when(
+            (F.col("di") >= F.col("lo") - embargo) & (F.col("di") < F.col("lo")),
+            "embargo",
+        )
+        .when(
+            (F.col("di") > F.col("hi")) & (F.col("di") <= F.col("hi") + embargo),
+            "embargo",
+        )
+        .otherwise("train")
+        .alias("cls"),
+    )
+    return lab.groupBy(F.col("f").cast("bigint").alias("fold")).agg(
+        F.count_if(F.col("cls") == "test").alias("n_test"),
+        F.count_if(F.col("cls") == "embargo").alias("n_embargo"),
+        F.count_if(F.col("cls") == "train").alias("n_train"),
+        F.sum(F.when(F.col("cls") == "test", F.col("di")))
+        .cast("bigint")
+        .alias("test_di_sum"),
+        F.sum(F.when(F.col("cls") == "train", F.col("di")))
+        .cast("bigint")
+        .alias("train_di_sum"),
+    )
