@@ -706,3 +706,131 @@ def mm10_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["bits"].alias("bits_per_sample"),
         parsed["dsize"].alias("data_size"),
     )
+
+
+@register(
+    "mm11_exif_ifd_walk",
+    # Real TIFF/EXIF IFD walk (round 9) — mm08 simplified EXIF to an
+    # orientation at a fixed offset and noted "a full TIFF/IFD walk is
+    # the same fold pattern one level deeper"; this is that level. Each
+    # row builds a genuine little-endian TIFF: "II" 42, IFD offset,
+    # then an IFD whose ENTRY COUNT VARIES with doc_id (3..5 entries,
+    # ascending tags per the TIFF spec: ImageWidth 0x0100 / ImageLength
+    # 0x0101 / Orientation 0x0112, plus ResolutionUnit 0x0128 and an
+    # ExifIFD pointer 0x8769 when present) — so a parse that assumes
+    # any fixed layout fails. The walk is a bounded 8-iteration fold
+    # over 12-byte entries: read le16 tag, dispatch SHORT values from
+    # the first 2 value bytes and LONG from le32 (both little-endian),
+    # count entries, record pointer presence. Pure codegen byte
+    # arithmetic; ~70 header bytes per image at 100 TB. The oracle
+    # recomputes every field from doc_id arithmetic.
+    oracle="""
+    SELECT doc_id,
+           CAST(14 + 12 * (3 + doc_id % 3) AS BIGINT) AS tiff_len,
+           CAST(3 + doc_id % 3 AS BIGINT)             AS n_entries,
+           CAST(16 + doc_id % 1024 AS BIGINT)         AS width,
+           CAST(16 + (doc_id // 1024) % 1024 AS BIGINT) AS height,
+           CAST(1 + doc_id % 8 AS BIGINT)             AS orientation,
+           CASE WHEN doc_id % 3 >= 1 THEN CAST(2 AS BIGINT)
+                ELSE NULL END                         AS resolution_unit,
+           doc_id % 3 = 2                             AS has_exif_ptr
+    FROM documents
+    """,
+)
+def mm11_exif_ifd_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def le_bytes(col, n):
+        parts = []
+        for i in range(n):
+            b = (col / F.lit(256 ** i)).cast("long") % 256
+            parts.append(F.unhex(F.lpad(F.hex(b), 2, "0")))
+        return F.concat(*parts)
+
+    def entry(tag: int, typ: int, value):
+        # 12-byte IFD entry: tag le16, type le16, count le32 = 1, value
+        # le32 (SHORT values occupy the first 2 bytes, zero-padded).
+        return F.concat(
+            le_bytes(F.lit(tag), 2),
+            le_bytes(F.lit(typ), 2),
+            le_bytes(F.lit(1), 4),
+            le_bytes(value, 2) if typ == 3 else le_bytes(value, 4),
+            F.lit(bytes(2)) if typ == 3 else F.lit(b""),
+        )
+
+    w = F.lit(16) + F.col("doc_id") % 1024
+    h = F.lit(16) + (F.col("doc_id") / 1024).cast("long") % 1024
+    orient = F.lit(1) + F.col("doc_id") % 8
+    variant = F.col("doc_id") % 3
+    n_ent = F.lit(3) + variant
+    tiff = F.concat(
+        F.lit(b"II"), le_bytes(F.lit(42), 2), le_bytes(F.lit(8), 4),
+        le_bytes(n_ent, 2),
+        entry(0x0100, 3, w),
+        entry(0x0101, 3, h),
+        entry(0x0112, 3, orient),
+        F.when(variant >= 1, entry(0x0128, 3, F.lit(2))).otherwise(
+            F.lit(b"")
+        ),
+        F.when(variant == 2, entry(0x8769, 4, F.lit(0))).otherwise(
+            F.lit(b"")
+        ),
+        le_bytes(F.lit(0), 4),  # next-IFD offset = none
+    )
+    built = docs.select("doc_id", tiff.alias("tiff"))
+
+    def byte_at(off):
+        o = F.lit(off) if isinstance(off, int) else off
+        return F.conv(
+            F.hex(F.col("tiff").substr(o, F.lit(1))), 16, 10
+        ).cast("long")
+
+    def le16_at(off):
+        return byte_at(off) + F.lit(256) * byte_at(off + 1)
+
+    # IFD base: le32 offset at byte 5 (1-based) -> entries start at
+    # base + 3 (2-byte count first).
+    ifd_off = (
+        byte_at(5)
+        + F.lit(256) * byte_at(6)
+        + F.lit(65536) * byte_at(7)
+        + F.lit(16777216) * byte_at(8)
+    )
+    count_at = ifd_off + 1  # 1-based position of the le16 entry count
+    n_entries = le16_at(count_at)
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        null_l.alias("w"), null_l.alias("h"), null_l.alias("orient"),
+        null_l.alias("res"), F.lit(False).alias("exif"),
+        F.lit(0).cast("long").alias("seen"),
+    )
+
+    def step(acc, i):
+        idx = i - 1  # entries 0-based
+        past = idx >= n_entries
+        e_off = count_at + 2 + idx * 12
+        tag = le16_at(e_off)
+        sval = le16_at(e_off + 8)  # SHORT value, first 2 value bytes
+        return F.when(past, acc).otherwise(
+            F.struct(
+                F.when(tag == 0x0100, sval).otherwise(acc["w"]).alias("w"),
+                F.when(tag == 0x0101, sval).otherwise(acc["h"]).alias("h"),
+                F.when(tag == 0x0112, sval).otherwise(acc["orient"]).alias("orient"),
+                F.when(tag == 0x0128, sval).otherwise(acc["res"]).alias("res"),
+                (acc["exif"] | (tag == 0x8769)).alias("exif"),
+                (acc["seen"] + 1).alias("seen"),
+            )
+        )
+
+    parsed = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, step)
+    return built.select(
+        "doc_id",
+        F.length("tiff").cast("bigint").alias("tiff_len"),
+        parsed["seen"].alias("n_entries"),
+        parsed["w"].alias("width"),
+        parsed["h"].alias("height"),
+        parsed["orient"].alias("orientation"),
+        parsed["res"].alias("resolution_unit"),
+        parsed["exif"].alias("has_exif_ptr"),
+    )
