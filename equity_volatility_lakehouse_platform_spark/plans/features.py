@@ -760,3 +760,98 @@ def f25_cross_sectional_zrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("_z").alias("cs_z"),
         r6s("_pr").alias("cs_pct_rank"),
     )
+
+
+@register(
+    "f26_factor_ic",
+    # Factor Information Coefficient — THE alpha-factor eval metric:
+    # per-day Spearman rank correlation between a factor (yesterday's
+    # return, the momentum signal) and the FORWARD one-day return it is
+    # supposed to predict. Composes f25's cross-sectional machinery one
+    # level up. Spearman = Pearson over ranks, and with unique ranks
+    # (row_number, symbol tiebreak) EVERY moment is an INTEGER sum —
+    # n, Sx, Sy, Sxy, Sxx, Syy are exact under any accumulation order,
+    # no ordered folds needed; the final IC is two exact integer
+    # expressions, one sqrt each, one division (all correctly-rounded
+    # IEEE on both engines, nudge-rounded). Cost: the same two inherent
+    # shuffles as f25 (by symbol for the lags, by day for the cross
+    # section); the IC table is one tiny row per day.
+    oracle=DAILY_CTE + f"""
+    , rets AS (
+      SELECT user_id, day,
+             close / NULLIF(lag(close) OVER {W}, 0) - 1 AS ret,
+             lead(close) OVER {W} / NULLIF(close, 0) - 1 AS fwd
+      FROM daily
+    ), r2 AS (
+      SELECT * FROM rets WHERE ret IS NOT NULL AND fwd IS NOT NULL
+    ), rk AS (
+      SELECT day,
+             row_number() OVER (PARTITION BY day ORDER BY ret, user_id)
+               AS rx,
+             row_number() OVER (PARTITION BY day ORDER BY fwd, user_id)
+               AS ry
+      FROM r2
+    ), mo AS (
+      SELECT day, count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      FROM rk GROUP BY day HAVING count(*) >= 3
+    ), ic AS (
+      SELECT day, n,
+             (n * sxy - sx * sy)
+               / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)
+               AS ic
+      FROM mo
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           (ROUND(ic - sign(ic) * 0.000000001, 6) + 0.0) AS spearman_ic
+    FROM ic
+    """,
+)
+def f26_factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id", "day",
+        (
+            F.col("close") / F.nullif(F.lag("close").over(wu), F.lit(0.0)) - 1
+        ).alias("ret"),
+        (
+            F.lead("close").over(wu) / F.nullif(F.col("close"), F.lit(0.0)) - 1
+        ).alias("fwd"),
+    ).filter(F.col("ret").isNotNull() & F.col("fwd").isNotNull())
+    wx = Window.partitionBy("day").orderBy("ret", "user_id")
+    wy = Window.partitionBy("day").orderBy("fwd", "user_id")
+    rk = rets.select(
+        "day",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    mo = (
+        rk.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rx").alias("sx"),
+            F.sum("ry").alias("sy"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    ic = mo.select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("ic"),
+    )
+    return ic.select("day", "n", r6s("ic").alias("spearman_ic"))
