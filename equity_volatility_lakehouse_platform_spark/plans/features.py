@@ -855,3 +855,72 @@ def f26_factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ic"),
     )
     return ic.select("day", "n", r6s("ic").alias("spearman_ic"))
+
+
+@register(
+    "f27_amihud_illiquidity",
+    # Amihud (2002) illiquidity — THE standard price-impact proxy:
+    # per (symbol, month), the mean over days of |daily return| /
+    # dollar volume (x 1e6 for the conventional scale). The daily
+    # ratios are bit-identical on both engines (same lag/division
+    # order), and the monthly mean is an ORDERED fold over the month's
+    # days (list_reduce by day == aggregate over the sorted
+    # collect_list), so no groupBy summation-order hazard. Two
+    # shuffles: the per-symbol lag sort, then the (symbol, month)
+    # roll-up whose fold is bounded by days/month.
+    oracle=DAILY_CTE + f"""
+    , rets AS (
+      SELECT user_id, day, dollar_vol,
+             abs(close / NULLIF(lag(close) OVER {W}, 0) - 1) AS aret
+      FROM daily
+    ), r2 AS (
+      SELECT user_id, CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+             day, 1000000.0 * aret / NULLIF(dollar_vol, 0) AS illiq
+      FROM rets WHERE aret IS NOT NULL
+    ), g AS (
+      SELECT user_id, month,
+             count(*) AS n_days,
+             list_reduce(list(illiq ORDER BY day),
+                         (a, b) -> a + b) AS s
+      FROM r2 GROUP BY user_id, month
+    )
+    SELECT user_id, month, CAST(n_days AS BIGINT) AS n_days,
+           (ROUND(s / n_days - sign(s / n_days) * 0.000000001, 6) + 0.0)
+             AS amihud_illiq
+    FROM g
+    """,
+)
+def f27_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id", "day", "dollar_vol",
+        F.abs(
+            F.col("close") / F.nullif(F.lag("close").over(wu), F.lit(0.0)) - 1
+        ).alias("aret"),
+    ).filter(F.col("aret").isNotNull())
+    r2 = rets.select(
+        "user_id",
+        F.date_trunc("month", "day").alias("month"),
+        "day",
+        (
+            F.lit(1000000.0) * F.col("aret")
+            / F.nullif(F.col("dollar_vol"), F.lit(0.0))
+        ).alias("illiq"),
+    )
+    g = r2.groupBy("user_id", "month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("day", "illiq"))).alias("lst"),
+    ).select(
+        "user_id", "month", "n_days",
+        F.expr(
+            "aggregate(transform(lst, e -> e.illiq), 0D, (a, b) -> a + b)"
+        ).alias("s"),
+    )
+    return g.select(
+        "user_id", "month",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        r6s((F.col("s") / F.col("n_days"))).alias("amihud_illiq"),
+    )
