@@ -834,3 +834,139 @@ def mm11_exif_ifd_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["res"].alias("resolution_unit"),
         parsed["exif"].alias("has_exif_ptr"),
     )
+
+
+@register(
+    "mm12_mp4_box_walk",
+    # MP4/ISO-BMFF box walk (round 9) — the VIDEO leg of the metadata
+    # triad (mm06/mm08 images, mm10 audio): ISO base-media files are
+    # length-prefixed big-endian boxes that NEST, so recovering
+    # duration/timescale takes a TWO-LEVEL walk — top-level boxes
+    # (ftyp, a variable-length free box, moov) to find moov, then
+    # moov's children (a sometimes-present variable udta first) to find
+    # mvhd, whose version-0 payload carries timescale/duration at fixed
+    # offsets. Both walks are bounded folds over codegen byte
+    # arithmetic; the variable free/udta sizes and the conditional
+    # child order make any fixed-offset shortcut fail. duration_s =
+    # duration / timescale is the one float op (identical division both
+    # engines). ~80 header bytes per clip at 100 TB, payload never read.
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (8 + doc_id % 11)
+                + 8 + (CASE WHEN doc_id % 2 = 1 THEN 8 + doc_id % 5
+                            ELSE 0 END) + 108 AS BIGINT) AS mp4_len,
+           CAST(3 AS BIGINT) AS n_top_boxes,
+           CAST(1 + doc_id % 2 AS BIGINT) AS moov_children,
+           CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(600 * (doc_id % 300 + 30) AS BIGINT) AS duration,
+           (ROUND(CAST(600 * (doc_id % 300 + 30) AS DOUBLE)
+                  / (600 * (1 + doc_id % 4)), 6) + 0.0) AS duration_s
+    FROM documents
+    """,
+)
+def mm12_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def be32_lit(col):
+        return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+
+    free_n = F.col("doc_id") % 11
+    udta_on = F.col("doc_id") % 2 == 1
+    udta_n = F.col("doc_id") % 5
+    tscale = F.lit(600) * (F.lit(1) + F.col("doc_id") % 4)
+    dur = F.lit(600) * (F.col("doc_id") % 300 + 30)
+    mvhd = F.concat(
+        be32_lit(F.lit(108)), F.lit(b"mvhd"),
+        F.lit(bytes(12)),            # ver/flags, ctime, mtime
+        be32_lit(tscale), be32_lit(dur),
+        F.lit(bytes(80)),            # rate/volume/matrix/next-track
+    )
+    udta = F.when(
+        udta_on,
+        F.concat(
+            be32_lit(F.lit(8) + udta_n), F.lit(b"udta"),
+            F.expr("repeat('u', CAST(doc_id % 5 AS INT))").cast("binary"),
+        ),
+    ).otherwise(F.lit(b""))
+    moov_size = (
+        F.lit(8)
+        + F.when(udta_on, F.lit(8) + udta_n).otherwise(F.lit(0))
+        + F.lit(108)
+    )
+    mp4 = F.concat(
+        be32_lit(F.lit(16)), F.lit(b"ftyp"), F.lit(b"isom"), F.lit(bytes(4)),
+        be32_lit(F.lit(8) + free_n), F.lit(b"free"),
+        F.expr("repeat('f', CAST(doc_id % 11 AS INT))").cast("binary"),
+        be32_lit(moov_size), F.lit(b"moov"),
+        udta,                        # child order varies
+        mvhd,
+    )
+    built = docs.select("doc_id", mp4.alias("mp4"))
+
+    def be_at(off, n):
+        o = F.lit(off) if isinstance(off, int) else off
+        return F.conv(
+            F.hex(F.col("mp4").substr(o.cast("int"), F.lit(n))), 16, 10
+        ).cast("long")
+
+    def typ_at(off):
+        return F.col("mp4").substr((off + 4).cast("int"), F.lit(4))
+
+    # Top-level walk: find moov (offset + size), count boxes.
+    null_l = F.lit(None).cast("long")
+    t_init = F.struct(
+        F.lit(1).cast("long").alias("off"),
+        null_l.alias("moov_off"), null_l.alias("moov_sz"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def t_step(acc, _i):
+        past = acc["off"] + 7 > F.length("mp4")
+        size = be_at(acc["off"], 4)
+        is_moov = typ_at(acc["off"]) == F.lit(b"moov")
+        return F.when(past, acc).otherwise(
+            F.struct(
+                (acc["off"] + size).alias("off"),
+                F.when(is_moov, acc["off"]).otherwise(acc["moov_off"]).alias("moov_off"),
+                F.when(is_moov, size).otherwise(acc["moov_sz"]).alias("moov_sz"),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    top = F.aggregate(F.sequence(F.lit(1), F.lit(4)), t_init, t_step)
+    # Inner walk over moov's children: find mvhd, read ts/duration.
+    c_init = F.struct(
+        (top["moov_off"] + 8).alias("off"),
+        null_l.alias("ts"), null_l.alias("du"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def c_step(acc, _i):
+        past = acc["off"] + 7 > top["moov_off"] + top["moov_sz"] - 1
+        size = be_at(acc["off"], 4)
+        is_mvhd = typ_at(acc["off"]) == F.lit(b"mvhd")
+        return F.when(past, acc).otherwise(
+            F.struct(
+                (acc["off"] + size).alias("off"),
+                F.when(is_mvhd, be_at(acc["off"] + 20, 4)).otherwise(acc["ts"]).alias("ts"),
+                F.when(is_mvhd, be_at(acc["off"] + 24, 4)).otherwise(acc["du"]).alias("du"),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    inner = F.aggregate(F.sequence(F.lit(1), F.lit(3)), c_init, c_step)
+    raw = built.select(
+        "doc_id",
+        F.length("mp4").cast("bigint").alias("mp4_len"),
+        top["n"].alias("n_top_boxes"),
+        inner["n"].alias("moov_children"),
+        inner["ts"].alias("timescale"),
+        inner["du"].alias("duration"),
+        (inner["du"].cast("double") / inner["ts"]).alias("_dsec"),
+    )
+    return raw.select(
+        "doc_id", "mp4_len", "n_top_boxes", "moov_children",
+        "timescale", "duration", r6("_dsec").alias("duration_s"),
+    )
