@@ -4250,6 +4250,9 @@ def j18_interval_overlap_join(
 )
 def sc11_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Synthetic URLs only: example.com is the RFC 2606 documentation-
+    # reserved domain — nothing here references a real endpoint, and no
+    # network I/O exists anywhere in the engine.
     url = F.concat(
         F.lit("https://h"),
         (F.col("doc_id") % 50).cast("string"),
