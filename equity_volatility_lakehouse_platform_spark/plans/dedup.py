@@ -1396,7 +1396,8 @@ _reg.set_oracle("d16_curation_dag", _d16_oracle())
     """,
 )
 def d17_semantic_dedup(
-    spark: SparkSession, sf_dir: str, tau: float = 0.45
+    spark: SparkSession, sf_dir: str, tau: float = 0.45,
+    max_cluster: int = 16384,
 ) -> DataFrame:
     from equity_volatility_lakehouse_platform_spark.plans.similarity import (
         _ivf_emb,
@@ -1424,11 +1425,12 @@ def d17_semantic_dedup(
         # scaling with the corpus, ~sqrt(N), keeping clusters bounded).
         # A cluster past the bound means K is under-provisioned for the
         # corpus — raising K is the fix, not a bigger kernel.
-        if n > 16384:
+        if n > max_cluster:
             raise ValueError(
                 f"d17_semantic_dedup: cluster of {n} vectors exceeds the "
-                "16384 pairwise-prune bound; raise n_centroids (SemDeDup "
-                "scales K ~ sqrt(corpus)) so clusters stay memory-sized"
+                f"{max_cluster} pairwise-prune bound; raise n_centroids "
+                "(SemDeDup scales K ~ sqrt(corpus)) so clusters stay "
+                "memory-sized"
             )
         # Dimension-sequential accumulation: G[i,j] folds sum_d v_i[d] *
         # v_j[d] in ascending d — the exact left-fold sequence of

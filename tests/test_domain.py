@@ -736,3 +736,18 @@ def test_d17_blockwise_kernel_matches_naive_pairwise(spark, sf_dir):
                 assert got is None
             else:
                 assert got == round(best, 6) or abs(got - best) < 1e-6
+
+
+def test_d17_cluster_guard_fails_loud(spark, sf_dir):
+    import pytest as _pytest
+
+    from equity_volatility_lakehouse_platform_spark.plans import load_all
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d17_semantic_dedup,
+    )
+
+    load_all()
+    # An under-provisioned bound must raise the prescriptive error, not
+    # hang — the skew_guard contract for the O(n^2) kernel.
+    with _pytest.raises(Exception, match="pairwise-prune bound"):
+        d17_semantic_dedup(spark, sf_dir, max_cluster=10).collect()
