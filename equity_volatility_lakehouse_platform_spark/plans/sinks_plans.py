@@ -689,3 +689,56 @@ def snk16_merge_delete_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _money("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "snk17_partition_evolution",
+    # PARTITION EVOLUTION (Iceberg's flagship): the partition spec is
+    # table METADATA, not directory paths, so changing it never
+    # rewrites a byte of old data. v0 lands the pre-2000 events
+    # clustered by event_type (the low-cardinality spec a small table
+    # starts with); v1 appends the rest clustered by user_id (the
+    # higher-cardinality spec a grown table needs) — old files stay
+    # byte-identical under their
+    # old clustering, history() records the spec per commit, and every
+    # read sees the union. Spec columns stay ordinary data columns, so
+    # reads never depend on directory-name recovery. The oracle states
+    # the spec-spanning read: the full events table aggregated per
+    # type/year.
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events
+    GROUP BY event_type, EXTRACT(year FROM ts)
+    """,
+)
+def snk17_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="evlp_snk17_") + "/events_acid"
+    table = AcidTable(spark, path)
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    table.append_partitioned(
+        events.filter(F.col("ts") < cutoff), ["event_type"]
+    )
+    old_files = set(table._manifest(0)["files"])
+    table.append_partitioned(
+        events.filter(F.col("ts") >= cutoff), ["user_id"]
+    )
+    # Evolution contract: v1 carries v0's files untouched, and the two
+    # commits record their own specs.
+    assert old_files <= set(table._manifest(1)["files"])
+    assert [m.get("spec") for m in table.history()] == [
+        ["event_type"], ["user_id"]
+    ]
+    return table.read().groupBy(
+        "event_type", F.year("ts").cast("bigint").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("value")).alias("total_value"),
+    )

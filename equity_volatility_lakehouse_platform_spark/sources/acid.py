@@ -108,7 +108,12 @@ class AcidTable:
         return [self._manifest(v) for v in range(latest + 1)]
 
     def _try_commit(
-        self, version: int, op: str, files: list[str], schema_ddl: str
+        self,
+        version: int,
+        op: str,
+        files: list[str],
+        schema_ddl: str,
+        spec: list[str] | None = None,
     ) -> None:
         """Atomically publish ``version``; raise CommitConflict if lost."""
         manifest = {
@@ -118,6 +123,8 @@ class AcidTable:
             "schema": schema_ddl,
             "parent": version - 1 if version else None,
         }
+        if spec is not None:
+            manifest["spec"] = spec
         tmp = self._commit_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -651,6 +658,44 @@ class AcidTable:
             )
 
         return self._rewrite("update", condition, transform)
+
+    def append_partitioned(
+        self, df: DataFrame, partition_cols: list[str], max_retries: int = 5
+    ) -> int:
+        """Append under a PARTITION SPEC — and therefore PARTITION
+        EVOLUTION (Iceberg's flagship: the spec is table METADATA, not
+        directory paths, so changing it never rewrites old data). The
+        batch is clustered on the spec columns before writing (one
+        repartition -> each new file covers few spec values, so the
+        copy-on-write probe's file-level pruning stays tight), the spec
+        columns remain ORDINARY data columns (reads never depend on
+        directory-name recovery), and the commit records the spec.
+        Later appends may use a DIFFERENT spec: old files stay
+        byte-identical under their old clustering, new files cluster
+        the new way, and every reader sees the union — exactly the
+        Iceberg evolution contract. ``history()`` shows the spec per
+        commit for audit."""
+        latest = self.latest_version()
+        clustered = df.repartition(*[F.col(c) for c in partition_cols])
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            base = -1 if latest is None else latest
+            files: list[str] = (
+                [] if latest is None else list(self._manifest(latest)["files"])
+            )
+            schema_ddl = self._evolved_schema_ddl(clustered, latest)
+            new_files = self._write_data(clustered)
+            try:
+                self._try_commit(
+                    base + 1, "append", files + new_files, schema_ddl,
+                    spec=list(partition_cols),
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"lost {max_retries} append_partitioned races on {self.root}"
+        )
 
     # ------------------------------------------------------- maintenance --
     def compact(self, target_files: int = 1) -> int:

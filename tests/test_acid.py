@@ -786,3 +786,21 @@ def test_merge_full_unmatched_delete_rows_are_ignored(spark, orders, root):
     t.merge_full(src, ["o_orderkey"], delete_condition=F.lit(True))
     # No clause matches an unmatched delete row -> table unchanged.
     assert t.read().count() == before
+
+
+def test_partition_evolution_appends_never_rewrite(spark, orders, root):
+    t = AcidTable(spark, root)
+    t.append_partitioned(
+        orders.filter(F.col("o_orderkey") % 2 == 0), ["o_orderstatus"]
+    )
+    v0_files = set(t._manifest(0)["files"])
+    t.append_partitioned(
+        orders.filter(F.col("o_orderkey") % 2 == 1), ["o_custkey"]
+    )
+    # Old files untouched under the old spec; specs recorded per commit.
+    assert v0_files <= set(t._manifest(1)["files"])
+    assert t._manifest(0)["spec"] == ["o_orderstatus"]
+    assert t._manifest(1)["spec"] == ["o_custkey"]
+    assert t.read().count() == orders.count()
+    # Spec columns are ordinary data columns: every row keeps its value.
+    assert t.read().filter(F.col("o_orderstatus").isNull()).count() == 0
