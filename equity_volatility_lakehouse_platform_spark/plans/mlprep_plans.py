@@ -889,3 +889,129 @@ def ml19_purged_kfold(
         .cast("bigint")
         .alias("train_di_sum"),
     )
+
+
+@register(
+    "ml20_mutual_information",
+    # Feature screening by mutual information + chi-square — the
+    # filter-method feature selection every ML-prep pipeline runs
+    # before training: each of the first 8 embedding dimensions is
+    # binarized by sign and scored against the label (>= 5), from a
+    # 2x2 CONTINGENCY TABLE whose cells are exact integer counts (one
+    # explode + one groupBy; no float accumulation anywhere). MI and
+    # chi2 then evaluate over the four integer cells in a FIXED term
+    # order (00, 01, 10, 11) with identical expression shapes on both
+    # engines — ln and division over identical doubles — so the scores
+    # are bit-exact before the nudged round. One shuffle keyed on the
+    # 8 feature indices.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(label >= 5 AS INTEGER) AS y
+      FROM embeddings
+    ), cells AS (
+      SELECT i.i,
+             count_if(e.v[i.i] <  0 AND y = 0) AS c00,
+             count_if(e.v[i.i] <  0 AND y = 1) AS c01,
+             count_if(e.v[i.i] >= 0 AND y = 0) AS c10,
+             count_if(e.v[i.i] >= 0 AND y = 1) AS c11
+      FROM e CROSS JOIN (SELECT unnest(range(1, 9)) AS i) i
+      GROUP BY i.i
+    ), t AS (
+      SELECT i, c00, c01, c10, c11,
+             c00 + c01 + c10 + c11 AS n,
+             c00 + c01 AS b0, c10 + c11 AS b1,
+             c00 + c10 AS y0, c01 + c11 AS y1
+      FROM cells
+    ), s AS (
+      SELECT i, n, c00, c01, c10, c11,
+             (CASE WHEN c00 > 0 THEN (c00 * 1.0 / n)
+                 * ln(c00 * n * 1.0 / (b0 * y0)) ELSE 0 END)
+           + (CASE WHEN c01 > 0 THEN (c01 * 1.0 / n)
+                 * ln(c01 * n * 1.0 / (b0 * y1)) ELSE 0 END)
+           + (CASE WHEN c10 > 0 THEN (c10 * 1.0 / n)
+                 * ln(c10 * n * 1.0 / (b1 * y0)) ELSE 0 END)
+           + (CASE WHEN c11 > 0 THEN (c11 * 1.0 / n)
+                 * ln(c11 * n * 1.0 / (b1 * y1)) ELSE 0 END) AS mi,
+             (CASE WHEN b0 * y0 > 0 THEN
+                 (c00 - b0 * y0 * 1.0 / n) * (c00 - b0 * y0 * 1.0 / n)
+                   / (b0 * y0 * 1.0 / n) ELSE 0 END)
+           + (CASE WHEN b0 * y1 > 0 THEN
+                 (c01 - b0 * y1 * 1.0 / n) * (c01 - b0 * y1 * 1.0 / n)
+                   / (b0 * y1 * 1.0 / n) ELSE 0 END)
+           + (CASE WHEN b1 * y0 > 0 THEN
+                 (c10 - b1 * y0 * 1.0 / n) * (c10 - b1 * y0 * 1.0 / n)
+                   / (b1 * y0 * 1.0 / n) ELSE 0 END)
+           + (CASE WHEN b1 * y1 > 0 THEN
+                 (c11 - b1 * y1 * 1.0 / n) * (c11 - b1 * y1 * 1.0 / n)
+                   / (b1 * y1 * 1.0 / n) ELSE 0 END) AS chi2
+      FROM t
+    )
+    SELECT CAST(i AS BIGINT) AS feature_idx,
+           CAST(n AS BIGINT) AS n,
+           CAST(c00 AS BIGINT) AS c00, CAST(c01 AS BIGINT) AS c01,
+           CAST(c10 AS BIGINT) AS c10, CAST(c11 AS BIGINT) AS c11,
+           (ROUND(mi - sign(mi) * 0.000000001, 6) + 0.0) AS mutual_info,
+           (ROUND(chi2 - sign(chi2) * 0.000000001, 6) + 0.0) AS chi_square
+    FROM s
+    """,
+)
+def ml20_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import _emb
+
+    e = _emb(spark, sf_dir).select(
+        "v", (F.col("label") >= 5).cast("int").alias("y")
+    )
+    ex = e.select(
+        "y", F.posexplode(F.slice("v", 1, 8)).alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("i"), "y", "x")
+    cells = ex.groupBy("i").agg(
+        F.count_if((F.col("x") < 0) & (F.col("y") == 0)).alias("c00"),
+        F.count_if((F.col("x") < 0) & (F.col("y") == 1)).alias("c01"),
+        F.count_if((F.col("x") >= 0) & (F.col("y") == 0)).alias("c10"),
+        F.count_if((F.col("x") >= 0) & (F.col("y") == 1)).alias("c11"),
+    )
+    t = cells.select(
+        "i", "c00", "c01", "c10", "c11",
+        (F.col("c00") + F.col("c01") + F.col("c10") + F.col("c11")).alias("n"),
+        (F.col("c00") + F.col("c01")).alias("b0"),
+        (F.col("c10") + F.col("c11")).alias("b1"),
+        (F.col("c00") + F.col("c10")).alias("y0"),
+        (F.col("c01") + F.col("c11")).alias("y1"),
+    )
+
+    def mi_term(c, b, yy):
+        return F.when(
+            F.col(c) > 0,
+            (F.col(c) * 1.0 / F.col("n"))
+            * F.log(F.col(c) * F.col("n") * 1.0 / (F.col(b) * F.col(yy))),
+        ).otherwise(F.lit(0.0))
+
+    def chi_term(c, b, yy):
+        e_ = F.col(b) * F.col(yy) * 1.0 / F.col("n")
+        return F.when(
+            F.col(b) * F.col(yy) > 0,
+            (F.col(c) - e_) * (F.col(c) - e_) / e_,
+        ).otherwise(F.lit(0.0))
+
+    s = t.select(
+        "i", "n", "c00", "c01", "c10", "c11",
+        (
+            mi_term("c00", "b0", "y0") + mi_term("c01", "b0", "y1")
+            + mi_term("c10", "b1", "y0") + mi_term("c11", "b1", "y1")
+        ).alias("mi"),
+        (
+            chi_term("c00", "b0", "y0") + chi_term("c01", "b0", "y1")
+            + chi_term("c10", "b1", "y0") + chi_term("c11", "b1", "y1")
+        ).alias("chi2"),
+    )
+    return s.select(
+        F.col("i").cast("bigint").alias("feature_idx"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c00").cast("bigint").alias("c00"),
+        F.col("c01").cast("bigint").alias("c01"),
+        F.col("c10").cast("bigint").alias("c10"),
+        F.col("c11").cast("bigint").alias("c11"),
+        r6s("mi").alias("mutual_info"),
+        r6s("chi2").alias("chi_square"),
+    )
