@@ -63,6 +63,15 @@ QUERIES = [
     "ml18_random_projection",
     "t16_gopher_quality_gates",
     "mm10_wav_header_parse",
+    "d18_cdc_chunk_dedup",
+    "w37_time_range_window",
+    "f26_factor_ic",
+    "f27_amihud_illiquidity",
+    "mm11_exif_ifd_walk",
+    "mm12_mp4_box_walk",
+    "ml19_purged_kfold",
+    "ml20_mutual_information",
+    "sc11_url_parse",
 ]
 
 
