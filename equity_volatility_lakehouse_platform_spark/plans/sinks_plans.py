@@ -742,3 +742,45 @@ def snk17_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r6(F.sum("value")).alias("total_value"),
     )
+
+
+@register(
+    "snk18_stats_pruned_scan",
+    # Manifest-stats FILE SKIPPING (round 9) — the read-side payoff of
+    # snk10's ZORDER: the layout rewrite now commits per-file min/max
+    # stats on its z-ordered columns, so a band probe prunes files from
+    # the MANIFEST alone (zero data I/O — at 100 TB the probe's cost is
+    # O(files) driver metadata, not a scan), then applies the residual
+    # predicate to the survivors. The in-query assertion pins that
+    # pruning actually skipped files; the oracle states the band
+    # aggregate over the raw table — pruning must be invisible to
+    # results by construction.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           (ROUND(SUM(value), 6) + 0.0) AS total_value
+    FROM events
+    WHERE value >= 10.0 AND value <= 20.0
+    GROUP BY event_type
+    """,
+)
+def snk18_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="evlp_snk18_") + "/events_acid"
+    table = AcidTable(spark, path)
+    table.overwrite(events.repartition(6))   # value scattered everywhere
+    table.optimize_zorder(["value"], target_files=6)
+    keep, total = table.prune_files("value", 10.0, 20.0)
+    assert len(keep) < total, "stats pruning skipped nothing"
+    return (
+        table.read_range("value", 10.0, 20.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+    )

@@ -58,6 +58,17 @@ _COMMITS = "_commits"
 _DATA = "data"
 
 
+def _stat_value(v):
+    """Manifest-JSON-safe stat value: numbers/strings/None pass through;
+    timestamps/dates serialize as ISO strings (which order
+    lexicographically == chronologically for a uniform format, so
+    pruning comparisons stay correct)."""
+    if v is None or isinstance(v, (int, float, bool, str)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    return iso() if iso else str(v)
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the target version first."""
 
@@ -114,6 +125,7 @@ class AcidTable:
         files: list[str],
         schema_ddl: str,
         spec: list[str] | None = None,
+        stats: dict | None = None,
     ) -> None:
         """Atomically publish ``version``; raise CommitConflict if lost."""
         manifest = {
@@ -125,6 +137,8 @@ class AcidTable:
         }
         if spec is not None:
             manifest["spec"] = spec
+        if stats is not None:
+            manifest["stats"] = stats
         tmp = self._commit_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -152,7 +166,100 @@ class AcidTable:
             if f.endswith(".parquet")
         ]
 
+    def _file_stats(
+        self, rel_files: list[str], stats_cols: list[str]
+    ) -> dict:
+        """Per-file min/max for ``stats_cols`` — the manifest-level
+        statistics every table format carries for FILE SKIPPING (the
+        extension point the module docstring promises). One grouped
+        aggregate over the new files (executor-side; only the stat
+        columns are read), keyed back to relative paths."""
+        paths = [os.path.join(self.root, f) for f in rel_files]
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(F.input_file_name().alias("_f"), *stats_cols)
+            .groupBy("_f")
+            .agg(
+                *[F.min(c).alias(f"_min_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"_max_{c}") for c in stats_cols],
+            )
+            .collect()
+        )
+        by_rel: dict = {}
+        for r in rows:
+            fname = urllib.parse.unquote(r["_f"])
+            rel = next(
+                (f for f in rel_files if fname.endswith(f)), None
+            )
+            if rel is None:
+                continue
+            by_rel[rel] = {
+                c: [
+                    _stat_value(r[f"_min_{c}"]),
+                    _stat_value(r[f"_max_{c}"]),
+                ]
+                for c in stats_cols
+            }
+        return by_rel
+
     # ------------------------------------------------------------ read --
+    def prune_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-stats file skipping: the files whose [min, max] on
+        ``col`` INTERSECTS [lo, hi], plus every file lacking stats (a
+        file without stats can never be skipped — correctness first).
+        Pure METADATA — no data file is opened, which is the entire
+        point at 100 TB: a z-ordered table answers a band probe from
+        the manifest in O(files) driver work, zero I/O. Returns
+        (surviving files, total files)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        manifest = self._manifest(latest if version is None else version)
+        stats = manifest.get("stats", {})
+        lo_c, hi_c = _stat_value(lo), _stat_value(hi)
+        keep = []
+        for f in manifest["files"]:
+            s = stats.get(f, {}).get(col)
+            if (
+                s is None
+                or s[0] is None
+                or s[1] is None
+                or type(s[0]) is not type(lo_c) and not (
+                    isinstance(s[0], (int, float))
+                    and isinstance(lo_c, (int, float))
+                )
+            ):
+                keep.append(f)  # no/ mismatched stats -> cannot skip
+            elif not (s[1] < lo_c or s[0] > hi_c):
+                keep.append(f)
+        return keep, len(manifest["files"])
+
+    def read_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Band-probe read: manifest-stats pruning picks the candidate
+        files, then the ordinary filtered scan applies the RESIDUAL
+        predicate (stats prune at file granularity; rows inside a
+        surviving file still filter). Identical results to a full-scan
+        filter by construction — the skipped files provably contain no
+        matching row."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version in {self.root}")
+        v = latest if version is None else version
+        keep, _total = self.prune_files(col, lo, hi, v)
+        schema = T._parse_datatype_string(self._manifest(v)["schema"])
+        if not keep:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in keep]
+        return (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel via ``version``). Only files listed
         in that version's manifest are scanned."""
@@ -771,7 +878,15 @@ class AcidTable:
             .select(*out_cols)
         )
         files = self._write_data(ordered)
-        self._try_commit(latest + 1, "zorder", files, manifest["schema"])
+        # ZORDER's payoff is file skipping, so the rewrite commits WITH
+        # per-file min/max stats on the z-ordered columns — band probes
+        # then prune from the manifest alone (prune_files/read_range),
+        # zero data I/O, closing the file-skipping extension point the
+        # module docstring promises.
+        stats = self._file_stats(files, cols)
+        self._try_commit(
+            latest + 1, "zorder", files, manifest["schema"], stats=stats
+        )
         return latest + 1
 
     def clone(self, target_root: str) -> "AcidTable":

@@ -804,3 +804,30 @@ def test_partition_evolution_appends_never_rewrite(spark, orders, root):
     assert t.read().count() == orders.count()
     # Spec columns are ordinary data columns: every row keeps its value.
     assert t.read().filter(F.col("o_orderstatus").isNull()).count() == 0
+
+
+def test_manifest_stats_prune_band_probe(spark, sf_dir, root):
+    # ZORDER commits per-file min/max stats; a band probe then prunes
+    # from the MANIFEST alone (no data I/O) and the pruned read equals
+    # the full-scan filter exactly.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    t = AcidTable(spark, root)
+    t.overwrite(ev.repartition(6))  # value scattered across every file
+    v = t.optimize_zorder(["value"], target_files=6)
+    stats = t._manifest(v).get("stats", {})
+    assert stats and all("value" in s for s in stats.values())
+    lo, hi = 10.0, 20.0
+    keep, total = t.prune_files("value", lo, hi)
+    assert len(keep) < total, "z-ordered band probe should skip files"
+    got = t.read_range("value", lo, hi)
+    want = t.read().filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # Files without stats can never be skipped: a later plain append
+    # (no stats) must always survive pruning.
+    t.append(ev.limit(5))
+    keep2, total2 = t.prune_files("value", 999999.0, 999999.5)
+    assert total2 == total + 1 and len(keep2) >= 1
