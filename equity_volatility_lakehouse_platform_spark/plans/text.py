@@ -1143,3 +1143,160 @@ def t16_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok", *gates.keys(),
         n_failed.alias("n_failed"), passes.alias("passes"),
     )
+
+
+@register(
+    "t17_corpus_datacard",
+    # The per-(language, source) CORPUS DATA CARD — the datasheet table
+    # every training-data report leads with, composing the engine's
+    # curation signals into one grouped pass: volume (docs, tokens,
+    # chars), exact-dup rate (d01's digest), Gopher-gate pass rate
+    # (t16's battery), and language-label agreement (t03's lexicon
+    # argmax vs the recorded lang). One tokenization feeds every
+    # signal; all group cells are INTEGER counts (one groupBy shuffle),
+    # and the three rates are single int/int divisions nudge-rounded —
+    # no float accumulation anywhere. At 100 TB this is one map stage
+    # plus one small-key roll-up.
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS digest,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tok
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, source, n_chars, digest,
+             len(tok) AS n_tok,
+             COALESCE(list_sum(list_transform(tok, x -> length(x))), 0)
+               AS sum_len,
+             len(list_filter(tok, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_alpha,
+             len(list_filter(tok, x -> contains(x, '#')
+                                       OR contains(x, '...'))) AS n_sym,
+             len(list_filter(list_distinct(tok),
+                             x -> x IN ({_lex_sql('en')}))) AS n_stop,
+             len(list_distinct(tok)) AS n_distinct,
+             len(list_filter(tok, x -> x IN ({_lex_sql('en')}))) AS h_en,
+             len(list_filter(tok, x -> x IN ({_lex_sql('es')}))) AS h_es,
+             len(list_filter(tok, x -> x IN ({_lex_sql('fr')}))) AS h_fr,
+             len(list_filter(tok, x -> x IN ({_lex_sql('de')}))) AS h_de
+      FROM t
+    ), f AS (
+      SELECT lang, source, n_chars, digest, n_tok,
+             (n_tok >= 50 AND n_tok <= 100000
+              AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+              AND 5 * n_alpha >= 4 * n_tok
+              AND 10 * n_sym <= n_tok
+              AND n_stop >= 2
+              AND 2 * n_distinct >= n_tok) AS passes,
+             (CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0
+                   THEN 'und'
+                   WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de
+                   THEN 'en'
+                   WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                   WHEN h_fr >= h_de THEN 'fr'
+                   ELSE 'de' END) = lang AS lang_agrees
+      FROM m
+    ), g AS (
+      SELECT lang, source,
+             count(*) AS n_docs,
+             sum(n_tok) AS n_tokens,
+             sum(n_chars) AS total_chars,
+             count(DISTINCT digest) AS n_unique,
+             count_if(passes) AS n_pass,
+             count_if(lang_agrees) AS n_agree
+      FROM f GROUP BY lang, source
+    )
+    SELECT lang, source,
+           CAST(n_docs AS BIGINT)      AS n_docs,
+           CAST(n_tokens AS BIGINT)    AS n_tokens,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(n_unique AS BIGINT)    AS n_unique,
+           CAST(n_pass AS BIGINT)      AS n_pass,
+           CAST(n_agree AS BIGINT)     AS n_agree,
+           (ROUND(1.0 - n_unique * 1.0 / n_docs
+                  - sign(1.0 - n_unique * 1.0 / n_docs) * 0.000000001, 6)
+            + 0.0) AS dup_rate,
+           (ROUND(n_pass * 1.0 / n_docs
+                  - sign(n_pass * 1.0 / n_docs) * 0.000000001, 6) + 0.0)
+             AS gate_pass_rate,
+           (ROUND(n_agree * 1.0 / n_docs
+                  - sign(n_agree * 1.0 / n_docs) * 0.000000001, 6) + 0.0)
+             AS lang_agreement
+    FROM g
+    """,
+)
+def t17_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tx.tokens(F.col("text"))
+    m = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(tok).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            F.transform(tok, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("bigint").alias("sum_len"),
+        F.size(F.filter(tok, lambda x: x.rlike("^[a-z]+$"))).cast(
+            "bigint"
+        ).alias("n_alpha"),
+        F.size(
+            F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
+        ).cast("bigint").alias("n_sym"),
+        F.size(
+            F.array_intersect(tok, F.lit(list(_LEX["en"])).cast("array<string>"))
+        ).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
+        *[
+            tx.stopword_hits(tok, _LEX[lang]).alias(f"h_{lang}")
+            for lang in _LEX
+        ],
+    )
+    passes = (
+        (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_tok"))
+        & (F.col("sum_len") <= 10 * F.col("n_tok"))
+        & (5 * F.col("n_alpha") >= 4 * F.col("n_tok"))
+        & (10 * F.col("n_sym") <= F.col("n_tok"))
+        & (F.col("n_stop") >= 2)
+        & (2 * F.col("n_distinct") >= F.col("n_tok"))
+    )
+    h = {lang: F.col(f"h_{lang}") for lang in _LEX}
+    pred = (
+        F.when(
+            (h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0),
+            "und",
+        )
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]), "en")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), "es")
+        .when(h["fr"] >= h["de"], "fr")
+        .otherwise("de")
+    )
+    f = m.select(
+        "lang", "source", "n_chars", "digest", "n_tok",
+        passes.alias("passes"),
+        (pred == F.col("lang")).alias("lang_agrees"),
+    )
+    g = f.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("digest").alias("n_unique"),
+        F.count_if(F.col("passes")).alias("n_pass"),
+        F.count_if(F.col("lang_agrees")).alias("n_agree"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    rated = g.select(
+        "lang", "source", "n_docs", "n_tokens", "total_chars",
+        "n_unique", "n_pass", "n_agree",
+        (1.0 - F.col("n_unique") * 1.0 / F.col("n_docs")).alias("_dup"),
+        (F.col("n_pass") * 1.0 / F.col("n_docs")).alias("_pass"),
+        (F.col("n_agree") * 1.0 / F.col("n_docs")).alias("_agree"),
+    )
+    return rated.select(
+        "lang", "source", "n_docs", "n_tokens", "total_chars",
+        "n_unique", "n_pass", "n_agree",
+        r6s("_dup").alias("dup_rate"),
+        r6s("_pass").alias("gate_pass_rate"),
+        r6s("_agree").alias("lang_agreement"),
+    )
