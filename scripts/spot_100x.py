@@ -72,6 +72,7 @@ QUERIES = [
     "ml19_purged_kfold",
     "ml20_mutual_information",
     "sc11_url_parse",
+    "t17_corpus_datacard",
 ]
 
 
