@@ -125,3 +125,53 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def ivfadc_sweep(spark, sf_dir: str) -> list[dict]:
+    """Round 9: recall@3 of the COMPOSED IVFADC path as nprobe sweeps —
+    with the coarse quantizer now TRAINED, nprobe is the remaining
+    recall/cost knob (probe fraction ~= nprobe / K)."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        sim01_bruteforce_topk,
+        sim08_ivfadc_topk,
+    )
+
+    exact_rows = (
+        sim01_bruteforce_topk(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for nprobe in (1, 2, 3, 4):
+        ann = sim08_ivfadc_topk(spark, sf_dir, nprobe=nprobe).select(
+            "q_id", F.col("vec_id").alias("a_vec")
+        )
+        hit = (
+            exact_rows.join(
+                ann,
+                (exact_rows["q_id"] == ann["q_id"])
+                & (exact_rows["vec_id"] == ann["a_vec"]),
+                "left",
+            )
+            .drop(ann["q_id"])
+            .agg((F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("r"))
+            .first()["r"]
+        )
+        out.append(
+            {"nprobe": nprobe, "probe_fraction": nprobe / 4.0,
+             "recall_at_3": round(hit, 4)}
+        )
+        print(_json.dumps(out[-1]))
+    return out
