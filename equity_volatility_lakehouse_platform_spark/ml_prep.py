@@ -113,6 +113,23 @@ def _fit_predict(
         return clf.predict_proba(x_te)[:, 1]
     except ImportError:
         pass
+    wgt = _logistic_fit_np(
+        x_tr, y_tr, max_iter=max_iter, lr=lr, c=c,
+        class_weight=class_weight, fit_intercept=fit_intercept,
+    )
+    return _logistic_predict_np(wgt, fit_intercept, x_te)
+
+
+def _logistic_fit_np(
+    x_tr, y_tr, max_iter=300, lr=0.5, c=None, class_weight=None,
+    fit_intercept=True,
+):
+    """Numpy logistic fit (extracted round 10 for the export registry):
+    full-batch gradient descent, zero init, L2 lambda = 1/C, balanced
+    weights = n / (2 * n_class). Returns the weight vector (intercept
+    last when fit_intercept)."""
+    import numpy as np
+
     n = max(len(y_tr), 1)
     wts = np.ones(len(y_tr))
     if class_weight == "balanced":
@@ -133,41 +150,32 @@ def _fit_predict(
                 reg[-1] = 0.0  # intercept is never penalized
             grad = grad + reg
         wgt -= lr * grad
-    xt = np.hstack([x_te, np.ones((len(x_te), 1))]) if fit_intercept else x_te
+    return wgt
+
+
+def _logistic_predict_np(wgt, fit_intercept, x):
+    import numpy as np
+
+    wgt = np.asarray(wgt, dtype=float)
+    xt = np.hstack([x, np.ones((len(x), 1))]) if fit_intercept else x
     return 1.0 / (1.0 + np.exp(-np.clip(xt @ wgt, -30, 30)))
 
 
-def _fit_predict_tree(
+def _cart_build(
     x_tr,
     y_tr,
-    x_te,
     max_depth: int = 5,
     min_samples_split: int = 2,
     min_samples_leaf: int = 1,
 ):
-    """Deterministic depth-limited CART (gini), the second model family
-    of the reference's selection loop (my_model.py:163-178
-    get_decision_tree_params). sklearn's DecisionTreeClassifier when
-    present; otherwise a pure-numpy greedy splitter: candidate
+    """Pure-numpy greedy CART builder (extracted round 10 so the forest
+    and the export registry reuse the identical splitter): candidate
     thresholds are 15 deterministic quantile cuts per feature, ties
     break to the first (lowest feature, lowest threshold) via strict
     improvement, leaves predict the class-1 fraction. No RNG anywhere —
-    rerun-identical by construction."""
+    rerun-identical by construction. Nodes are JSON-serializable lists:
+    ["leaf", p] / ["node", feature, threshold, left, right]."""
     import numpy as np
-
-    try:
-        from sklearn.tree import DecisionTreeClassifier
-
-        clf = DecisionTreeClassifier(
-            max_depth=max_depth,
-            min_samples_split=min_samples_split,
-            min_samples_leaf=min_samples_leaf,
-            random_state=0,
-        )
-        clf.fit(x_tr, y_tr)
-        return clf.predict_proba(x_te)[:, 1]
-    except ImportError:
-        pass
 
     def gini(y):
         if not len(y):
@@ -183,7 +191,7 @@ def _fit_predict_tree(
             or len(idx) < min_samples_split
             or p in (0.0, 1.0)
         ):
-            return ("leaf", p)
+            return ["leaf", p]
         best = None
         for f in range(x_tr.shape[1]):
             vals = x_tr[idx, f]
@@ -200,11 +208,15 @@ def _fit_predict_tree(
                 if best is None or score < best[0] - 1e-15:
                     best = (score, f, float(t), idx[mask], idx[~mask])
         if best is None:
-            return ("leaf", p)
+            return ["leaf", p]
         _, f, t, left, right = best
-        return ("node", f, t, build(left, depth + 1), build(right, depth + 1))
+        return ["node", f, t, build(left, depth + 1), build(right, depth + 1)]
 
-    tree = build(np.arange(len(y_tr)), 0)
+    return build(np.arange(len(y_tr)), 0)
+
+
+def _cart_predict(tree, x_te):
+    import numpy as np
 
     def predict_row(row, node):
         while node[0] == "node":
@@ -213,6 +225,292 @@ def _fit_predict_tree(
         return node[1]
 
     return np.array([predict_row(r, tree) for r in x_te])
+
+
+def _fit_predict_tree(
+    x_tr,
+    y_tr,
+    x_te,
+    max_depth: int = 5,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
+):
+    """Deterministic depth-limited CART (gini), the second model family
+    of the reference's selection loop (my_model.py:163-178
+    get_decision_tree_params). sklearn's DecisionTreeClassifier when
+    present; otherwise the pure-numpy ``_cart_build`` splitter."""
+    try:
+        from sklearn.tree import DecisionTreeClassifier
+
+        clf = DecisionTreeClassifier(
+            max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf,
+            random_state=0,
+        )
+        clf.fit(x_tr, y_tr)
+        return clf.predict_proba(x_te)[:, 1]
+    except ImportError:
+        pass
+    tree = _cart_build(
+        x_tr, y_tr,
+        max_depth=max_depth,
+        min_samples_split=min_samples_split,
+        min_samples_leaf=min_samples_leaf,
+    )
+    return _cart_predict(tree, x_te)
+
+
+def _n_feats(p: int, max_features) -> int:
+    """sklearn's max_features resolution: 'sqrt' / 'log2' / None."""
+    import math
+
+    if max_features == "sqrt":
+        return max(1, math.isqrt(p))
+    if max_features == "log2":
+        return max(1, int(math.log2(p))) if p > 1 else 1
+    return p
+
+
+def _forest_fit_np(
+    x_tr,
+    y_tr,
+    n_estimators: int = 50,
+    max_depth: int = 8,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
+    max_features="sqrt",
+    seed: int = 0,
+):
+    """Pure-numpy random forest (my_model.py:261-307
+    get_random_forest_params): bagging of the deterministic CART over
+    seeded bootstrap samples + per-tree feature subsets. All randomness
+    flows from one RandomState(seed) — rerun-identical. Returns a
+    JSON-serializable {trees, feats} pair."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    n, p = x_tr.shape
+    k = _n_feats(p, max_features)
+    trees, feats = [], []
+    for _ in range(n_estimators):
+        idx = rs.randint(0, n, n)
+        fsub = np.sort(rs.choice(p, k, replace=False))
+        trees.append(
+            _cart_build(
+                x_tr[idx][:, fsub], y_tr[idx],
+                max_depth=max_depth,
+                min_samples_split=min_samples_split,
+                min_samples_leaf=min_samples_leaf,
+            )
+        )
+        feats.append([int(f) for f in fsub])
+    return {"trees": trees, "feats": feats}
+
+
+def _forest_predict_np(fitted: dict, x):
+    import numpy as np
+
+    acc = np.zeros(len(x))
+    for tree, fsub in zip(fitted["trees"], fitted["feats"]):
+        acc += _cart_predict(tree, x[:, fsub])
+    return acc / max(len(fitted["trees"]), 1)
+
+
+def _boost_tree_build(
+    x, g, h, max_depth, min_samples_split, min_samples_leaf,
+    reg_lambda, reg_alpha, gamma, min_child_weight, feat_idx,
+):
+    """One regression tree on (gradient, hessian) — the shared kernel
+    for gradient_boosting (first-order leaf = Newton step with lambda=0)
+    and xgboost (regularized Newton: split gain with gamma penalty,
+    min_child_weight on child hessian mass, L1 soft-threshold on leaf
+    numerators). Same deterministic 15-quantile-cut candidate set and
+    first-wins tie-break as the CART splitter."""
+    import numpy as np
+
+    def leaf(gi, hi):
+        gs = float(gi.sum())
+        gs = np.sign(gs) * max(abs(gs) - reg_alpha, 0.0)
+        return ["leaf", float(-gs / (hi.sum() + reg_lambda))]
+
+    def gain_term(gi, hi):
+        gs = float(gi.sum())
+        gs = np.sign(gs) * max(abs(gs) - reg_alpha, 0.0)
+        return gs * gs / (float(hi.sum()) + reg_lambda)
+
+    def build(idx, depth):
+        gi, hi = g[idx], h[idx]
+        if depth >= max_depth or len(idx) < min_samples_split:
+            return leaf(gi, hi)
+        parent = gain_term(gi, hi)
+        best = None
+        for f in feat_idx:
+            vals = x[idx, f]
+            cuts = np.unique(np.quantile(vals, np.linspace(0, 1, 17)[1:-1]))
+            for t in cuts:
+                mask = vals <= t
+                nl = int(mask.sum())
+                nr = len(idx) - nl
+                if nl < min_samples_leaf or nr < min_samples_leaf:
+                    continue
+                if (
+                    float(hi[mask].sum()) < min_child_weight
+                    or float(hi[~mask].sum()) < min_child_weight
+                ):
+                    continue
+                gain = (
+                    0.5
+                    * (
+                        gain_term(gi[mask], hi[mask])
+                        + gain_term(gi[~mask], hi[~mask])
+                        - parent
+                    )
+                    - gamma
+                )
+                if gain > 1e-12 and (best is None or gain > best[0] + 1e-15):
+                    best = (gain, f, float(t), idx[mask], idx[~mask])
+        if best is None:
+            return leaf(gi, hi)
+        _, f, t, left, right = best
+        return ["node", f, t, build(left, depth + 1), build(right, depth + 1)]
+
+    return build(np.arange(len(g)), 0)
+
+
+def _boost_fit_np(
+    x_tr,
+    y_tr,
+    n_estimators: int = 50,
+    learning_rate: float = 0.1,
+    max_depth: int = 3,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
+    subsample: float = 1.0,
+    colsample_bytree: float = 1.0,
+    reg_lambda: float = 0.0,
+    reg_alpha: float = 0.0,
+    gamma: float = 0.0,
+    min_child_weight: float = 0.0,
+    seed: int = 0,
+):
+    """Pure-numpy Newton boosting on logistic loss — ONE engine for the
+    reference's two boosted families: gradient_boosting
+    (my_model.py:211-250; lambda = alpha = gamma = min_child_weight = 0
+    collapses the leaf to the classic Newton step sum(residual) /
+    sum(p(1-p))) and xgboost (my_model.py:309-356; the regularized
+    split-gain / leaf formulas are XGBoost's eq. 6-7). Seeded row
+    (subsample) and per-tree column (colsample_bytree) sampling —
+    rerun-identical. Returns JSON-serializable {f0, lr, trees}."""
+    import math
+
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    n, p = x_tr.shape
+    prior = min(max(float(y_tr.mean()) if n else 0.5, 1e-6), 1.0 - 1e-6)
+    f0 = math.log(prior / (1.0 - prior))
+    fx = np.full(n, f0)
+    trees = []
+    n_rows = max(1, int(round(subsample * n)))
+    n_cols = max(1, int(round(colsample_bytree * p)))
+    for _ in range(n_estimators):
+        pr = 1.0 / (1.0 + np.exp(-np.clip(fx, -30, 30)))
+        grad = pr - y_tr
+        hess = np.maximum(pr * (1.0 - pr), 1e-12)
+        rows = (
+            np.sort(rs.choice(n, n_rows, replace=False))
+            if n_rows < n
+            else np.arange(n)
+        )
+        cols = (
+            np.sort(rs.choice(p, n_cols, replace=False))
+            if n_cols < p
+            else np.arange(p)
+        )
+        tree = _boost_tree_build(
+            x_tr[rows], grad[rows], hess[rows],
+            max_depth, min_samples_split, min_samples_leaf,
+            reg_lambda, reg_alpha, gamma, min_child_weight,
+            np.arange(len(cols)),
+        )
+        # Remap the subsampled feature indices back to global columns.
+        tree = _remap_tree_features(tree, [int(c) for c in cols])
+        trees.append(tree)
+        fx = fx + learning_rate * _cart_predict(tree, x_tr)
+    return {"f0": f0, "lr": learning_rate, "trees": trees}
+
+
+def _remap_tree_features(node, cols):
+    if node[0] == "leaf":
+        return node
+    _, f, t, lo, hi = node
+    return [
+        "node", cols[f], t,
+        _remap_tree_features(lo, cols), _remap_tree_features(hi, cols),
+    ]
+
+
+def _boost_predict_np(fitted: dict, x):
+    import numpy as np
+
+    fx = np.full(len(x), fitted["f0"])
+    for tree in fitted["trees"]:
+        fx = fx + fitted["lr"] * _cart_predict(tree, x)
+    return 1.0 / (1.0 + np.exp(-np.clip(fx, -30, 30)))
+
+
+def _dummy_fit_np(y_tr, strategy: str = "most_frequent", seed: int = 0):
+    """DummyClassifier floor (my_model.py:371-414): the no-information
+    baseline the reference's evaluation protocol grades every family
+    against. Fitted state is just the train class prior."""
+    import numpy as np
+
+    n = max(len(y_tr), 1)
+    p1 = float((np.asarray(y_tr) == 1).sum()) / n
+    return {"strategy": strategy, "p1": p1, "seed": seed}
+
+
+def _dummy_predict_np(fitted: dict, x):
+    import numpy as np
+
+    n = len(x)
+    strategy = fitted["strategy"]
+    if strategy == "most_frequent":
+        # sklearn ties break to the smaller class label (0).
+        return np.full(n, 1.0 if fitted["p1"] > 0.5 else 0.0)
+    rs = np.random.RandomState(fitted["seed"])
+    if strategy == "stratified":
+        return (rs.uniform(size=n) < fitted["p1"]).astype(float)
+    if strategy == "uniform":
+        return rs.randint(0, 2, n).astype(float)
+    raise ValueError(f"unknown dummy strategy {strategy!r}")
+
+
+def _fit_predict_forest(x_tr, y_tr, x_te, seed: int = 0, **params):
+    try:
+        from sklearn.ensemble import RandomForestClassifier
+
+        clf = RandomForestClassifier(random_state=seed, **params)
+        clf.fit(x_tr, y_tr)
+        return clf.predict_proba(x_te)[:, 1]
+    except ImportError:
+        pass
+    return _forest_predict_np(
+        _forest_fit_np(x_tr, y_tr, seed=seed, **params), x_te
+    )
+
+
+def _fit_predict_boost(x_tr, y_tr, x_te, seed: int = 0, **params):
+    return _boost_predict_np(
+        _boost_fit_np(x_tr, y_tr, seed=seed, **params), x_te
+    )
+
+
+def _fit_predict_dummy(y_tr, x_te, strategy="most_frequent", seed: int = 0):
+    return _dummy_predict_np(
+        _dummy_fit_np(y_tr, strategy=strategy, seed=seed), x_te
+    )
 
 
 def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
@@ -277,6 +575,8 @@ def fit_eval(
     max_depth: int = 5,
     min_samples_split: int = 2,
     min_samples_leaf: int = 1,
+    seed: int = 0,
+    **params,
 ) -> DataFrame:
     """Driver-side reference model loop (my_model.py:426-513,596-650):
     fit ONE binary classifier on the train split, score the rest, land
@@ -286,11 +586,12 @@ def fit_eval(
     The engine's job ends at the splits/encoding/imputation contract
     (SURVEY §2.12); fitting is BY DESIGN a ``toPandas()`` handoff — the
     matrix at this point is the small aggregated feature table, not raw
-    events. ``model`` selects the family ('logistic_regression' or
-    'decision_tree' — the reference trains six sklearn families; the
-    two portable ones here cover the linear and the tree-shaped
-    decision boundary); the remaining kwargs expose each family's
-    search space (my_model.py:123-178) for ``trial_search``.
+    events. ``model`` selects the family — all SIX of the reference's
+    selection-loop families (my_model.py:123-414): logistic_regression,
+    decision_tree, random_forest, gradient_boosting, xgboost, and the
+    dummy no-information floor its evaluation protocol grades against.
+    The remaining kwargs (+ ``**params``) expose each family's search
+    space for ``trial_search``; ``seed`` pins every stochastic family.
     """
     pdf = df.select(*feature_cols, label_col, split_col).toPandas()
     train = pdf[pdf[split_col] == train_value]
@@ -315,6 +616,27 @@ def fit_eval(
             max_iter=max_iter, lr=lr, c=c,
             class_weight=class_weight, fit_intercept=fit_intercept,
         )
+    elif model == "random_forest":
+        p_te = _fit_predict_forest(
+            x_tr, y_tr, x_te, seed=seed,
+            max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf,
+            **params,
+        )
+    elif model in ("gradient_boosting", "xgboost"):
+        # One Newton-boosting engine: xgboost draws the regularization
+        # knobs (reg_lambda/alpha/gamma/min_child_weight/colsample) in
+        # its sampled params; plain gradient_boosting leaves them 0.
+        p_te = _fit_predict_boost(
+            x_tr, y_tr, x_te, seed=seed,
+            max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf,
+            **params,
+        )
+    elif model == "dummy":
+        p_te = _fit_predict_dummy(y_tr, x_te, seed=seed, **params)
     else:
         raise ValueError(f"unknown model family {model!r}")
     m = _binary_metrics(y_te, p_te)
@@ -383,6 +705,46 @@ def sample_model_params(model: str, rng) -> dict:
             "max_depth": rng.randint(1, 12),
             "min_samples_split": rng.randint(2, 50),
             "min_samples_leaf": rng.randint(1, 20),
+        }
+    # Ensemble sizes: the reference samples n_estimators in 50..800
+    # (sklearn-C speed); the portable numpy ensembles keep the same
+    # decision-boundary family at 20..80 trees so a full trial loop
+    # stays driver-tractable. Every other knob mirrors the reference
+    # range exactly (my_model.py:211-356).
+    if model == "random_forest":
+        return {
+            "n_estimators": rng.randint(20, 80),
+            "max_depth": rng.randint(3, 40),
+            "min_samples_split": rng.randint(2, 50),
+            "min_samples_leaf": rng.randint(1, 20),
+            "max_features": rng.choice(["sqrt", "log2", None]),
+        }
+    if model == "gradient_boosting":
+        return {
+            "n_estimators": rng.randint(20, 80),
+            "learning_rate": rng.uniform(0.01, 0.3),
+            "max_depth": rng.randint(1, 8),
+            "min_samples_split": rng.randint(2, 50),
+            "min_samples_leaf": rng.randint(1, 20),
+            "subsample": rng.uniform(0.5, 1.0),
+        }
+    if model == "xgboost":
+        return {
+            "n_estimators": rng.randint(20, 80),
+            "learning_rate": rng.uniform(0.01, 0.3),
+            "max_depth": rng.randint(1, 10),
+            "min_child_weight": rng.uniform(1.0, 10.0),
+            "gamma": rng.uniform(0.0, 5.0),
+            "subsample": rng.uniform(0.5, 1.0),
+            "colsample_bytree": rng.uniform(0.5, 1.0),
+            "reg_alpha": rng.uniform(0.0, 1.0),
+            "reg_lambda": rng.uniform(0.0, 2.0),
+        }
+    if model == "dummy":
+        return {
+            "strategy": rng.choice(
+                ["most_frequent", "stratified", "uniform"]
+            ),
         }
     raise ValueError(f"unknown model family {model!r}")
 
@@ -474,6 +836,7 @@ def monthly_metric_table(
     split_col: str = "split",
     train_value: str = "train",
     model_name: str = "logistic_regression",
+    fitted: dict | None = None,
     **fit_kwargs,
 ) -> DataFrame:
     """The reference's per-(model, year, month) evaluation table
@@ -482,14 +845,28 @@ def monthly_metric_table(
     per calendar month with the reference's exact columns — overall
     precision/recall/F1 (positive class), ROC-AUC, and the per-class
     precision_0/recall_0/f1_0 / precision_1/recall_1/f1_1 breakdown,
-    sorted by (model_name, year, month)."""
+    sorted by (model_name, year, month).
+
+    Pass ``fitted`` (a ``fit_model`` artifact, possibly reloaded via
+    ``load_model``) to SKIP fitting and score with the registered
+    model — the 'evaluate a registered model months later' round trip;
+    the table is then bit-identical to the one produced at fit time."""
     pdf = df.select(*feature_cols, label_col, split_col, date_col).toPandas()
     train = pdf[pdf[split_col] == train_value]
     x_tr = train[feature_cols].to_numpy(dtype=float)
     y_tr = train[label_col].to_numpy(dtype=float)
     x_all = pdf[feature_cols].to_numpy(dtype=float)
-    if model_name == "decision_tree":
+    if fitted is not None:
+        model_name = fitted["model"]
+        p_all = predict_scores(fitted, x_all)
+    elif model_name == "decision_tree":
         p_all = _fit_predict_tree(x_tr, y_tr, x_all, **fit_kwargs)
+    elif model_name == "random_forest":
+        p_all = _fit_predict_forest(x_tr, y_tr, x_all, **fit_kwargs)
+    elif model_name in ("gradient_boosting", "xgboost"):
+        p_all = _fit_predict_boost(x_tr, y_tr, x_all, **fit_kwargs)
+    elif model_name == "dummy":
+        p_all = _fit_predict_dummy(y_tr, x_all, **fit_kwargs)
     else:
         x_tr, x_all = _standardize(x_tr, x_all)
         p_all = _fit_predict(x_tr, y_tr, x_all, **fit_kwargs)
@@ -525,3 +902,162 @@ def monthly_metric_table(
         "precision_0 DOUBLE, recall_0 DOUBLE, f1_0 DOUBLE, "
         "precision_1 DOUBLE, recall_1 DOUBLE, f1_1 DOUBLE",
     ).orderBy("model_name", "year", "month")
+
+
+# ------------------------------------------------------------------------
+# Model export / registry (round 10) — the reference's MLflow save ->
+# reload -> re-evaluate workflow (my_model.py:515-650,747-925) without
+# the MLflow dependency: a fitted model is a small JSON document
+# (coefficients / trees / priors + the train-split standardization
+# stats), persisted as a versioned row in an AcidTable so the registry
+# inherits the lakehouse's atomicity, history, and time travel.
+# fit_model ALWAYS uses the portable numpy implementations — the
+# artifact must reproduce bit-exactly in any environment, with or
+# without sklearn installed.
+# ------------------------------------------------------------------------
+
+
+def fit_model(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    split_col: str = "split",
+    train_value: str = "train",
+    model: str = "logistic_regression",
+    seed: int = 0,
+    max_iter: int = 300,
+    lr: float = 0.5,
+    c: float | None = None,
+    class_weight: str | None = None,
+    fit_intercept: bool = True,
+    max_depth: int = 5,
+    min_samples_split: int = 2,
+    min_samples_leaf: int = 1,
+    **params,
+) -> dict:
+    """Fit one classifier on the train split and return it as a
+    JSON-serializable dict: {model, feature_cols, standardize, fitted}.
+    The standardization stats (logistic only, train-split statistics —
+    leakage-safe) travel WITH the model so a reload scores new data
+    identically to fit time."""
+    pdf = df.select(*feature_cols, label_col, split_col).toPandas()
+    train = pdf[pdf[split_col] == train_value]
+    x_tr = train[feature_cols].to_numpy(dtype=float)
+    y_tr = train[label_col].to_numpy(dtype=float)
+    standardize = None
+    if model == "logistic_regression":
+        mu = x_tr.mean(axis=0)
+        sd = x_tr.std(axis=0)
+        sd[sd == 0.0] = 1.0
+        standardize = {
+            "mu": [float(v) for v in mu], "sd": [float(v) for v in sd],
+        }
+        w = _logistic_fit_np(
+            (x_tr - mu) / sd, y_tr, max_iter=max_iter, lr=lr, c=c,
+            class_weight=class_weight, fit_intercept=fit_intercept,
+        )
+        fitted = {
+            "w": [float(v) for v in w],
+            "fit_intercept": bool(fit_intercept),
+        }
+    elif model == "decision_tree":
+        fitted = {
+            "tree": _cart_build(
+                x_tr, y_tr, max_depth=max_depth,
+                min_samples_split=min_samples_split,
+                min_samples_leaf=min_samples_leaf,
+            )
+        }
+    elif model == "random_forest":
+        fitted = _forest_fit_np(
+            x_tr, y_tr, seed=seed, max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, **params,
+        )
+    elif model in ("gradient_boosting", "xgboost"):
+        fitted = _boost_fit_np(
+            x_tr, y_tr, seed=seed, max_depth=max_depth,
+            min_samples_split=min_samples_split,
+            min_samples_leaf=min_samples_leaf, **params,
+        )
+    elif model == "dummy":
+        fitted = _dummy_fit_np(y_tr, seed=seed, **params)
+    else:
+        raise ValueError(f"unknown model family {model!r}")
+    return {
+        "model": model,
+        "feature_cols": list(feature_cols),
+        "standardize": standardize,
+        "fitted": fitted,
+    }
+
+
+def predict_scores(m: dict, x) -> "object":
+    """Score a feature matrix with a ``fit_model`` artifact (possibly
+    reloaded from the registry). Applies the stored standardization,
+    then the family's portable predictor."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    st = m.get("standardize")
+    if st is not None:
+        x = (x - np.asarray(st["mu"])) / np.asarray(st["sd"])
+    fam = m["model"]
+    f = m["fitted"]
+    if fam == "logistic_regression":
+        return _logistic_predict_np(f["w"], f["fit_intercept"], x)
+    if fam == "decision_tree":
+        return _cart_predict(f["tree"], x)
+    if fam == "random_forest":
+        return _forest_predict_np(f, x)
+    if fam in ("gradient_boosting", "xgboost"):
+        return _boost_predict_np(f, x)
+    if fam == "dummy":
+        return _dummy_predict_np(f, x)
+    raise ValueError(f"unknown model family {fam!r}")
+
+
+def save_model(spark, registry_root: str, name: str, m: dict) -> int:
+    """Register a fitted model: one atomic AcidTable append carrying
+    (name, family, model_version, model_json). model_version is
+    per-name monotonic (1 + the registered count), the MLflow version
+    counter analogue; the ACID commit log supplies history/time-travel
+    on top. Returns the new model_version."""
+    import json
+
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, registry_root)
+    existing = 0
+    if t.latest_version() is not None:
+        existing = t.read().filter(F.col("name") == name).count()
+    row = spark.createDataFrame(
+        [(name, m["model"], existing + 1, json.dumps(m, sort_keys=True))],
+        "name STRING, family STRING, model_version INT, model_json STRING",
+    )
+    t.append(row)
+    return existing + 1
+
+
+def load_model(
+    spark, registry_root: str, name: str, model_version: int | None = None
+) -> dict:
+    """Reload a registered model (latest version by default) — the
+    'evaluate a registered model months later' half of the reference's
+    registry round trip (my_model.py:747-925)."""
+    import json
+
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, registry_root)
+    if t.latest_version() is None:
+        raise KeyError(f"model registry at {registry_root!r} is empty")
+    df = t.read().filter(F.col("name") == name)
+    if model_version is not None:
+        df = df.filter(F.col("model_version") == model_version)
+    row = df.orderBy(F.desc("model_version")).first()
+    if row is None:
+        raise KeyError(
+            f"model {name!r} (version {model_version}) not in registry"
+        )
+    return json.loads(row["model_json"])

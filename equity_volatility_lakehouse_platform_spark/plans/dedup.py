@@ -1397,7 +1397,7 @@ _reg.set_oracle("d16_curation_dag", _d16_oracle())
 )
 def d17_semantic_dedup(
     spark: SparkSession, sf_dir: str, tau: float = 0.45,
-    max_cluster: int = 16384,
+    max_cluster: int = 16384, n_centroids: int | None = None,
 ) -> DataFrame:
     from equity_volatility_lakehouse_platform_spark.plans.similarity import (
         _ivf_emb,
@@ -1406,9 +1406,19 @@ def d17_semantic_dedup(
     )
 
     emb = _ivf_emb(spark, sf_dir)
-    cent = ivf_train_centroids(emb, n_centroids=4, iters=2).localCheckpoint(
-        eager=False
-    )
+    if n_centroids is None:
+        # Auto-provision K ~ sqrt(N) (SemDeDup's tractability contract,
+        # round 10): one cheap parquet count sizes the clustering so the
+        # per-cluster O(n^2) prune stays memory-bounded at any corpus
+        # scale without the caller knowing the contract. floor 4 keeps
+        # tiny fixtures meaningful; the max_cluster guard below stays as
+        # the fail-loud backstop for pathological skew.
+        import math
+
+        n_centroids = max(4, math.isqrt(emb.count()))
+    cent = ivf_train_centroids(
+        emb, n_centroids=n_centroids, iters=2
+    ).localCheckpoint(eager=False)
     assigned = ivf_assign(emb, cent)  # vec_id, v, nv, cid — no shuffle
 
     def _prune(pdf):
@@ -1469,18 +1479,25 @@ def d17_semantic_dedup(
         "vec_id",
         "cid",
         r6(mx).alias("max_intra_cos"),
-        F.coalesce(mx >= F.lit(0.45), F.lit(False)).alias("is_dup"),
+        F.coalesce(mx >= F.lit(tau), F.lit(False)).alias("is_dup"),
     )
 
 
 def _d17_oracle() -> str:
     from equity_volatility_lakehouse_platform_spark.plans import registry as _r2
     from equity_volatility_lakehouse_platform_spark.plans.similarity import (
-        _IVF_TRAIN_SQL,
+        _ivf_train_sql,
     )
 
+    # Auto-K mirror: the SQL derives the same K = max(4, floor(sqrt(N)))
+    # from the corpus count (floor(sqrt) == isqrt for any feasible N),
+    # so the oracle tracks d17's provisioning at every scale factor.
     return _r2.all_oracles()["d17_semantic_dedup"].replace(
-        "{train}", _IVF_TRAIN_SQL
+        "{train}",
+        _ivf_train_sql(
+            "(SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+            "FROM e)"
+        ),
     )
 
 

@@ -309,17 +309,28 @@ _IVF_TRAIN_ITER = """
       FROM icb{p} prev LEFT JOIN ic{t} ON ic{t}.cid = prev.cid
     )
 """
-_IVF_TRAIN_SQL = (
-    """
+def _ivf_train_sql(k: str = "4") -> str:
+    """Train-SQL factory: ``k`` is any SQL integer expression for the
+    centroid count (a literal for the fixed-K ANN queries; a scalar
+    subquery over the corpus for d17's auto-K ~ sqrt(N) provisioning).
+    The seed is the ``k`` lowest vec_ids, identical to
+    ``ivf_train_centroids(n_centroids=k)``."""
+    return (
+        """
     , itr AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
       FROM e WHERE vec_id < 2048
     ), icb0 AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < """
+        + k
+        + """
     )"""
-    + _IVF_TRAIN_ITER.format(t=1, p=0)
-    + _IVF_TRAIN_ITER.format(t=2, p=1)
-)
+        + _IVF_TRAIN_ITER.format(t=1, p=0)
+        + _IVF_TRAIN_ITER.format(t=2, p=1)
+    )
+
+
+_IVF_TRAIN_SQL = _ivf_train_sql("4")
 
 
 @register(
@@ -1795,10 +1806,15 @@ def sim10_mmr_diversify(
         * F.sqrt(dot(F.col("vb"), F.col("vb"))),
         F.lit(0.0),
     )
+    # LEFT join so a query whose shortlist degenerates to a single
+    # candidate (no pair rows) still reaches the kernel and emits its
+    # rank-1 pick — the oracle's recursive base case always does
+    # (round-10 fix; the inner join silently dropped such queries).
     pairs = (
         a.join(
             F.broadcast(b),
             (F.col("qb") == F.col("q_id")) & (F.col("b_id") != F.col("a_id")),
+            "left",
         )
         .select("q_id", "a_id", "rel_a", "b_id", s_ab.alias("s_ab"))
     )
@@ -1812,6 +1828,8 @@ def sim10_mmr_diversify(
         sim = {}
         for r in pdf.itertuples(index=False):
             rel_by[int(r.a_id)] = float(r.rel_a)
+            if pd.isna(r.b_id):
+                continue  # degenerate shortlist: no cluster-mates
             sim[(int(r.a_id), int(r.b_id))] = float(r.s_ab)
         ids = sorted(rel_by)
         # Step 1: pure relevance (ties -> lowest id via ascending scan

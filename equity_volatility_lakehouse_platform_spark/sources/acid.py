@@ -512,6 +512,13 @@ class AcidTable:
                     "pass either delete_condition or tombstone_col, not both"
                 )
             delete_condition = F.col(tombstone_col).cast("boolean")
+        # Delta semantics: a NULL clause condition means the row does NOT
+        # match the delete clause and falls through to UPDATE — coalesce
+        # to false so NULL-flag rows stay in the landing batch instead of
+        # being silently deleted (their matched old image is removed by
+        # the probe either way, so dropping them here would delete them).
+        if delete_condition is not None:
+            delete_condition = F.coalesce(delete_condition, F.lit(False))
         landing = (
             updates.filter(~delete_condition)
             if delete_condition is not None

@@ -213,7 +213,9 @@ def main() -> int:
         # a query that failed before but passes now must not carry a
         # stale (or duplicated) failure row into the merged artifact.
         failures.extend(
-            f for f in prior.get("failures", []) if f not in run_queries
+            f
+            for f in prior.get("failures", [])
+            if f.split(":", 1)[0] not in run_queries
         )
     for name in run_queries:
         if name.startswith("st"):

@@ -788,6 +788,45 @@ def test_merge_full_unmatched_delete_rows_are_ignored(spark, orders, root):
     assert t.read().count() == before
 
 
+def test_merge_full_null_tombstone_falls_through_to_update(
+    spark, orders, root
+):
+    # Delta semantics: a NULL `WHEN MATCHED AND cond` does NOT match the
+    # delete clause — the row falls through to UPDATE. Regression for the
+    # round-9 advice: a NULL CDC flag used to silently DELETE the target
+    # row (probe removed the old image while the landing filter dropped
+    # the new one).
+    t = AcidTable(spark, root)
+    t.overwrite(orders)
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    src = evens.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    ).withColumn(
+        "_deleted",
+        F.when(F.col("o_orderkey") % 4 == 2, F.lit(True)).otherwise(
+            F.lit(None).cast("boolean")
+        ),
+    )
+    t.merge_full(src, ["o_orderkey"], tombstone_col="_deleted")
+    final = t.read()
+    n_true = evens.filter(F.col("o_orderkey") % 4 == 2).count()
+    n_null = evens.filter(F.col("o_orderkey") % 4 == 0).count()
+    assert n_true > 0 and n_null > 0, "fixture must exercise both flags"
+    # True-flag rows deleted; NULL-flag rows UPDATED (present, new image).
+    assert final.count() == orders.count() - n_true
+    assert final.filter(F.col("o_orderkey") % 4 == 2).count() == 0
+    updated = final.join(
+        orders.select(
+            "o_orderkey", F.col("o_totalprice").alias("_old")
+        ),
+        "o_orderkey",
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    assert updated.filter(
+        F.col("o_totalprice") != F.col("_old") + F.lit(1.0)
+    ).count() == 0
+    assert updated.count() == n_null
+
+
 def test_partition_evolution_appends_never_rewrite(spark, orders, root):
     t = AcidTable(spark, root)
     t.append_partitioned(

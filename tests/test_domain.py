@@ -711,7 +711,11 @@ def test_d17_blockwise_kernel_matches_naive_pairwise(spark, sf_dir):
         for r in all_queries()["d17_semantic_dedup"](spark, sf_dir).collect()
     }
     emb = _ivf_emb(spark, sf_dir)
-    cent = ivf_train_centroids(emb, n_centroids=4, iters=2)
+    # Mirror d17's round-10 auto-K provisioning (K = max(4, isqrt(N))).
+    import math
+
+    k = max(4, math.isqrt(emb.count()))
+    cent = ivf_train_centroids(emb, n_centroids=k, iters=2)
     rows = ivf_assign(emb, cent).collect()
     by_cid = {}
     for r in rows:
@@ -751,3 +755,58 @@ def test_d17_cluster_guard_fails_loud(spark, sf_dir):
     # hang — the skew_guard contract for the O(n^2) kernel.
     with _pytest.raises(Exception, match="pairwise-prune bound"):
         d17_semantic_dedup(spark, sf_dir, max_cluster=10).collect()
+
+
+# --------------------------------------------------------------- round 10 --
+
+
+def test_sim10_single_candidate_query_still_emits_rank1(spark, tmp_path):
+    # Round-10 regression (r9 advice): a query whose shortlist
+    # degenerates to ONE candidate produces no candidate-pair rows; the
+    # inner-join kernel used to drop the query entirely while the
+    # oracle's recursive base case still emits the rank-1 pick. With 2
+    # vectors, both act as queries (vec_id < 3) and each has exactly one
+    # candidate (the other vector).
+    import os
+
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+
+    load_all()
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir)
+    vecs = [
+        (0, [1.0] + [0.0] * 63, 0),
+        (1, [0.5] * 2 + [0.0] * 62, 1),
+    ]
+    spark.createDataFrame(
+        [
+            {"vec_id": i, "embedding": [float(x) for x in v], "label": lb}
+            for i, v, lb in vecs
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+    rows = all_queries()["sim10_mmr_diversify"](spark, sf_dir).collect()
+    got = {(r["q_id"], r["rank"], r["vec_id"]) for r in rows}
+    # Each query picks its single candidate at rank 1 — nothing dropped.
+    assert got == {(0, 1, 1), (1, 1, 0)}
+
+
+def test_d17_tau_parameter_is_honored(spark, sf_dir):
+    from equity_volatility_lakehouse_platform_spark.plans import load_all
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d17_semantic_dedup,
+    )
+
+    load_all()
+    rows = d17_semantic_dedup(spark, sf_dir, tau=-2.0).collect()
+    # tau below any cosine: every vector with a lower-id cluster-mate is
+    # a dup. With the default 0.45 the near-orthogonal corpus flags
+    # (almost) nothing — so this separates the parameter from the
+    # hardcoded literal the r9 advice flagged.
+    with_mate = [r for r in rows if r["max_intra_cos"] is not None]
+    assert with_mate, "fixture must have multi-member clusters"
+    assert all(r["is_dup"] for r in with_mate)
+    assert all(not r["is_dup"] for r in rows if r["max_intra_cos"] is None)

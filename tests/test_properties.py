@@ -927,3 +927,127 @@ def test_pq_encode_arrow_matches_dataframe_path(spark, sf_dir):
         for r in _pq_assign(sub, cb).select("vec_id", "m", "j").collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------- round 10 --
+
+
+def _ml_synth(spark, n=1_200, train=900):
+    return spark.range(n).select(
+        (F.sin(F.col("id") * 12.9898) * 43758.5453 % 2.0 - 1.0).alias("x1"),
+        (F.sin(F.col("id") * 78.233) * 12543.123 % 2.0 - 1.0).alias("x2"),
+        F.col("id").alias("t"),
+    ).withColumn(
+        "label", ((F.col("x1") + F.col("x2")) > 0).cast("int")
+    ).withColumn(
+        "split", F.when(F.col("t") < train, "train").otherwise("test")
+    ).localCheckpoint(eager=True)
+
+
+def test_trial_search_all_six_reference_families(spark):
+    # Round-9 VERDICT item 2: full model-zoo parity — the reference
+    # tunes SIX classifier families plus evaluates against a dummy
+    # no-information floor (my_model.py:123-414). trial_search must run
+    # all of them deterministically from one seed.
+    from equity_volatility_lakehouse_platform_spark.ml_prep import trial_search
+
+    syn = _ml_synth(spark)
+    fams = (
+        "logistic_regression", "decision_tree", "random_forest",
+        "gradient_boosting", "xgboost", "dummy",
+    )
+    t1 = trial_search(
+        syn, ["x1", "x2"], "label", models=fams,
+        n_trials=2, seed=11, max_iter=60,
+    )
+    rows1 = t1.collect()
+    assert len(rows1) == 12                       # 2 trials x 6 families
+    assert {r["model"] for r in rows1} == set(fams)
+    f1s = [r["f1"] for r in rows1]
+    assert f1s == sorted(f1s, reverse=True)
+    by_fam = {}
+    for r in rows1:
+        by_fam.setdefault(r["model"], []).append(r)
+    # Every learnable family beats the dummy floor on separable data.
+    floor = max(r["f1"] for r in by_fam["dummy"])
+    for fam in fams[:-1]:
+        assert max(r["f1"] for r in by_fam[fam]) > floor, fam
+    # Tree ensembles actually learn the boundary.
+    for fam in ("random_forest", "gradient_boosting", "xgboost"):
+        assert max(r["f1"] for r in by_fam[fam]) > 0.8, fam
+    # Params strings record each family's own space.
+    assert all(
+        "n_estimators=" in r["params"] for r in by_fam["random_forest"]
+    )
+    assert all("reg_lambda=" in r["params"] for r in by_fam["xgboost"])
+    assert all("strategy=" in r["params"] for r in by_fam["dummy"])
+    rows2 = trial_search(
+        syn, ["x1", "x2"], "label", models=fams,
+        n_trials=2, seed=11, max_iter=60,
+    ).collect()
+    assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
+
+
+def test_model_registry_fit_save_reload_roundtrip(spark, tmp_path):
+    # Round-9 VERDICT item 3: the reference's MLflow save -> reload ->
+    # re-evaluate workflow (my_model.py:515-650). Every family's fitted
+    # artifact must survive the JSON + AcidTable round trip and rebuild
+    # the monthly metric table BIT-exactly.
+    from equity_volatility_lakehouse_platform_spark.ml_prep import (
+        fit_model,
+        load_model,
+        monthly_metric_table,
+        predict_scores,
+        save_model,
+    )
+
+    syn = _ml_synth(spark, n=1_000, train=750).withColumn(
+        "d",
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("t") % 90).cast("int")),
+    ).localCheckpoint(eager=True)
+    reg = str(tmp_path / "registry")
+    x = syn.select("x1", "x2").toPandas().to_numpy(dtype=float)
+
+    fams = {
+        "logistic_regression": {"max_iter": 60},
+        "decision_tree": {"max_depth": 4},
+        "random_forest": {"n_estimators": 8, "max_depth": 6},
+        "gradient_boosting": {"n_estimators": 10, "learning_rate": 0.2},
+        "xgboost": {"n_estimators": 10, "reg_lambda": 1.0, "gamma": 0.1},
+        "dummy": {"strategy": "most_frequent"},
+    }
+    for fam, kw in fams.items():
+        m = fit_model(syn, ["x1", "x2"], "label", model=fam, **kw)
+        v = save_model(spark, reg, f"mdl_{fam}", m)
+        assert v == 1
+        back = load_model(spark, reg, f"mdl_{fam}")
+        assert back == m, fam                     # JSON round trip exact
+        assert list(predict_scores(back, x)) == list(
+            predict_scores(m, x)
+        ), fam
+        t_fit = monthly_metric_table(
+            syn, ["x1", "x2"], "label", "d", fitted=m
+        ).collect()
+        t_reload = monthly_metric_table(
+            syn, ["x1", "x2"], "label", "d", fitted=back
+        ).collect()
+        assert [r.asDict() for r in t_fit] == [
+            r.asDict() for r in t_reload
+        ], fam
+        assert all(r["model_name"] == fam for r in t_fit)
+
+    # Re-registering bumps the per-name version; load honors both the
+    # latest-default and an explicit version.
+    m2 = fit_model(
+        syn, ["x1", "x2"], "label", model="decision_tree", max_depth=2
+    )
+    assert save_model(spark, reg, "mdl_decision_tree", m2) == 2
+    assert load_model(spark, reg, "mdl_decision_tree") == m2
+    assert (
+        load_model(spark, reg, "mdl_decision_tree", model_version=1)
+        != m2
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        load_model(spark, reg, "nope")
