@@ -70,6 +70,8 @@ EXTENDED = [
     "w36_bipower_jump",
     "f25_cross_sectional_zrank",
     "st21_stream_cdc_apply",
+    # round 10: the production ANN-fed MMR composition.
+    "sim11_ann_mmr",
 ]
 
 

@@ -1417,7 +1417,7 @@ def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY approx, vec_id) AS rn
             FROM appx)
-      WHERE rn <= 10
+      WHERE rn <= 100
     ), rer AS (
       SELECT s.q_id, s.vec_id, s.approx,
              list_dot_product(q.v, x.v)
@@ -1446,9 +1446,41 @@ def sim08_ivfadc_topk(
     n_centroids: int = 16,
     n_sub: int = 16,
     iters: int = 2,
-    shortlist: int = 10,
+    shortlist: int = 100,
     k: int = 3,
 ) -> DataFrame:
+    rer = _ivfadc_rerank(
+        spark, sf_dir, n_coarse=n_coarse, coarse_iters=coarse_iters,
+        nprobe=nprobe, n_centroids=n_centroids, n_sub=n_sub, iters=iters,
+        shortlist=shortlist,
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id", "vec_id",
+            r6("approx").alias("approx_l2"),
+            r6("cos").alias("cosine"),
+        )
+    )
+
+
+def _ivfadc_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = 4,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    n_sub: int = 16,
+    iters: int = 2,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The composed IVFADC retrieval chain up to and including the
+    exact re-rank of the ADC shortlist — (q_id, vec_id, approx, cos)
+    with UNROUNDED doubles (extracted round 10 so sim11 can feed the
+    shortlist into MMR without double-rounding)."""
     emb = _ivf_emb(spark, sf_dir)
     # Coarse quantizer is TRAINED (round 9): spherical k-means over the
     # bounded sample, same seed/fold discipline as the PQ codebook. The
@@ -1513,21 +1545,13 @@ def sim08_ivfadc_topk(
     qvec = base.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
-    rer = (
+    # "v" (the candidate's raw vector) rides along so sim11's MMR stage
+    # can compute pairwise cosines without a second corpus scan.
+    return (
         F.broadcast(short)
         .join(base, "vec_id")
         .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
-        .select("q_id", "vec_id", "approx", cos.alias("cos"))
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
-    return (
-        rer.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select(
-            "q_id", "vec_id",
-            r6("approx").alias("approx_l2"),
-            r6("cos").alias("cosine"),
-        )
+        .select("q_id", "vec_id", "approx", cos.alias("cos"), "v")
     )
 
 
@@ -1791,6 +1815,16 @@ def sim10_mmr_diversify(
         .filter(F.col("rn") <= shortlist)
         .drop("rn")
     )
+    return mmr_rerank(cand, k=k, lam=lam, mu=mu)
+
+
+def mmr_rerank(
+    cand: DataFrame, k: int = 5, lam: float = 0.7, mu: float = 0.3
+) -> DataFrame:
+    """MMR diversification over a per-query candidate set ``cand``
+    (q_id, vec_id, rel, v) — extracted round 10 so the production path
+    (sim11: ANN shortlist -> MMR) shares the exact kernel with the
+    brute-force baseline (sim10)."""
     # Candidate-pairwise cosines: shortlist^2 rows per query, computed
     # by the same JVM fold — the MMR input is tiny by construction.
     a = cand.select(
@@ -1861,3 +1895,87 @@ def sim10_mmr_diversify(
     return picked.select(
         "q_id", "rank", "vec_id", r6("score").alias("mmr_score")
     )
+
+
+@register(
+    "sim11_ann_mmr",
+    # PRODUCTION retrieval path (round 10, closing the r9 verdict's
+    # item 3): the composed IVFADC shortlist (sim08's trained coarse
+    # quantizer -> inverted-list probe -> ADC ranking -> exact re-rank
+    # of the bounded shortlist) feeding the MMR diversifier (sim10's
+    # kernel). sim10 remains the brute-force BASELINE (its candidate
+    # stage scans the corpus per query); this is the one you deploy —
+    # every corpus-sized stage is the FAISS-shaped sim08 plan (zero
+    # corpus shuffle, broadcast codebooks, late materialization), and
+    # the MMR stage only ever sees the <= shortlist-sized candidate
+    # set per query. Oracle: sim08's CTE chain composed with sim10's
+    # recursive-selection CTE — both engines agree bit-exactly because
+    # rel is the UNROUNDED exact-re-rank cosine (the same list_dot_
+    # product fold) and the 0.7/0.3 op order is mirrored.
+    oracle=None,  # set below — composes sim08's chain + the MMR CTE
+)
+def sim11_ann_mmr(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    **ivfadc_kwargs,
+) -> DataFrame:
+    rer = _ivfadc_rerank(spark, sf_dir, **ivfadc_kwargs)
+    cand = rer.select("q_id", "vec_id", F.col("cos").alias("rel"), "v")
+    return mmr_rerank(cand, k=k, lam=lam, mu=mu)
+
+
+def _sim11_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r
+
+    sim08 = _r.all_oracles()["sim08_ivfadc_topk"]
+    final_marker = (
+        "SELECT q_id, vec_id,\n"
+        "           (ROUND(approx, 6) + 0.0) AS approx_l2"
+    )
+    head, _final = sim08.split(final_marker, 1)
+    head = head.replace("WITH e AS (", "WITH RECURSIVE e AS (", 1)
+    return head + """, cand AS (
+      SELECT r.q_id, r.vec_id, r.cos AS rel, e.v
+      FROM rer r JOIN e ON e.vec_id = r.vec_id
+    ), mpairs AS (
+      SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0) AS s
+      FROM cand a JOIN cand b
+        ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+    ), sel AS (
+      SELECT q_id, 1 AS step, [vec_id] AS selected, vec_id, rel AS score
+      FROM (SELECT q_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1
+      UNION ALL
+      SELECT q_id, step + 1, list_append(selected, vec_id), vec_id, score
+      FROM (
+        SELECT s.q_id, s.step, s.selected, r.vec_id,
+               0.7 * r.rel - 0.3 * (
+                 SELECT max(p.s) FROM mpairs p
+                 WHERE p.q_id = s.q_id AND p.a = r.vec_id
+                   AND list_contains(s.selected, p.b)) AS score,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY
+                 0.7 * r.rel - 0.3 * (
+                   SELECT max(p.s) FROM mpairs p
+                   WHERE p.q_id = s.q_id AND p.a = r.vec_id
+                     AND list_contains(s.selected, p.b)) DESC,
+                 r.vec_id) AS rn
+        FROM sel s JOIN cand r ON r.q_id = s.q_id
+          AND NOT list_contains(s.selected, r.vec_id)
+        WHERE s.step < 5
+      ) WHERE rn = 1
+    )
+    SELECT q_id, CAST(step AS BIGINT) AS rank, vec_id,
+           (ROUND(score, 6) + 0.0) AS mmr_score
+    FROM sel
+    """
+
+
+_simreg.set_oracle("sim11_ann_mmr", _sim11_oracle())

@@ -28,6 +28,83 @@ def _lex_sql(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in _LEX[lang])
 
 
+def _gopher_doc_stats(
+    docs: DataFrame, passthrough: list[str], with_lang_hits: bool = False
+) -> DataFrame:
+    """Per-document Gopher counters in ONE Arrow-batched mapInPandas
+    kernel (round 10 — the ivf_assign recipe applied to the text hot
+    path). The round-9 t16/t17 evaluated 5+ higher-order-function
+    lambdas per row; Spark's HOFs are CodegenFallback, so that entire
+    stage ran INTERPRETED — the exact failure family that cost ml18 two
+    cuts (41.8x / 12.8x at 100x, SCALE.md). Here every counter is
+    computed in one C-backed pass per Arrow batch with the lexicons
+    closed over once per executor (the JVM-folded-constants analogue).
+    All outputs are INTEGERS, so cross-engine bit-exactness is
+    structural — no float folds to re-order.
+
+    Tokenization mirrors ``textops.tokens`` exactly on this corpus:
+    trim strips SPACES only (F.trim semantics), ASCII lower, split on
+    \\s+. The corpus is pure ASCII at every SF (verified: 0 docs with a
+    non-ASCII byte); non-ASCII text would need JVM lower/whitespace
+    mirroring — the per-query oracle gate catches any such drift.
+
+    Plan shape: a pure map stage (zero exchanges), embarrassingly
+    parallel over scan partitions at any corpus size.
+    """
+    lex = {k: frozenset(v) for k, v in _LEX.items()}
+    base = docs.select(*passthrough, "text")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name != "text"
+    )
+    ddl += (
+        ", n_tok bigint, sum_len bigint, n_alpha bigint, n_sym bigint"
+        ", n_stop bigint, n_distinct bigint"
+    )
+    if with_lang_hits:
+        ddl += ", " + ", ".join(f"h_{lang} bigint" for lang in _LEX)
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        alpha = re.compile(r"[a-z]+\Z")
+        ws = re.compile(r"\s+")
+        en = lex["en"]
+        for pdf in batches:
+            n_tok, sum_len, n_alpha, n_sym, n_stop, n_distinct = (
+                [], [], [], [], [], [],
+            )
+            hits = {lang: [] for lang in lex} if with_lang_hits else None
+            for text in pdf["text"]:
+                toks = ws.split(text.strip(" ").lower())
+                n_tok.append(len(toks))
+                sum_len.append(sum(len(t) for t in toks))
+                n_alpha.append(sum(1 for t in toks if alpha.match(t)))
+                n_sym.append(
+                    sum(1 for t in toks if "#" in t or "..." in t)
+                )
+                distinct = set(toks)
+                n_stop.append(len(distinct & en))
+                n_distinct.append(len(distinct))
+                if hits is not None:
+                    for lang, s in lex.items():
+                        hits[lang].append(sum(1 for t in toks if t in s))
+            data = {c: pdf[c] for c in pdf.columns if c != "text"}
+            data.update(
+                n_tok=n_tok, sum_len=sum_len, n_alpha=n_alpha,
+                n_sym=n_sym, n_stop=n_stop, n_distinct=n_distinct,
+            )
+            if hits is not None:
+                for lang in lex:
+                    data[f"h_{lang}"] = hits[lang]
+            yield pd.DataFrame(data)
+
+    return base.mapInPandas(kernel, ddl)
+
+
 @register(
     "t01_token_stats",
     oracle=r"""
@@ -1099,28 +1176,10 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t16_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = tx.tokens(F.col("text"))
-    # Tokenize ONCE (t02's layering rule), then integer counters, then
-    # the gates over plain refs.
-    m = docs.select(
-        "doc_id",
-        F.size(tok).cast("bigint").alias("n_tok"),
-        F.aggregate(
-            F.transform(tok, lambda x: F.length(x)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("bigint").alias("sum_len"),
-        F.size(F.filter(tok, lambda x: x.rlike("^[a-z]+$"))).cast(
-            "bigint"
-        ).alias("n_alpha"),
-        F.size(
-            F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
-        ).cast("bigint").alias("n_sym"),
-        F.size(
-            F.array_intersect(tok, F.lit(list(_LEX["en"])).cast("array<string>"))
-        ).cast("bigint").alias("n_stop"),
-        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
-    )
+    # Tokenize + count ONCE in the Arrow kernel (round 10 — replaces
+    # five interpreted HOF lambdas per row), then the gates over plain
+    # integer refs stay in whole-stage codegen.
+    m = _gopher_doc_stats(docs, ["doc_id"])
     gates = {
         "r_word_count": (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000),
         "r_mean_word_len": (F.col("sum_len") >= 3 * F.col("n_tok"))
@@ -1226,30 +1285,12 @@ def t16_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t17_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = tx.tokens(F.col("text"))
-    m = docs.select(
-        "doc_id", "lang", "source", "n_chars",
-        F.md5("text").alias("digest"),
-        F.size(tok).cast("bigint").alias("n_tok"),
-        F.aggregate(
-            F.transform(tok, lambda x: F.length(x)),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("bigint").alias("sum_len"),
-        F.size(F.filter(tok, lambda x: x.rlike("^[a-z]+$"))).cast(
-            "bigint"
-        ).alias("n_alpha"),
-        F.size(
-            F.filter(tok, lambda x: x.contains("#") | x.contains("..."))
-        ).cast("bigint").alias("n_sym"),
-        F.size(
-            F.array_intersect(tok, F.lit(list(_LEX["en"])).cast("array<string>"))
-        ).cast("bigint").alias("n_stop"),
-        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
-        *[
-            tx.stopword_hits(tok, _LEX[lang]).alias(f"h_{lang}")
-            for lang in _LEX
-        ],
+    # digest stays JVM-side (md5 before the kernel, passed through);
+    # every token counter comes from the one Arrow pass (round 10).
+    m = _gopher_doc_stats(
+        docs.withColumn("digest", F.md5("text")),
+        ["doc_id", "lang", "source", "n_chars", "digest"],
+        with_lang_hits=True,
     )
     passes = (
         (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)

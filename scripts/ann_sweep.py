@@ -175,3 +175,55 @@ def ivfadc_sweep(spark, sf_dir: str) -> list[dict]:
         )
         print(_json.dumps(out[-1]))
     return out
+
+
+def shortlist_sweep(spark, sf_dir: str) -> list[dict]:
+    """Round 10 (r9 verdict item 6): recall@3 of the composed IVFADC
+    path as the ADC shortlist sweeps — with the coarse stage trained
+    (zero pruning loss at any nprobe, round-9 sweep) the shortlist is
+    the knob that buys back PQ quantization error via exact re-rank.
+    The r7 PQ sweep predicted recall 1.0 at 50; the composed-path
+    measurement (this sweep) found one neighbor at ADC rank 80 at
+    sf0.1, so the recall-1.0 operating point is 100 — the round-10
+    default."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        sim01_bruteforce_topk,
+        sim08_ivfadc_topk,
+    )
+
+    exact_rows = (
+        sim01_bruteforce_topk(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for shortlist in (10, 25, 50, 100):
+        ann = sim08_ivfadc_topk(spark, sf_dir, shortlist=shortlist).select(
+            "q_id", F.col("vec_id").alias("a_vec")
+        )
+        hit = (
+            exact_rows.join(
+                ann,
+                (exact_rows["q_id"] == ann["q_id"])
+                & (exact_rows["vec_id"] == ann["a_vec"]),
+                "left",
+            )
+            .drop(ann["q_id"])
+            .agg((F.count("a_vec") * 1.0 / F.count(F.lit(1))).alias("r"))
+            .first()["r"]
+        )
+        out.append({"shortlist": shortlist, "recall_at_3": round(hit, 4)})
+        print(_json.dumps(out[-1]))
+    return out

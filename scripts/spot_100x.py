@@ -51,15 +51,16 @@ QUERIES = [
     "sim06_pq_ann_topk",
     "sim08_ivfadc_topk",
     "d16_curation_dag",
-    # round-9 additions. d17_semantic_dedup is deliberately NOT here:
-    # its per-cluster pairwise prune is O(n^2) by design and the fixed
-    # K=4 oracle fixture under-provisions clusters at 100x — the kernel
-    # raises its cluster-size guard (16384) with the SemDeDup fix
-    # (K ~ sqrt(corpus)). Logged per the no-silent-caps rule; SCALE.md
-    # round-9 addendum carries the story.
+    # round-9 additions. d17_semantic_dedup joined in round 10: its K
+    # is now auto-provisioned (K = max(4, isqrt(N)), the SemDeDup
+    # K ~ sqrt(corpus) contract), so 100x embeddings get ~sqrt-sized
+    # clusters instead of tripping the 16384 pairwise-prune guard that
+    # kept it out of the round-9 table.
     "w36_bipower_jump",
     "f25_cross_sectional_zrank",
     "sim10_mmr_diversify",
+    "sim11_ann_mmr",
+    "d17_semantic_dedup",
     "ml18_random_projection",
     "t16_gopher_quality_gates",
     "mm10_wav_header_parse",

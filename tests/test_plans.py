@@ -407,3 +407,14 @@ def test_f25_day_stats_broadcast_back(spark, sf_dir):
     # would re-exchange the whole fact by day a second time.
     plan = _plan(spark, sf_dir, "f25_cross_sectional_zrank")
     assert "BroadcastHashJoin" in plan
+
+
+def test_sim11_ann_mmr_zero_corpus_shuffle(spark, sf_dir):
+    # sim11 (round 10): the production ANN->MMR path inherits sim08's
+    # FAISS-shaped plan — raw vectors never sort-merge or cartesian;
+    # candidate/codebook/probe joins all broadcast; the MMR kernel only
+    # ever groups the <= shortlist-sized candidate set.
+    plan = _plan(spark, sf_dir, "sim11_ann_mmr")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
