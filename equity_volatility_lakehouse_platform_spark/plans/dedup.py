@@ -1601,3 +1601,112 @@ def d18_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_text"),
         )
     )
+
+
+@register(
+    "d19_bloom_novelty",
+    # Bloom-filter novelty check (round 10) — the INCREMENTAL-batch
+    # face of exact dedup: at 100 TB you don't equi-join today's
+    # landing batch against the full corpus digest set; you probe a
+    # bits-sized Bloom filter built from it (the standard streaming-
+    # ingest novelty gate; Bloom 1970). Fixture split: even doc_ids are
+    # the existing corpus (filter side), odd ones the landing batch.
+    # The filter is DECLARATIVE here — the set of set bit positions
+    # (m = 16384, k = 3, double hashing p_j = (h1 + j*h2) mod m with
+    # h1/h2 carved from the doc digest's md5 hex, the engine's
+    # established cross-engine hash device) — so the oracle reproduces
+    # it bit-for-bit; a deployment would fold the same positions into a
+    # bitmap via bit_or. The probe is a BROADCAST join of the <= m-row
+    # position set against the landing batch's exploded positions: the
+    # corpus-sized side never shuffles. actual_dup (the exact-join
+    # truth) is carried per row, so the query also MEASURES its own
+    # false-positive behavior — the honesty column every approximate
+    # structure here ships with (sim05/07/09 recall, d12 accuracy).
+    oracle="""
+    WITH dig AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    ), h AS (
+      SELECT doc_id, dg,
+             CAST(('0x' || substr(dg, 1, 15)) AS BIGINT) % 16384 AS h1,
+             CAST(('0x' || substr(dg, 16, 15)) AS BIGINT) % 16383 + 1 AS h2
+      FROM dig
+    ), pos AS (
+      SELECT DISTINCT (h1 + j * h2) % 16384 AS pos
+      FROM h CROSS JOIN (SELECT unnest(range(3)) AS j) js
+      WHERE doc_id % 2 = 0
+    ), exd AS (
+      SELECT DISTINCT dg FROM dig WHERE doc_id % 2 = 0
+    ), inc AS (
+      SELECT * FROM h WHERE doc_id % 2 = 1
+    ), probe AS (
+      SELECT i.doc_id, count(p.pos) AS nhit
+      FROM inc i
+      CROSS JOIN (SELECT unnest(range(3)) AS j) js
+      LEFT JOIN pos p ON p.pos = (i.h1 + js.j * i.h2) % 16384
+      GROUP BY i.doc_id
+    )
+    SELECT i.doc_id,
+           pr.nhit = 3                      AS bloom_hit,
+           e.dg IS NOT NULL                 AS actual_dup,
+           pr.nhit = 3 AND e.dg IS NULL     AS false_positive
+    FROM inc i
+    JOIN probe pr ON pr.doc_id = i.doc_id
+    LEFT JOIN exd e ON e.dg = i.dg
+    """,
+)
+def d19_bloom_novelty(
+    spark: SparkSession, sf_dir: str, m: int = 16384, k: int = 3
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dg = F.md5("text")
+    h1 = F.conv(F.substring(dg, 1, 15), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(dg, 16, 15), 16, 10).cast("long") % (m - 1) + 1
+    hashed = docs.select(
+        "doc_id", dg.alias("dg"), h1.alias("h1"), h2.alias("h2")
+    )
+    existing = hashed.filter(F.col("doc_id") % 2 == 0)
+    positions = (
+        existing.select(
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("h1") + j * F.col("h2")) % m
+                        for j in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    exd = existing.select("dg").distinct()
+    incoming = hashed.filter(F.col("doc_id") % 2 == 1)
+    probe = incoming.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[(F.col("h1") + j * F.col("h2")) % m for j in range(k)]
+            )
+        ).alias("pos"),
+    )
+    nhit = (
+        probe.join(
+            F.broadcast(positions.withColumn("_set", F.lit(1))),
+            "pos", "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.count("_set").alias("nhit"))
+    )
+    return (
+        incoming.join(nhit, "doc_id")
+        .join(
+            F.broadcast(exd.withColumn("_dup", F.lit(1))), "dg", "left"
+        )
+        .select(
+            "doc_id",
+            (F.col("nhit") == k).alias("bloom_hit"),
+            F.col("_dup").isNotNull().alias("actual_dup"),
+            ((F.col("nhit") == k) & F.col("_dup").isNull()).alias(
+                "false_positive"
+            ),
+        )
+    )

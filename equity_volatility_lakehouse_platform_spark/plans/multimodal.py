@@ -970,3 +970,145 @@ def mm12_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "mp4_len", "n_top_boxes", "moov_children",
         "timescale", "duration", r6("_dsec").alias("duration_s"),
     )
+
+
+@register(
+    "mm13_png_chunk_walk",
+    # PNG chunk walk (round 10) — completes the container-format family
+    # (mm10 RIFF/little-endian, mm11 TIFF/IFD entries, mm12 ISO-BMFF/
+    # nested big-endian): PNG frames chunks as length(4, BIG-endian,
+    # EXCLUDING the 12 framing bytes) + type(4 ASCII) + data + crc(4) —
+    # a genuinely different advance rule (off += 12 + len) from MP4's
+    # size-includes-header boxes, so the walk can't be copy-pasted.
+    # Each row builds a real PNG header: signature, IHDR (width/height
+    # BE32, bit depth / color type from spec value sets, interlace
+    # flag), then a VARIANT middle chunk (none / pHYs / variable-length
+    # tEXt) so fixed offsets fail, then IEND. The walk is a bounded
+    # 4-iteration fold: read BE32 length, dispatch on the type bytes,
+    # advance past data+crc. CRCs are placeholder zeros — the walk
+    # parses structure, it does not checksum (the oracle pins that
+    # contract). Pure codegen byte arithmetic, zero exchanges; ~60
+    # header bytes per image at 100 TB, pixel payload never read.
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + 25 + CASE WHEN doc_id % 3 = 1 THEN 21
+                              WHEN doc_id % 3 = 2 THEN 17 + doc_id % 17
+                              ELSE 0 END + 12 AS BIGINT) AS png_len,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS BIGINT)
+             AS n_chunks,
+           CAST(16 + doc_id % 512 AS BIGINT)            AS width,
+           CAST(16 + (doc_id // 512) % 512 AS BIGINT)   AS height,
+           CAST(([1, 2, 4, 8, 16])[CAST(doc_id % 5 + 1 AS INT)] AS BIGINT)
+             AS bit_depth,
+           CAST(([0, 2, 3, 4, 6])[CAST((doc_id // 5) % 5 + 1 AS INT)]
+                AS BIGINT)                              AS color_type,
+           CAST(doc_id % 2 AS BIGINT)                   AS interlace,
+           doc_id % 3 = 1                               AS has_phys,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(5 + doc_id % 17 AS BIGINT)
+                ELSE NULL END                           AS text_len
+    FROM documents
+    """,
+)
+def mm13_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def be_lit(col, n):
+        return F.unhex(F.lpad(F.hex(col.cast("long")), 2 * n, "0"))
+
+    w = F.lit(16) + did % 512
+    h = F.lit(16) + (did / 512).cast("long") % 512
+    depth = F.element_at(
+        F.array(*[F.lit(x) for x in (1, 2, 4, 8, 16)]),
+        (did % 5 + 1).cast("int"),
+    )
+    ctype = F.element_at(
+        F.array(*[F.lit(x) for x in (0, 2, 3, 4, 6)]),
+        ((did / 5).cast("long") % 5 + 1).cast("int"),
+    )
+    interlace = did % 2
+    variant = did % 3
+    crc = F.lit(bytes(4))  # placeholder: structural walk, no checksum
+    ihdr = F.concat(
+        be_lit(F.lit(13), 4), F.lit(b"IHDR"),
+        be_lit(w, 4), be_lit(h, 4),
+        be_lit(depth, 1), be_lit(ctype, 1),
+        F.lit(bytes(2)),               # compression=0, filter=0
+        be_lit(interlace, 1), crc,
+    )
+    phys = F.concat(
+        be_lit(F.lit(9), 4), F.lit(b"pHYs"),
+        be_lit(F.lit(2835), 4), be_lit(F.lit(2835), 4),
+        be_lit(F.lit(1), 1), crc,
+    )
+    text_n = did % 17
+    text = F.concat(
+        be_lit(F.lit(5) + text_n, 4), F.lit(b"tEXt"),
+        F.lit(b"note\x00"),
+        F.expr("repeat('x', CAST(doc_id % 17 AS INT))").cast("binary"),
+        crc,
+    )
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        ihdr,
+        F.when(variant == 1, phys)
+        .when(variant == 2, text)
+        .otherwise(F.lit(b"")),
+        be_lit(F.lit(0), 4), F.lit(b"IEND"), crc,
+    )
+    built = docs.select("doc_id", png.alias("png"))
+
+    def be_at(off, n):
+        o = F.lit(off) if isinstance(off, int) else off
+        return F.conv(
+            F.hex(F.col("png").substr(o.cast("int"), F.lit(n))), 16, 10
+        ).cast("long")
+
+    def typ_at(off):
+        return F.col("png").substr((off + 4).cast("int"), F.lit(4))
+
+    null_l = F.lit(None).cast("long")
+    init = F.struct(
+        F.lit(9).cast("long").alias("off"),   # 1-based, past signature
+        F.lit(0).cast("long").alias("n"),
+        null_l.alias("w"), null_l.alias("h"), null_l.alias("depth"),
+        null_l.alias("ctype"), null_l.alias("inter"),
+        F.lit(False).alias("phys"), null_l.alias("text_len"),
+    )
+
+    def step(acc, _i):
+        past = acc["off"] + 7 > F.length("png")
+        ln = be_at(acc["off"], 4)
+        typ = typ_at(acc["off"])
+        data = acc["off"] + 8                  # 1-based data offset
+        is_ihdr = typ == F.lit(b"IHDR")
+        return F.when(past, acc).otherwise(
+            F.struct(
+                (acc["off"] + 12 + ln).alias("off"),
+                (acc["n"] + 1).alias("n"),
+                F.when(is_ihdr, be_at(data, 4)).otherwise(acc["w"]).alias("w"),
+                F.when(is_ihdr, be_at(data + 4, 4)).otherwise(acc["h"]).alias("h"),
+                F.when(is_ihdr, be_at(data + 8, 1)).otherwise(acc["depth"]).alias("depth"),
+                F.when(is_ihdr, be_at(data + 9, 1)).otherwise(acc["ctype"]).alias("ctype"),
+                F.when(is_ihdr, be_at(data + 12, 1)).otherwise(acc["inter"]).alias("inter"),
+                (acc["phys"] | (typ == F.lit(b"pHYs"))).alias("phys"),
+                F.when(typ == F.lit(b"tEXt"), ln).otherwise(
+                    acc["text_len"]
+                ).alias("text_len"),
+            )
+        )
+
+    walked = F.aggregate(F.sequence(F.lit(1), F.lit(4)), init, step)
+    return built.select(
+        "doc_id",
+        F.length("png").cast("bigint").alias("png_len"),
+        walked["n"].alias("n_chunks"),
+        walked["w"].alias("width"),
+        walked["h"].alias("height"),
+        walked["depth"].alias("bit_depth"),
+        walked["ctype"].alias("color_type"),
+        walked["inter"].alias("interlace"),
+        walked["phys"].alias("has_phys"),
+        walked["text_len"].alias("text_len"),
+    )

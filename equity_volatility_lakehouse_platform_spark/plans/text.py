@@ -1341,3 +1341,131 @@ def t17_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("_pass").alias("gate_pass_rate"),
         r6s("_agree").alias("lang_agreement"),
     )
+
+
+# regex patterns shared by the Spark query and (verbatim) the oracle —
+# simple enough to mean the same thing in Java regex and RE2.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "t18_pii_redaction",
+    # PII detection + redaction (round 10) — the scrub stage every
+    # training-data pipeline runs before release (emails, phone
+    # numbers, SSN-shaped ids, bare IPv4s). The synthetic corpus
+    # carries no PII, so each row PLANTS deterministic PII from doc_id
+    # arithmetic at runtime (the sc11 device: the oracle rebuilds the
+    # identical augmented text, so an error in either the construction
+    # or the detection/redaction breaks the hash; addresses use the
+    # RFC 2606 example domain and the reserved 555 exchange / RFC 1918
+    # 10.x space — nothing real is referenced). Counters are
+    # regexp_count over the augmented text; redaction is an ordered
+    # regexp_replace chain (email -> ssn -> phone -> ip, the order
+    # matters because the patterns share digit shapes). All JVM
+    # whole-stage-codegen string ops, zero shuffle — at 100 TB this is
+    # a map stage over the corpus scan.
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact u' || CAST(doc_id % 97 AS VARCHAR)
+                     || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' id ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                     || '-' || CAST(doc_id % 89 + 10 AS VARCHAR)
+                     || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT)
+             AS n_ssn,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_SSN}', '[SSN]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IP}', '[IP]', 'g') AS redacted_text
+    FROM aug
+    """,
+)
+def t18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact u"), (did % 97).cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" id "), (did % 900 + 100).cast("string"),
+                F.lit("-"), (did % 89 + 10).cast("string"),
+                F.lit("-"), (did % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"),
+                F.lit("."), (did % 250 + 1).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    base = docs.select("doc_id", aug.alias("t"))
+    red = F.col("t")
+    for pat, tag in (
+        (_PII_EMAIL, "[EMAIL]"),
+        (_PII_SSN, "[SSN]"),
+        (_PII_PHONE, "[PHONE]"),
+        (_PII_IP, "[IP]"),
+    ):
+        red = F.regexp_replace(red, pat, tag)
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("bigint").alias(
+            "n_email"
+        ),
+        F.regexp_count(F.col("t"), F.lit(_PII_SSN)).cast("bigint").alias(
+            "n_ssn"
+        ),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("bigint").alias(
+            "n_phone"
+        ),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("bigint").alias(
+            "n_ip"
+        ),
+        red.alias("redacted_text"),
+    )
