@@ -4283,3 +4283,109 @@ def sc11_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "host_key"
         ),
     )
+
+
+@register(
+    "j19_scd2_point_in_time",
+    # SCD Type-2 point-in-time join (round 10) — THE lakehouse
+    # dimension pattern: attributes are versioned rows with
+    # [valid_from, valid_to) windows and each fact row joins the
+    # version valid AT its event time (Kimball SCD2; Delta/Iceberg
+    # MERGE-maintained dimensions). The synthetic dimension derives
+    # 1-3 versions per customer from c_custkey arithmetic (the sc11
+    # runtime-fixture device): boundaries land inside the order-date
+    # range so every version gets matched facts, windows PARTITION the
+    # timeline so each order matches EXACTLY one version (the
+    # correctness property an off-by-one in either boundary breaks).
+    # Plan shape: equi-join on the customer key with the range
+    # predicate as a residual — at 100 TB both sides shuffle once on
+    # the key (or broadcast when the dimension fits), never a
+    # range-only BNLJ.
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, 1 AS version, c_mktsegment,
+             CAST(DATE '1990-01-01' AS TIMESTAMP) AS valid_from,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN CAST(DATE '1996-01-01'
+                            + CAST(c_custkey % 700 AS INT) AS TIMESTAMP)
+                  ELSE NULL END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, c_mktsegment,
+             CAST(DATE '1996-01-01'
+                  + CAST(c_custkey % 700 AS INT) AS TIMESTAMP),
+             CASE WHEN c_custkey % 4 = 0
+                  THEN CAST(DATE '1996-01-01'
+                            + CAST(c_custkey % 700 + 400
+                                   + c_custkey % 300 AS INT) AS TIMESTAMP)
+                  ELSE NULL END
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL
+      SELECT c_custkey, 3, c_mktsegment,
+             CAST(DATE '1996-01-01'
+                  + CAST(c_custkey % 700 + 400
+                         + c_custkey % 300 AS INT) AS TIMESTAMP),
+             NULL
+      FROM customer WHERE c_custkey % 4 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(v.version AS BIGINT) AS version,
+           v.c_mktsegment || '#v' || CAST(v.version AS VARCHAR)
+             AS segment_v
+    FROM orders o
+    JOIN v ON v.c_custkey = o.o_custkey
+          AND o.o_orderdate >= v.valid_from
+          AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def j19_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ck = F.col("c_custkey")
+    base = F.lit("1996-01-01").cast("date")
+    b1 = F.date_add(base, (ck % 700).cast("int")).cast("timestamp")
+    b2 = F.date_add(
+        base, (ck % 700 + 400 + ck % 300).cast("int")
+    ).cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    v1 = cust.select(
+        "c_custkey", F.lit(1).cast("bigint").alias("version"),
+        "c_mktsegment",
+        F.lit("1990-01-01").cast("date").cast("timestamp").alias(
+            "valid_from"
+        ),
+        F.when(ck % 2 == 0, b1).otherwise(null_ts).alias("valid_to"),
+    )
+    v2 = cust.filter(ck % 2 == 0).select(
+        "c_custkey", F.lit(2).cast("bigint").alias("version"),
+        "c_mktsegment",
+        b1.alias("valid_from"),
+        F.when(ck % 4 == 0, b2).otherwise(null_ts).alias("valid_to"),
+    )
+    v3 = cust.filter(ck % 4 == 0).select(
+        "c_custkey", F.lit(3).cast("bigint").alias("version"),
+        "c_mktsegment",
+        b2.alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = orders.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "version",
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#v"),
+            F.col("version").cast("string"),
+        ).alias("segment_v"),
+    )

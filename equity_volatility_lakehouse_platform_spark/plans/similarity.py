@@ -1979,3 +1979,117 @@ def _sim11_oracle() -> str:
 
 
 _simreg.set_oracle("sim11_ann_mmr", _sim11_oracle())
+
+
+@register(
+    "sim12_persisted_ivf_index",
+    # PERSISTED ANN index (round 10) — the missing production face of
+    # the IVF family: sim04/sim08 train-and-query in one plan, but at
+    # 100 TB the index is an OFFLINE artifact (FAISS writes an index
+    # file; a lakehouse writes index TABLES) and the query path must
+    # run from the artifacts alone. Build: trained coarse centroids +
+    # the corpus assignment land in two versioned AcidTables (the index
+    # inherits ACID commits/time travel — reindex = new version, and
+    # the raw vectors are NOT copied: late materialization keeps the
+    # index tables ids-only). Query: RELOAD both tables, probe the
+    # top-nprobe centroid lists, rank candidates by exact cosine
+    # against the corpus scan. The oracle recomputes the identical
+    # trained chain inline, so the parquet/ACID round trip of the
+    # double[] centroids is pinned bit-exact end to end.
+    oracle=None,  # set below — composes the trained-IVF chain
+)
+def sim12_persisted_ivf_index(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3
+) -> DataFrame:
+    import tempfile
+
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+
+    emb = _ivf_emb(spark, sf_dir)
+    # ---- build (offline in production; versioned ACID commits) ----
+    root = tempfile.mkdtemp(prefix="evlp_sim12_")
+    cent = ivf_train_centroids(emb)
+    t_cent = AcidTable(spark, root + "/ivf_centroids")
+    t_cent.overwrite(cent)
+    t_asg = AcidTable(spark, root + "/ivf_assignments")
+    t_asg.overwrite(ivf_assign(emb, cent).select("vec_id", "cid"))
+    # ---- query (artifacts only: no retraining, no corpus re-assign) --
+    cent_r = t_cent.read()
+    asg_r = t_asg.read()
+    qprobe = ivf_probe(emb, cent_r, nprobe).select("q_id", "qcid")
+    candp = (
+        F.broadcast(qprobe)
+        .join(
+            asg_r,
+            (F.col("qcid") == F.col("cid"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+    )
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    qvec = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    scored = (
+        F.broadcast(candp)
+        .join(base, "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", r6("cos").alias("cosine"))
+    )
+
+
+def _sim12_oracle() -> str:
+    return (
+        """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+        + _ivf_train_sql("4")
+        + """
+    , sall AS (
+      SELECT e.vec_id, cb.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.v, cb.cv)
+                 / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(cb.cv, cb.cv)), 0)
+                 DESC, cb.cid) AS rn
+      FROM e CROSS JOIN icb2 cb
+    ), asg AS (
+      SELECT vec_id, cid FROM sall WHERE rn = 1
+    ), prb AS (
+      SELECT vec_id AS q_id, cid AS qcid FROM sall
+      WHERE vec_id < 3 AND rn <= 2
+    ), candp AS (
+      SELECT p.q_id, a.vec_id
+      FROM prb p JOIN asg a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM candp c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e x ON x.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
+    FROM (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+    )
+
+
+_simreg.set_oracle("sim12_persisted_ivf_index", _sim12_oracle())

@@ -810,3 +810,25 @@ def test_d17_tau_parameter_is_honored(spark, sf_dir):
     assert with_mate, "fixture must have multi-member clusters"
     assert all(r["is_dup"] for r in with_mate)
     assert all(not r["is_dup"] for r in rows if r["max_intra_cos"] is None)
+
+
+def test_j19_every_order_matches_exactly_one_version(spark, sf_dir):
+    # SCD2 windows must PARTITION the per-customer timeline: the join
+    # neither drops nor duplicates facts.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    load_all()
+    out = all_queries()["j19_scd2_point_in_time"](spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_orders
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # All three versions actually receive facts (boundaries sit inside
+    # the order-date range).
+    vers = {r["version"] for r in out.select("version").distinct().collect()}
+    assert vers == {1, 2, 3}
