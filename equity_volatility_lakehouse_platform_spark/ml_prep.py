@@ -1061,3 +1061,98 @@ def load_model(
             f"model {name!r} (version {model_version}) not in registry"
         )
     return json.loads(row["model_json"])
+
+
+def permutation_importance(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    fitted: dict,
+    split_col: str = "split",
+    train_value: str = "train",
+    metric: str = "roc_auc",
+    n_repeats: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Model-agnostic feature importance (round 10) — the portable
+    analogue of the reference's ``feature_importances_`` table
+    (my_model.py:85-112): permute one feature at a time in the held-out
+    split (seeded, ``n_repeats`` independent permutations) and record
+    the metric drop vs the unpermuted baseline. Works with ANY
+    ``fit_model``/``load_model`` artifact, so the registry round trip
+    extends to the importance report. Returned sorted by importance
+    descending (the reference's presentation order)."""
+    import numpy as np
+
+    pdf = df.select(*feature_cols, label_col, split_col).toPandas()
+    test = pdf[pdf[split_col] != train_value]
+    x_te = test[feature_cols].to_numpy(dtype=float)
+    y_te = test[label_col].to_numpy(dtype=float)
+    base = _binary_metrics(y_te, predict_scores(fitted, x_te))[metric]
+    rs = np.random.RandomState(seed)
+    rows = []
+    for j, feat in enumerate(feature_cols):
+        drops = []
+        for _ in range(n_repeats):
+            xp = x_te.copy()
+            xp[:, j] = xp[rs.permutation(len(xp)), j]
+            m = _binary_metrics(y_te, predict_scores(fitted, xp))[metric]
+            drops.append(base - m)
+        rows.append((feat, round(base, 6), round(sum(drops) / n_repeats, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "feature STRING, base_metric DOUBLE, importance DOUBLE"
+    ).orderBy(F.desc("importance"), "feature")
+
+
+def sequential_feature_selection(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    direction: str = "forward",
+    k_features: int | None = None,
+    split_col: str = "split",
+    model: str = "logistic_regression",
+    **fit_kwargs,
+) -> list[str]:
+    """Greedy forward/backward feature selection maximizing F1 on the
+    validation split — the reference's pipeline_forward /
+    pipeline_back SequentialFeatureSelector stage
+    (my_model.py:92-112), re-expressed with the engine's leakage-safe
+    split + the portable model zoo. Deterministic: candidates are
+    scanned in ``feature_cols`` order and ties keep the incumbent
+    (strict improvement), so reruns select the identical subset."""
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+    if k_features is None:
+        k_features = max(1, len(feature_cols) // 2)
+
+    def score(cols: list[str]) -> float:
+        m = fit_eval(
+            df, cols, label_col, split_col=split_col, model=model,
+            **fit_kwargs,
+        ).first()
+        return m["f1"]
+
+    if direction == "forward":
+        selected: list[str] = []
+        while len(selected) < k_features:
+            best, best_sc = None, None
+            for cand in feature_cols:
+                if cand in selected:
+                    continue
+                sc = score(selected + [cand])
+                if best is None or sc > best_sc:
+                    best, best_sc = cand, sc
+            selected.append(best)
+        return selected
+    selected = list(feature_cols)
+    while len(selected) > k_features:
+        best, best_sc = None, None
+        for cand in selected:
+            trial = [c for c in selected if c != cand]
+            sc = score(trial)
+            if best is None or sc > best_sc:
+                best, best_sc = cand, sc
+        selected.remove(best)
+    return selected

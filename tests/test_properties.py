@@ -1051,3 +1051,61 @@ def test_model_registry_fit_save_reload_roundtrip(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         load_model(spark, reg, "nope")
+
+
+def test_permutation_importance_ranks_signal_over_noise(spark):
+    from equity_volatility_lakehouse_platform_spark.ml_prep import (
+        fit_model,
+        permutation_importance,
+    )
+
+    syn = _ml_synth(spark).withColumn(
+        "noise", (F.sin(F.col("t") * 3.77) * 971.3 % 2.0 - 1.0)
+    ).localCheckpoint(eager=True)
+    m = fit_model(syn, ["x1", "x2", "noise"], "label", max_iter=60)
+    imp = permutation_importance(
+        syn, ["x1", "x2", "noise"], "label", m
+    ).collect()
+    assert [f.name for f in permutation_importance(
+        syn, ["x1", "x2", "noise"], "label", m
+    ).schema.fields] == ["feature", "base_metric", "importance"]
+    by = {r["feature"]: r["importance"] for r in imp}
+    # Signal features matter; the noise column is ~free to permute.
+    assert by["x1"] > by["noise"] and by["x2"] > by["noise"]
+    assert by["noise"] < 0.05
+    # Sorted descending + deterministic rerun.
+    imps = [r["importance"] for r in imp]
+    assert imps == sorted(imps, reverse=True)
+    again = permutation_importance(
+        syn, ["x1", "x2", "noise"], "label", m
+    ).collect()
+    assert [r.asDict() for r in imp] == [r.asDict() for r in again]
+
+
+def test_sequential_feature_selection_forward_and_backward(spark):
+    from equity_volatility_lakehouse_platform_spark.ml_prep import (
+        sequential_feature_selection,
+    )
+
+    syn = _ml_synth(spark).withColumn(
+        "noise", (F.sin(F.col("t") * 3.77) * 971.3 % 2.0 - 1.0)
+    ).localCheckpoint(eager=True)
+    # class_weight='balanced' keeps single-feature fits from
+    # collapsing to the all-negative prediction (F1=0 for every
+    # candidate would make the greedy step degenerate to input order).
+    kw = dict(max_iter=60, class_weight="balanced")
+    fwd = sequential_feature_selection(
+        syn, ["noise", "x1", "x2"], "label",
+        direction="forward", k_features=2, **kw,
+    )
+    assert set(fwd) == {"x1", "x2"}        # noise never selected
+    back = sequential_feature_selection(
+        syn, ["noise", "x1", "x2"], "label",
+        direction="backward", k_features=2, **kw,
+    )
+    assert set(back) == {"x1", "x2"}       # noise eliminated first
+    # Deterministic rerun.
+    assert fwd == sequential_feature_selection(
+        syn, ["noise", "x1", "x2"], "label",
+        direction="forward", k_features=2, **kw,
+    )
