@@ -1015,3 +1015,76 @@ def ml20_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("mi").alias("mutual_info"),
         r6s("chi2").alias("chi_square"),
     )
+
+
+@register(
+    "ml21_target_encoding",
+    # Leakage-safe target encoding (round 10) — the categorical feature
+    # every tabular pipeline derives and every naive implementation
+    # LEAKS: the per-category target mean must exclude the row's own
+    # target. Two standard schemes side by side over the events table
+    # (category = event_type, target = value): LEAVE-ONE-OUT
+    # enc = (sum_cat - own) / (n_cat - 1), and OUT-OF-FOLD (5 folds by
+    # user_id % 5) enc = mean over the OTHER folds' rows
+    # = (sum_cat - sum_fold_cat) / (n_cat - n_fold_cat). Both are exact
+    # algebra over two aggregates — one tiny (category) and one
+    # (category x fold) roll-up broadcast back onto the stream — so at
+    # 100 TB this is a map stage plus two small-key aggregations; the
+    # raw stream shuffles zero times. Ratios are NULL for singleton
+    # denominators (the honest encoding for an unseen-at-train row) and
+    # take the nudged round.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, user_id % 5 AS fold, value
+      FROM events
+    ), cat AS (
+      SELECT event_type, sum(value) AS s, count(*) AS n
+      FROM e GROUP BY event_type
+    ), cf AS (
+      SELECT event_type, fold, sum(value) AS sf, count(*) AS nf
+      FROM e GROUP BY event_type, fold
+    ), enc AS (
+      SELECT e.event_id, e.event_type, CAST(e.fold AS BIGINT) AS fold,
+             (c.s - e.value) / NULLIF(c.n - 1, 0) AS loo,
+             (c.s - f.sf) / NULLIF(c.n - f.nf, 0) AS oof
+      FROM e
+      JOIN cat c ON c.event_type = e.event_type
+      JOIN cf f ON f.event_type = e.event_type AND f.fold = e.fold
+    )
+    SELECT event_id, event_type, fold,
+           (ROUND(loo - sign(loo) * 0.000000001, 6) + 0.0) AS loo_enc,
+           (ROUND(oof - sign(oof) * 0.000000001, 6) + 0.0) AS oof_enc
+    FROM enc
+    """,
+)
+def ml21_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", (F.col("user_id") % 5).alias("fold"),
+        "value",
+    )
+    cat = e.groupBy("event_type").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cf = e.groupBy("event_type", "fold").agg(
+        F.sum("value").alias("sf"), F.count(F.lit(1)).alias("nf")
+    )
+    enc = (
+        e.join(F.broadcast(cat), "event_type")
+        .join(F.broadcast(cf), ["event_type", "fold"])
+        .select(
+            "event_id", "event_type",
+            F.col("fold").cast("bigint").alias("fold"),
+            ((F.col("s") - F.col("value"))
+             / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+             ).alias("loo"),
+            ((F.col("s") - F.col("sf"))
+             / F.nullif((F.col("n") - F.col("nf")).cast("double"),
+                        F.lit(0.0))
+             ).alias("oof"),
+        )
+    )
+    return enc.select(
+        "event_id", "event_type", "fold",
+        r6s("loo").alias("loo_enc"),
+        r6s("oof").alias("oof_enc"),
+    )

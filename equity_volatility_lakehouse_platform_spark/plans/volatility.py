@@ -1112,3 +1112,113 @@ def w36_bipower_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("jump_share", F.col("js"), "r6s"),
         ],
     )
+
+
+@register(
+    "w38_realized_semivariance",
+    # Realized semivariance + signed jump variation (round 10) —
+    # Barndorff-Nielsen, Kinnebrock & Shephard (2008), the DIRECTIONAL
+    # refinement of w36's jump decomposition: RS+ = sum r^2 over
+    # positive returns converges to half the integrated variance plus
+    # the POSITIVE jumps' contribution, RS- likewise for negative, so
+    # their difference (the signed jump variation) tells crash days
+    # from melt-up days where w36's RV - BV cannot. Same fixture
+    # contract as w36 (per (user, day) tick returns, >= 4 positive-
+    # price ticks) and the same cross-engine devices: ordered left
+    # folds over the (ts, event_id)-sorted return sequence — the
+    # conditional r^2 terms fold IN SEQUENCE with zeros for the
+    # non-matching sign, so Spark and DuckDB sum the identical float
+    # series — and nudge-rounded ratio outputs. One groupBy shuffle,
+    # day-bounded arrays, no window.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ts, event_id, value
+      FROM events WHERE value > 0
+    ), g AS (
+      SELECT user_id, day,
+             list(value ORDER BY ts, event_id) AS vals,
+             count(*) AS n_ticks
+      FROM e GROUP BY user_id, day
+    ), f AS (
+      SELECT user_id, day,
+             list_transform(range(2, len(vals) + 1),
+                            i -> ln(vals[i] / vals[i-1])) AS rs
+      FROM g WHERE n_ticks >= 4
+    ), agg AS (
+      SELECT user_id, day, len(rs) AS n_ret,
+             list_reduce(list_transform(rs, r -> r * r),
+                         (acc, x) -> acc + x) AS rv,
+             list_reduce(list_transform(rs,
+                         r -> CASE WHEN r > 0 THEN r * r ELSE 0.0 END),
+                         (acc, x) -> acc + x) AS rs_up,
+             list_reduce(list_transform(rs,
+                         r -> CASE WHEN r < 0 THEN r * r ELSE 0.0 END),
+                         (acc, x) -> acc + x) AS rs_down
+      FROM f
+    )
+    SELECT user_id, day, CAST(n_ret AS BIGINT) AS n_ret,
+           {_r6s_sql("rv")} AS rv,
+           {_r6s_sql("rs_up")} AS rs_up,
+           {_r6s_sql("rs_down")} AS rs_down,
+           {_r6s_sql("rs_up - rs_down")} AS signed_jump,
+           {_r6s_sql("(rs_up - rs_down) / NULLIF(rv, 0)")}
+             AS signed_jump_share
+    FROM agg
+    """,
+)
+def w38_realized_semivariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("user_id", F.date_trunc("day", "ts").alias("day"),
+                "ts", "event_id", "value")
+    )
+    g = ev.groupBy("user_id", "day").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("lst"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).filter(F.col("n_ticks") >= 4)
+    vals = g.select(
+        "user_id", "day",
+        F.expr("transform(lst, e -> e.value)").alias("vals"),
+    )
+    rets = vals.select(
+        "user_id", "day",
+        F.expr(
+            "transform(sequence(2, size(vals)),"
+            " i -> ln(element_at(vals, i) / element_at(vals, i - 1)))"
+        ).alias("rs"),
+    )
+    folds = rets.select(
+        "user_id", "day",
+        F.size("rs").cast("bigint").alias("n_ret"),
+        F.expr(
+            "aggregate(transform(rs, r -> r * r), 0D, (acc, x) -> acc + x)"
+        ).alias("rv"),
+        F.expr(
+            "aggregate(transform(rs, r -> if(r > 0D, r * r, 0D)),"
+            " 0D, (acc, x) -> acc + x)"
+        ).alias("rs_up"),
+        F.expr(
+            "aggregate(transform(rs, r -> if(r < 0D, r * r, 0D)),"
+            " 0D, (acc, x) -> acc + x)"
+        ).alias("rs_down"),
+    )
+    return _round_step(
+        folds,
+        ["user_id", "day", "n_ret"],
+        [
+            ("rv", F.col("rv"), "r6s"),
+            ("rs_up", F.col("rs_up"), "r6s"),
+            ("rs_down", F.col("rs_down"), "r6s"),
+            ("signed_jump", F.col("rs_up") - F.col("rs_down"), "r6s"),
+            (
+                "signed_jump_share",
+                (F.col("rs_up") - F.col("rs_down"))
+                / F.nullif(F.col("rv"), F.lit(0.0)),
+                "r6s",
+            ),
+        ],
+    )
