@@ -74,6 +74,11 @@ QUERIES = [
     "ml20_mutual_information",
     "sc11_url_parse",
     "t17_corpus_datacard",
+    # round-10 additions: the persisted-index query path, the Bloom
+    # novelty gate, and the SCD2 point-in-time join.
+    "sim12_persisted_ivf_index",
+    "d19_bloom_novelty",
+    "j19_scd2_point_in_time",
 ]
 
 
@@ -168,7 +173,17 @@ def _time(df) -> float:
 # the d16 flag manifest): re-saving one DataFrame would reuse the
 # materialized checkpoint and time only the serving half — rebuild the
 # query per run so every timed run pays the whole pipeline.
-REBUILD = {"sim06_pq_ann_topk", "sim08_ivfadc_topk", "d16_curation_dag"}
+REBUILD = {
+    "sim06_pq_ann_topk",
+    "sim08_ivfadc_topk",
+    "d16_curation_dag",
+    # sim11 composes sim08's checkpointed training; sim12 and d17 train/
+    # write per call (index build + ACID sinks) — rebuild so every timed
+    # run pays the full pipeline.
+    "sim11_ann_mmr",
+    "sim12_persisted_ivf_index",
+    "d17_semantic_dedup",
+}
 
 
 def _time_rebuild(fn, spark, d) -> float:
