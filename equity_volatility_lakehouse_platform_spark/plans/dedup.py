@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
-from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 # DuckDB mirror of tokens/shingles (see operators/textops.py). Used by the
 # shingle-STRING consumers (d05 exact Jaccard).
@@ -1710,3 +1710,79 @@ def d19_bloom_novelty(
             ),
         )
     )
+
+
+@register(
+    "d20_edit_distance_verify",
+    # Candidate -> VERIFY with edit distance (round 10) — the
+    # entity-resolution half of the dedup ladder the sketch family
+    # approximates: MinHash/LSH candidates (d03's banded equi-join,
+    # linear in collisions) verified by exact Levenshtein on the
+    # candidate pairs ONLY — the classic blocking+verify shape that
+    # keeps O(L^2) dynamic programming off the corpus and on the ~0.02%
+    # of pairs the bands surface. Outputs the sketch estimate next to
+    # the exact edit similarity so the two scales audit each other;
+    # is_dup is the integer cross-multiplied threshold
+    # (5 * lev <= max_len, i.e. normalized distance <= 0.2). Both
+    # engines implement classic single-string Levenshtein, so lev_dist
+    # is integer-identical; edit_sim is one nudge-rounded division.
+    oracle=None,  # set below — composes d03's oracle as a CTE
+)
+def d20_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r3
+
+    pairs = _r3.all_queries()["d03_minhash_lsh_pairs"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    scored = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "est_jaccard",
+            lev.cast("bigint").alias("lev_dist"),
+            (
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.nullif(mx.cast("double"), F.lit(0.0))
+            ).alias("_sim"),
+            (lev * 5 <= mx).alias("is_dup"),
+        )
+    )
+    return scored.select(
+        "doc_a", "doc_b", "est_jaccard", "lev_dist",
+        r6s("_sim").alias("edit_sim"), "is_dup",
+    )
+
+
+def _d20_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r3
+
+    d03 = _r3.all_oracles()["d03_minhash_lsh_pairs"]
+    return (
+        "WITH pairs AS (" + d03 + """
+    )
+    SELECT p.doc_a, p.doc_b, p.est_jaccard,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist,
+           (ROUND((1.0 - levenshtein(a.text, b.text) * 1.0
+                   / NULLIF(greatest(length(a.text), length(b.text)), 0))
+                  - sign(1.0 - levenshtein(a.text, b.text) * 1.0
+                         / NULLIF(greatest(length(a.text),
+                                           length(b.text)), 0))
+                    * 0.000000001, 6) + 0.0) AS edit_sim,
+           levenshtein(a.text, b.text) * 5
+             <= greatest(length(a.text), length(b.text)) AS is_dup
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.doc_a
+    JOIN documents b ON b.doc_id = p.doc_b
+    """
+    )
+
+
+_reg.set_oracle("d20_edit_distance_verify", _d20_oracle())

@@ -924,3 +924,112 @@ def f27_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").cast("bigint").alias("n_days"),
         r6s((F.col("s") / F.col("n_days"))).alias("amihud_illiq"),
     )
+
+
+@register(
+    "f28_rolling_beta",
+    # Rolling market beta + alpha (round 10) — the CAPM exposure every
+    # equity feature matrix carries next to the volatility block: per
+    # (user, day), OLS slope/intercept of the user's daily return
+    # against the equal-weight market return over a trailing 5-day
+    # window (full windows only — the warm-up guard every w-family
+    # rolling stat applies). Moments are plain frame sums (the w06
+    # device: 6dp round + toward-zero nudge absorbs frame-accumulation
+    # ulp drift); beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    # alpha = (Sy - beta*Sx) / n. Cost shape: the daily roll-up's one
+    # shuffle, a day-keyed market aggregate broadcast back, one window
+    # sort per user — no self-joins, no all-pairs.
+    oracle=DAILY_CTE + f"""
+    , rets AS (
+      SELECT user_id, day,
+             close / NULLIF(lag(close) OVER {W}, 0) - 1 AS ret
+      FROM daily
+    ), mkt AS (
+      SELECT day, avg(close) AS mclose FROM daily GROUP BY day
+    ), mret AS (
+      SELECT day,
+             mclose / NULLIF(lag(mclose) OVER (ORDER BY day), 0) - 1 AS mr
+      FROM mkt
+    ), j AS (
+      SELECT r.user_id, r.day, r.ret, m.mr
+      FROM rets r JOIN mret m ON m.day = r.day
+      WHERE r.ret IS NOT NULL AND m.mr IS NOT NULL
+    ), win AS (
+      SELECT user_id, day,
+             count(*) OVER w AS n,
+             sum(mr) OVER w AS sx, sum(ret) OVER w AS sy,
+             sum(mr * ret) OVER w AS sxy, sum(mr * mr) OVER w AS sxx
+      FROM j
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ), b AS (
+      SELECT user_id, day, n, sx, sy,
+             (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS beta
+      FROM win WHERE n = 5
+    ), o AS (
+      SELECT user_id, day, n, beta,
+             (sy - beta * sx) / n AS alpha
+      FROM b
+    )
+    SELECT user_id, day, CAST(n AS BIGINT) AS n,
+           (ROUND(beta - sign(beta) * 0.000000001, 6) + 0.0) AS beta,
+           (ROUND(alpha - sign(alpha) * 0.000000001, 6) + 0.0) AS alpha
+    FROM o
+    """,
+)
+def f28_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("day")
+    rets = daily.select(
+        "user_id", "day",
+        (
+            F.col("close")
+            / F.nullif(F.lag("close").over(wu), F.lit(0.0))
+            - 1
+        ).alias("ret"),
+    )
+    mkt = daily.groupBy("day").agg(F.avg("close").alias("mclose"))
+    wm = Window.orderBy("day")
+    mret = mkt.select(
+        "day",
+        (
+            F.col("mclose")
+            / F.nullif(F.lag("mclose").over(wm), F.lit(0.0))
+            - 1
+        ).alias("mr"),
+    )
+    j = (
+        rets.join(F.broadcast(mret), "day")
+        .filter(F.col("ret").isNotNull() & F.col("mr").isNotNull())
+    )
+    w5 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-4, 0)
+    win = j.select(
+        "user_id", "day",
+        F.count(F.lit(1)).over(w5).alias("n"),
+        F.sum("mr").over(w5).alias("sx"),
+        F.sum("ret").over(w5).alias("sy"),
+        F.sum(F.col("mr") * F.col("ret")).over(w5).alias("sxy"),
+        F.sum(F.col("mr") * F.col("mr")).over(w5).alias("sxx"),
+    ).filter(F.col("n") == 5)
+    b = win.select(
+        "user_id", "day", "n", "sx", "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
+        ).alias("beta"),
+    )
+    o = b.select(
+        "user_id", "day", F.col("n").cast("bigint").alias("n"), "beta",
+        ((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n")).alias(
+            "alpha"
+        ),
+    )
+    return o.select(
+        "user_id", "day", "n",
+        r6s("beta").alias("beta"), r6s("alpha").alias("alpha"),
+    )
