@@ -418,3 +418,22 @@ def test_sim11_ann_mmr_zero_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d19_bloom_probe_broadcasts_filter_side(spark, sf_dir):
+    # d19: both the position set (<= m rows) and the exact-truth digest
+    # set must broadcast — the landing batch never shuffles for the
+    # probe, and raw text appears only under the md5 scans.
+    plan = _plan(spark, sf_dir, "d19_bloom_novelty")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j19_scd2_join_is_key_equi_not_bnlj(spark, sf_dir):
+    # j19: the SCD2 range predicate must ride as a RESIDUAL on the
+    # customer-key equi-join (broadcast or SMJ) — a BroadcastNestedLoop
+    # over 150k x versions rows is the plan cliff this pins against.
+    plan = _plan(spark, sf_dir, "j19_scd2_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
