@@ -1033,3 +1033,65 @@ def f28_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day", "n",
         r6s("beta").alias("beta"), r6s("alpha").alias("alpha"),
     )
+
+
+@register(
+    "f29_max_drawdown",
+    # Maximum drawdown (round 10) — the risk headline every equity
+    # tear-sheet leads with: per user, the deepest peak-to-trough slide
+    # of the daily close, draw_d = close_d / running_max(close) - 1,
+    # max_drawdown = min(draw), trough = its (earliest) day. Running
+    # max over an unbounded frame + one roll-up — both engines compute
+    # draw from IDENTICAL doubles (running max is order-deterministic,
+    # no float accumulation), so the argmin tie-break (draw, day) picks
+    # the same trough. One window sort per user + one groupBy; no
+    # self-joins.
+    oracle=DAILY_CTE + """
+    , dd AS (
+      SELECT user_id, day,
+             close / NULLIF(max(close) OVER (PARTITION BY user_id
+                            ORDER BY day ROWS UNBOUNDED PRECEDING), 0)
+               - 1 AS draw
+      FROM daily
+    ), r AS (
+      SELECT user_id, day, draw,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY draw, day) AS rn
+      FROM dd
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           (ROUND(min(draw) - sign(min(draw)) * 0.000000001, 6) + 0.0)
+             AS max_drawdown,
+           max(CASE WHEN rn = 1 THEN day END) AS trough_day
+    FROM r GROUP BY user_id
+    """,
+)
+def f29_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "user_id", "day",
+        (
+            F.col("close")
+            / F.nullif(F.max("close").over(wrun), F.lit(0.0))
+            - 1
+        ).alias("draw"),
+    )
+    wmin = Window.partitionBy("user_id").orderBy("draw", "day")
+    r = dd.withColumn("rn", F.row_number().over(wmin))
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("draw").alias("_mdd"),
+        F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("trough_day"),
+    )
+    return g.select(
+        "user_id", "n_days", r6s("_mdd").alias("max_drawdown"),
+        "trough_day",
+    )

@@ -4389,3 +4389,77 @@ def j19_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("string"),
         ).alias("segment_v"),
     )
+
+
+@register(
+    "a32_sessionization",
+    # Batch sessionization (round 10) — the gaps-and-islands assignment
+    # every clickstream/trading-activity pipeline runs (st11 is the
+    # streaming session window; this is its BATCH face with explicit
+    # session ids): a session breaks after a 30-minute silence, so
+    # brk = 1[gap > 30 min] and session_id = running sum of brk per
+    # user. Gap arithmetic is INTEGER microseconds (unix_micros /
+    # epoch_us — the sub-second-safe device; sf0.1 carries sub-second
+    # timestamps), so the break decisions are bit-free of float. Cost:
+    # one window sort per user + one (user, session) roll-up — the two
+    # inherent steps; nothing global.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+      FROM events
+    ), f AS (
+      SELECT user_id, ts, value, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+           (ROUND(SUM(value) - sign(SUM(value)) * 0.000000001, 6) + 0.0)
+             AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def a32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = ev.select(
+        "user_id", "ts", "value", "us",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1800000000),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = f.select(
+        "user_id", "ts", "value", "us",
+        F.sum("brk").over(ws).alias("sid"),
+    )
+    return s.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+        r6s(F.sum("value")).alias("total_value"),
+    )
