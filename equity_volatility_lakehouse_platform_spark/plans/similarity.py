@@ -2093,3 +2093,85 @@ def _sim12_oracle() -> str:
 
 
 _simreg.set_oracle("sim12_persisted_ivf_index", _sim12_oracle())
+
+
+@register(
+    "sim13_knn_graph",
+    # Bucketed k-NN GRAPH (round 10) — the all-corpus primitive the
+    # query-centric family (sim01..sim12 answer 3 probes) doesn't
+    # cover: every vector's top-k neighbors, the input to graph-based
+    # dedup (d07/d10 connected components), SemDeDup-style pruning and
+    # kNN-classification at corpus scale. Brute force is O(n^2); the
+    # scale path blocks by the sign-LSH bucket (sim02's partition key)
+    # and ranks INSIDE buckets only — pairs are linear in bucket
+    # collisions, the same contract as d03's bands, and the recall
+    # trade is the published LSH one (neighbors across a hyperplane
+    # are missed; raise bits to cut bucket sizes, add band repetitions
+    # to buy recall). One shuffle on the bucket key, top-k per vector
+    # via one window over the bucket-join pairs.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+      SELECT vec_id, v,
+             list_dot_product(v, list_transform(range(1, 65),
+                                                i -> sin(i * 1.0))) AS p1,
+             list_dot_product(v, list_transform(range(1, 65),
+                                                i -> sin(i * 2.0))) AS p2
+      FROM e
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN p1 >= 0 THEN 1 ELSE 0 END * 2
+                  + CASE WHEN p2 >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS bucket
+      FROM proj
+    ), pairs AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             list_dot_product(a.v, b.v)
+               / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
+      FROM b a JOIN b b ON b.bucket = a.bucket
+                       AND b.vec_id <> a.vec_id
+    ), rk AS (
+      SELECT vec_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nbr_id) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, CAST(rn AS BIGINT) AS rank, nbr_id,
+           (ROUND(cos, 6) + 0.0) AS cosine
+    FROM rk WHERE rn <= 2
+    """,
+)
+def sim13_knn_graph(
+    spark: SparkSession, sf_dir: str, bits: int = 2, k: int = 2
+) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket")
+    )
+    a = emb.select(
+        "bucket", "vec_id", F.col("v").alias("va"),
+    )
+    b = emb.select(
+        F.col("bucket").alias("nb"), F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("vb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb"))),
+        F.lit(0.0),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nb") == F.col("bucket"))
+        & (F.col("nbr_id") != F.col("vec_id")),
+    ).select("vec_id", "nbr_id", cos.alias("cos"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "vec_id", F.col("rn").cast("bigint").alias("rank"),
+            "nbr_id", r6("cos").alias("cosine"),
+        )
+    )

@@ -1222,3 +1222,73 @@ def w38_realized_semivariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@register(
+    "w41_garch_forecast",
+    # GARCH(1,1) one-step variance forecast (round 10, Bollerslev 1986)
+    # — the conditional-volatility workhorse next to the realized
+    # family (w19/w36/w38): h_t = omega + alpha * r_{t-1}^2 +
+    # beta * h_{t-1} recursed over each user's DAILY log-return
+    # sequence with fixed textbook parameters (alpha 0.1, beta 0.85,
+    # omega 5e-6 => long-run variance 1e-4, seeded at h_0 = the
+    # long-run level — all EXPLICIT double literals on both sides so no
+    # engine constant-folds differently). The recursion is ONE ordered
+    # left fold per user (aggregate with h_0 init in Spark ==
+    # list_reduce over the h_0-prepended list in DuckDB — the identical
+    # operation sequence), so the forecast is bit-exact cross-engine.
+    # One groupBy shuffle; day-bounded arrays; no window, no Python.
+    oracle=f"""
+    WITH bars AS ({_bars_sql("WHERE value > 0")}
+    ), g AS (
+      SELECT user_id, list(close ORDER BY day) AS vals
+      FROM bars GROUP BY user_id
+    ), f AS (
+      SELECT user_id, len(vals) AS n_days,
+             list_transform(range(2, len(vals) + 1),
+                            i -> ln(vals[i] / vals[i-1])) AS rs
+      FROM g WHERE len(vals) >= 2
+    ), h AS (
+      SELECT user_id, n_days,
+             list_reduce(
+               list_prepend(CAST(0.0001 AS DOUBLE),
+                            list_transform(rs, r -> r * r)),
+               (acc, x) -> 0.000005 + 0.1 * x + 0.85 * acc) AS hn
+      FROM f
+    )
+    SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+           {_r6s_sql("hn")} AS h_next,
+           {_r6s_sql("sqrt(hn)")} AS sigma_next
+    FROM h
+    """,
+)
+def w41_garch_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars(spark, sf_dir, positive=True)
+    g = bars.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "close"))).alias("lst"),
+    )
+    vals = g.select(
+        "user_id", F.expr("transform(lst, e -> e.close)").alias("vals")
+    ).filter(F.size("vals") >= 2)
+    f = vals.select(
+        "user_id",
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(sequence(2, size(vals)),"
+            " i -> ln(element_at(vals, i) / element_at(vals, i - 1)))"
+        ).alias("rs"),
+    )
+    h = f.select(
+        "user_id", "n_days",
+        F.expr(
+            "aggregate(transform(rs, r -> r * r), 0.0001D,"
+            " (acc, x) -> 0.000005D + 0.1D * x + 0.85D * acc)"
+        ).alias("hn"),
+    )
+    from equity_volatility_lakehouse_platform_spark.functions.rounding import r6s
+
+    return h.select(
+        "user_id", "n_days",
+        r6s("hn").alias("h_next"),
+        r6s(F.sqrt("hn")).alias("sigma_next"),
+    )
