@@ -437,3 +437,22 @@ def test_j19_scd2_join_is_key_equi_not_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_round10_exchange_budgets(spark, sf_dir):
+    # Shuffle budgets for the round-10 additions (measured at sf0.01;
+    # a regression past these means a reused partitioning broke or a
+    # broadcast flipped to shuffle).
+    budgets = {
+        "d20_edit_distance_verify": 2,   # d03's band groupBy; text joins broadcast
+        "f28_rolling_beta": 5,           # daily rollup + tiny day agg + lag/beta windows
+        "f29_max_drawdown": 3,           # daily rollup + draw window + trough rollup (shared keys reuse)
+        "a32_sessionization": 2,         # one user sort; (user, sid) rollup reuses it
+        "sim13_knn_graph": 2,            # bucket-key join + per-vector top-k window
+        "w41_garch_forecast": 3,         # bar rollup + per-user fold rollup
+    }
+    for name, budget in budgets.items():
+        got = _exchanges(_plan(spark, sf_dir, name))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
