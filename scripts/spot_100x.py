@@ -79,6 +79,12 @@ QUERIES = [
     "sim12_persisted_ivf_index",
     "d19_bloom_novelty",
     "j19_scd2_point_in_time",
+    "d20_edit_distance_verify",
+    "f28_rolling_beta",
+    "f29_max_drawdown",
+    "a32_sessionization",
+    "sim13_knn_graph",
+    "w41_garch_forecast",
 ]
 
 
