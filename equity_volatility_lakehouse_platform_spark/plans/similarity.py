@@ -2112,19 +2112,24 @@ _simreg.set_oracle("sim12_persisted_ivf_index", _sim12_oracle())
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ), proj AS (
-      SELECT vec_id, v,
-             list_dot_product(v, list_transform(range(1, 65),
-                                                i -> sin(i * 1.0))) AS p1,
-             list_dot_product(v, list_transform(range(1, 65),
-                                                i -> sin(i * 2.0))) AS p2
+    ), bb AS (
+      -- auto-provisioned bit count (mirrors the Spark side): target
+      -- ~256-vector buckets so in-bucket pair volume stays linear as
+      -- the corpus grows; log2 hits are exact at power-of-two
+      -- boundaries on both engines.
+      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
+        AS bits
       FROM e
     ), b AS (
       SELECT vec_id, v,
-             CAST(CASE WHEN p1 >= 0 THEN 1 ELSE 0 END * 2
-                  + CASE WHEN p2 >= 0 THEN 1 ELSE 0 END AS BIGINT)
-               AS bucket
-      FROM proj
+             CAST(list_reduce(
+               list_transform(range(1, bits + 1),
+                 j -> CASE WHEN list_dot_product(v,
+                        list_transform(range(1, 65),
+                          i -> sin(i * CAST(j AS DOUBLE)))) >= 0
+                      THEN 1 ELSE 0 END),
+               (acc, x) -> acc * 2 + x) AS BIGINT) AS bucket
+      FROM e CROSS JOIN bb
     ), pairs AS (
       SELECT a.vec_id, b.vec_id AS nbr_id,
              list_dot_product(a.v, b.v)
@@ -2144,9 +2149,19 @@ _simreg.set_oracle("sim12_persisted_ivf_index", _sim12_oracle())
     """,
 )
 def sim13_knn_graph(
-    spark: SparkSession, sf_dir: str, bits: int = 2, k: int = 2
+    spark: SparkSession, sf_dir: str, bits: int | None = None, k: int = 2
 ) -> DataFrame:
-    emb = _emb(spark, sf_dir).select(
+    base = _emb(spark, sf_dir)
+    if bits is None:
+        # Auto-provision like d17's K: ~256-vector buckets keep the
+        # in-bucket pair join linear in corpus size (the first 100x
+        # spot of the fixed bits=2 default hit ~10^10 pairs at 200k
+        # vectors — exactly the cliff this knob exists to prevent).
+        import math
+
+        n = base.count()
+        bits = max(2, math.ceil(math.log2(n / 256.0)))
+    emb = base.select(
         "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket")
     )
     a = emb.select(
@@ -2161,7 +2176,13 @@ def sim13_knn_graph(
         * F.sqrt(dot(F.col("vb"), F.col("vb"))),
         F.lit(0.0),
     )
-    pairs = a.join(
+    # shuffle_hash hint: at small SFs the corpus side fits under the
+    # auto-broadcast threshold and the planner picks BHJ — a plan that
+    # silently flips to extra shuffles at scale (the r10 spot caught
+    # exchanges 2 -> 3). Pinning the bucket-key shuffle join makes the
+    # plan IDENTICAL at every corpus size: both sides partition once on
+    # the bucket, the LSH partition key.
+    pairs = a.hint("shuffle_hash").join(
         b,
         (F.col("nb") == F.col("bucket"))
         & (F.col("nbr_id") != F.col("vec_id")),
