@@ -4463,3 +4463,110 @@ def a32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
         r6s(F.sum("value")).alias("total_value"),
     )
+
+
+@register(
+    "j20_snapshot_reconcile",
+    # Snapshot reconciliation / table diff (round 10) — the data-ops
+    # staple next to CDC (the ACID layer's changes() gives the LOG of
+    # one table; this diffs TWO independent states, e.g. a migrated
+    # copy vs its source): full outer join on the key, each row
+    # classified as match / value_drift / missing_right / missing_left,
+    # with the drifted column set named. Snapshot B derives from A by
+    # deterministic key arithmetic (the sc11 fixture device: deletes
+    # keys % 13 = 0, bumps price on keys % 7 = 0, retags status on
+    # keys % 11 = 0, inserts shifted keys), so the oracle recomputes
+    # the exact classification. At 100 TB: one co-partitioned full
+    # outer join on the key — both sides shuffle once; the classifier
+    # is a map over the joined row.
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+      FROM orders
+    ), b AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN price + 1.5 ELSE price END AS price,
+             CASE WHEN k % 11 = 0 THEN 'X' ELSE st END AS st
+      FROM a WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 1000000000, 100.0, 'N' FROM a WHERE k % 17 = 0
+    ), j AS (
+      SELECT COALESCE(a.k, b.k) AS o_orderkey,
+             CASE
+               WHEN a.k IS NULL THEN 'missing_left'
+               WHEN b.k IS NULL THEN 'missing_right'
+               WHEN a.price = b.price AND a.st = b.st THEN 'match'
+               ELSE 'value_drift' END AS status,
+             CASE
+               WHEN a.k IS NULL OR b.k IS NULL THEN NULL
+               ELSE concat_ws(',',
+                 CASE WHEN a.price <> b.price THEN 'price' END,
+                 CASE WHEN a.st <> b.st THEN 'status' END)
+             END AS drifted_cols
+      FROM a FULL OUTER JOIN b ON b.k = a.k
+    )
+    SELECT status,
+           COALESCE(NULLIF(drifted_cols, ''), '-') AS drifted_cols,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM j GROUP BY 1, 2
+    """,
+)
+def j20_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    k = F.col("k")
+    mutated = a.filter(k % 13 != 0).select(
+        "k",
+        F.when(k % 7 == 0, F.col("price") + 1.5).otherwise(
+            F.col("price")
+        ).alias("price"),
+        F.when(k % 11 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+    )
+    inserted = a.filter(k % 17 == 0).select(
+        (k + 1000000000).alias("k"),
+        F.lit(100.0).alias("price"),
+        F.lit("N").alias("st"),
+    )
+    b = mutated.unionByName(inserted)
+    bb = b.select(
+        F.col("k").alias("bk"), F.col("price").alias("bprice"),
+        F.col("st").alias("bst"),
+    )
+    j = a.join(bb, F.col("bk") == F.col("k"), "full_outer")
+    status = (
+        F.when(F.col("k").isNull(), "missing_left")
+        .when(F.col("bk").isNull(), "missing_right")
+        .when(
+            (F.col("price") == F.col("bprice"))
+            & (F.col("st") == F.col("bst")),
+            "match",
+        )
+        .otherwise("value_drift")
+    )
+    drifted = F.when(
+        F.col("k").isNull() | F.col("bk").isNull(), F.lit(None)
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.when(F.col("price") != F.col("bprice"), "price"),
+            F.when(F.col("st") != F.col("bst"), "status"),
+        )
+    )
+    rows = j.select(
+        F.coalesce(F.col("k"), F.col("bk")).alias("o_orderkey"),
+        status.alias("status"),
+        drifted.alias("drifted_cols"),
+    )
+    return rows.groupBy(
+        "status",
+        F.coalesce(
+            F.nullif(F.col("drifted_cols"), F.lit("")), F.lit("-")
+        ).alias("drifted_cols"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

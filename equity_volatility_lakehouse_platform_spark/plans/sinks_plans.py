@@ -784,3 +784,90 @@ def snk18_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("value")).alias("total_value"),
         )
     )
+
+
+@register(
+    "snk19_write_audit_publish",
+    # Write-Audit-Publish (round 10) — the WAP ingestion pattern
+    # (Netflix's Iceberg workflow; Delta's staging-table idiom): a
+    # landing batch is WRITTEN to a staging table, AUDITED, and only
+    # published to prod by an atomic commit when every expectation
+    # holds — a poisoned batch is rejected wholesale and prod never
+    # sees a partially-validated state. Exercised end to end: batch 1
+    # (status F orders) passes and publishes; batch 2 carries injected
+    # negative prices (keys % 5 = 0 of the O slice), trips the
+    # positive-price expectation in AcidTable.append (one aggregate
+    # pass computes every constraint), and is rejected; batch 3
+    # (status P) publishes on top. The output pins both the per-batch
+    # audit verdicts AND prod's final state (row count + money sum),
+    # which must equal batches 1+3 exactly — the oracle recomputes the
+    # same slices directly. Atomicity under crash/race is the ACID
+    # layer's own pytest surface (test_acid).
+    oracle=f"""
+    WITH b1 AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+    b3 AS (SELECT * FROM orders WHERE o_orderstatus = 'P'),
+    pub AS (SELECT * FROM b1 UNION ALL SELECT * FROM b3),
+    audit AS (
+      SELECT 1 AS batch, CAST((SELECT count(*) FROM b1) AS BIGINT)
+               AS n_rows, TRUE AS published
+      UNION ALL
+      SELECT 2, CAST((SELECT count(*) FROM orders
+                      WHERE o_orderstatus = 'O') AS BIGINT), FALSE
+      UNION ALL
+      SELECT 3, CAST((SELECT count(*) FROM b3) AS BIGINT), TRUE
+    )
+    SELECT batch, n_rows, published,
+           CAST((SELECT count(*) FROM pub) AS BIGINT) AS prod_rows,
+           (SELECT {_MONEY_SQL.format(col="o_totalprice")} FROM pub)
+             AS prod_price_sum
+    FROM audit
+    """,
+)
+def snk19_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.sources.acid import (
+        ExpectationViolation,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="evlp_snk19_")
+    staging = AcidTable(spark, root + "/staging")
+    prod = AcidTable(spark, root + "/prod")
+    rules = {
+        "key_not_null": F.col("o_orderkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+    }
+    batches = [
+        (1, orders.filter(F.col("o_orderstatus") == "F")),
+        (
+            2,
+            orders.filter(F.col("o_orderstatus") == "O").withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 5 == 0,
+                    -F.col("o_totalprice"),
+                ).otherwise(F.col("o_totalprice")),
+            ),
+        ),
+        (3, orders.filter(F.col("o_orderstatus") == "P")),
+    ]
+    audit_rows = []
+    for batch_id, df in batches:
+        staging.append(df)  # landing zone takes everything
+        try:
+            prod.append(df, expectations=rules)  # audit gates publish
+            published = True
+        except ExpectationViolation:
+            published = False
+        audit_rows.append((batch_id, df.count(), published))
+    state = prod.read().agg(
+        F.count(F.lit(1)).alias("prod_rows"),
+        _money("o_totalprice").alias("prod_price_sum"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (b, n, p, state["prod_rows"], state["prod_price_sum"])
+            for b, n, p in audit_rows
+        ],
+        "batch INT, n_rows BIGINT, published BOOLEAN, "
+        "prod_rows BIGINT, prod_price_sum DOUBLE",
+    )
