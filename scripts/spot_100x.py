@@ -85,6 +85,7 @@ QUERIES = [
     "a32_sessionization",
     "sim13_knn_graph",
     "w41_garch_forecast",
+    "j20_snapshot_reconcile",
 ]
 
 
