@@ -1698,9 +1698,11 @@ def d19_bloom_novelty(
     )
     return (
         incoming.join(nhit, "doc_id")
-        .join(
-            F.broadcast(exd.withColumn("_dup", F.lit(1))), "dg", "left"
-        )
+        # NO broadcast hint on the exact-truth digest set: unlike the
+        # <= m-row position set, exd is corpus-sized — at 100 TB this
+        # audit join must be free to shuffle on the digest key (the
+        # planner broadcasts it at fixture scale anyway).
+        .join(exd.withColumn("_dup", F.lit(1)), "dg", "left")
         .select(
             "doc_id",
             (F.col("nhit") == k).alias("bloom_hit"),
