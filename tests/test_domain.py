@@ -832,3 +832,66 @@ def test_j19_every_order_matches_exactly_one_version(spark, sf_dir):
     # the order-date range).
     vers = {r["version"] for r in out.select("version").distinct().collect()}
     assert vers == {1, 2, 3}
+
+
+def test_t18_planted_pii_all_detected_and_redacted(spark, sf_dir):
+    # doc_id 0 satisfies every planting rule (0 % k == 0), so its row
+    # must count one of each PII form and the redaction must replace
+    # all four with tags, leaving no raw planted pattern behind.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+
+    load_all()
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["t18_pii_redaction"](spark, sf_dir).collect()
+    }
+    r0 = rows[0]
+    assert (r0["n_email"], r0["n_ssn"], r0["n_phone"], r0["n_ip"]) == (
+        1, 1, 1, 1,
+    )
+    red = r0["redacted_text"]
+    for tag in ("[EMAIL]", "[SSN]", "[PHONE]", "[IP]"):
+        assert tag in red
+    assert "@" not in red and "555-" not in red
+    # A doc planting nothing is returned byte-identical.
+    import re
+
+    clean = next(
+        k for k in sorted(rows)
+        if k % 3 and k % 5 and k % 7 and k % 11
+    )
+    assert not re.search(r"\[(EMAIL|SSN|PHONE|IP)\]", rows[clean]["redacted_text"])
+
+
+def test_sim13_neighbors_share_lsh_bucket(spark, sf_dir):
+    # The kNN graph's blocking CONTRACT: every reported neighbor pair
+    # collides in the sign-LSH bucket space the query auto-provisioned.
+    import math
+
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        lsh_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    load_all()
+    emb = _emb(spark, sf_dir)
+    bits = max(2, math.ceil(math.log2(emb.count() / 256.0)))
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("v"), bits).alias("b")
+        ).collect()
+    }
+    out = all_queries()["sim13_knn_graph"](spark, sf_dir).collect()
+    assert out, "graph must be non-empty"
+    for r in out:
+        assert buckets[r["vec_id"]] == buckets[r["nbr_id"]]
+        assert r["vec_id"] != r["nbr_id"]
