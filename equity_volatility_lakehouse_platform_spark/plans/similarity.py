@@ -1844,9 +1844,18 @@ def mmr_rerank(
     # candidate (no pair rows) still reaches the kernel and emits its
     # rank-1 pick — the oracle's recursive base case always does
     # (round-10 fix; the inner join silently dropped such queries).
+    #
+    # shuffle_hash, NOT broadcast (round-11 fix): the candidate set
+    # scales with the QUERY workload (#queries x shortlist rows, each
+    # carrying a vector) — 1M queries x shortlist 100 = 100M rows is
+    # not broadcastable. Pinning the q_id shuffle-hash join makes the
+    # plan identical at every query volume: both sides partition once
+    # on q_id and per-query pair state stays shortlist^2-bounded. The
+    # hint goes on the RIGHT side (the build side Spark accepts for a
+    # LEFT OUTER shuffled hash join).
     pairs = (
         a.join(
-            F.broadcast(b),
+            b.hint("shuffle_hash"),
             (F.col("qb") == F.col("q_id")) & (F.col("b_id") != F.col("a_id")),
             "left",
         )

@@ -418,6 +418,20 @@ def test_sim11_ann_mmr_zero_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # Round-11: the MMR pairwise join must be a q_id shuffled-hash join,
+    # NOT a broadcast — the candidate set scales with the QUERY workload
+    # (#queries x shortlist), so broadcasting it is the d19 anti-pattern
+    # on the query axis. Both sides partition once on q_id.
+    assert "ShuffledHashJoin" in plan, "MMR pairs join must shuffle on q_id"
+
+
+def test_sim10_mmr_pairs_join_not_broadcast(spark, sf_dir):
+    # Same kernel, brute-force baseline: the pairs join shuffles on
+    # q_id; the only broadcasts are the (tiny, fixture-bounded) probe
+    # set feeding the candidate scan.
+    plan = _plan(spark, sf_dir, "sim10_mmr_diversify")
+    assert "ShuffledHashJoin" in plan, "MMR pairs join must shuffle on q_id"
+    assert "CartesianProduct" not in plan
 
 
 def test_d19_bloom_probe_broadcasts_filter_side(spark, sf_dir):
