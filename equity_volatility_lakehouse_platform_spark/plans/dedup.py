@@ -65,6 +65,101 @@ WITH toks AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH banding, auto-provisioned from the corpus count (round 11 — the
+# d17/sim13 recipe applied to the last fixture-pinned knob).
+#
+# The banding split of the 8-permutation signature (d02's contract)
+# governs CANDIDATE volume: a random pair with background Jaccard s0
+# collides on one band of r rows with probability s0^r, so expected
+# false-positive candidates ~ C(N,2) * b * s0^r. With the fixture-pinned
+# 4x2 split, that term grows QUADRATICALLY in corpus size — at
+# s0 ~ 2^-8 (one-in-256 background row agreement, typical same-domain
+# text) the FP mass crosses ~4N at N = 2^16 docs and explodes past it.
+# Doubling rows-per-band squares the background collision rate, buying
+# ~15 more octaves of corpus before FP mass turns super-linear again
+# (r=4 holds N^2 * 2 * s0^4 <= N through N ~ 2^31). The ladder:
+#
+#     r = 2 (b=4)  N < 2^16    S-curve threshold (1/b)^(1/r) = 0.50
+#     r = 4 (b=2)  N < 2^31    threshold 0.84
+#     r = 8 (b=1)  N >= 2^31   near-exact only
+#
+# b*r = 8 always — n_perm is d02's signature schema, so the growth axis
+# past 2^31 docs is widening the signature itself (a schema migration,
+# not a banding knob). Every consumer (d03/d05/d07/d12/d13/d15/d20/ml07)
+# derives (b, r) from ONE cheap count; the DuckDB oracle computes the
+# SAME CASE ladder from count(*) so both engines re-band in lockstep at
+# every scale. Fixture SFs (600/6k/60k docs) all sit below 2^16, so
+# small-scale results are unchanged; the 100x spot corpus (480k docs)
+# crosses into r=4 and exercises the re-provisioning for real.
+# ---------------------------------------------------------------------------
+
+_LSH_N_PERM = 8
+
+
+def lsh_banding(n_docs: int) -> tuple[int, int]:
+    """(bands, rows_per_band) for an ``n_docs``-document corpus."""
+    if n_docs < 2**16:
+        r = 2
+    elif n_docs < 2**31:
+        r = 4
+    else:
+        r = 8
+    return _LSH_N_PERM // r, r
+
+
+# SQL mirror: bands(doc_id, band, key) + cand(doc_a, doc_b), with
+# (b, r) derived from count(*) by the same ladder. ``key`` is the
+# r-element slice of the signature — list equality in DuckDB matches
+# Spark's array equality element-for-element.
+_BANDS_SQL = """
+    , prm AS (
+      SELECT CASE WHEN (SELECT count(*) FROM documents) < 65536 THEN 2
+                  WHEN (SELECT count(*) FROM documents) < 2147483648 THEN 4
+                  ELSE 8 END AS r
+    ), bandix AS (
+      SELECT r, unnest(range(0, 8 // r)) AS band FROM prm
+    ), bands AS (
+      SELECT s.doc_id, b.band,
+             list_slice([s.mh0, s.mh1, s.mh2, s.mh3,
+                         s.mh4, s.mh5, s.mh6, s.mh7],
+                        b.band * b.r + 1, (b.band + 1) * b.r) AS key
+      FROM sig s CROSS JOIN bandix b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def lsh_band_frame(sig: DataFrame, n_docs: int, carry: tuple = ()) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, key [, carry...]).
+
+    ``key`` is the r-element array slice of (mh0..mh7) for the band —
+    the LSH bucket key the candidate equi-join collides on. ``carry``
+    columns ride through the explode (d03 carries the full signature so
+    the pair join yields both sides' agreement count without a second
+    sig join).
+    """
+    b, r = lsh_banding(n_docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.array(
+                    *[F.col(f"mh{band * r + j}") for j in range(r)]
+                ).alias("key"),
+            )
+            for band in range(b)
+        ]
+    )
+    cols = ["doc_id", *carry]
+    return sig.select(*cols, F.explode(band_structs).alias("_b")).select(
+        *cols, "_b.band", "_b.key"
+    )
+
+
 @register(
     "d01_exact_dedup",
     oracle="""
@@ -114,17 +209,7 @@ def signature_table(
 
 @register(
     "d03_minhash_lsh_pairs",
-    oracle=_SIG_SQL + """
-    , bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    )
+    oracle=_SIG_SQL + _BANDS_SQL + """
     SELECT c.doc_a, c.doc_b,
            (ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
                 + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
@@ -138,27 +223,20 @@ def signature_table(
 def d03_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, sig_path: str | None = None
 ) -> DataFrame:
-    # LSH banding: 4 bands x 2 rows; docs colliding on any band become
-    # candidate pairs, scored by signature agreement. The candidate join is
-    # an equi-join on (band, x, y) — linear in collisions, not O(n^2).
+    # LSH banding, auto-provisioned (see lsh_banding): docs colliding on
+    # any band become candidate pairs, scored by signature agreement. The
+    # candidate join is an equi-join on (band, key) — linear in
+    # collisions, not O(n^2) — and the band width grows with the corpus
+    # so collision volume stays sub-linear at every scale.
     # Physical shape: signatures are computed ONCE (cached by default, or
     # scanned from a materialized table via ``sig_path`` — the 100 TB
     # shape) and carried through the band explode, so the pair join
     # immediately yields both sides' signatures; duplicate pairs from
     # multiple colliding bands dedupe in the final groupBy.
+    docs = load_table(spark, sf_dir, "documents")
     sig = signature_table(spark, sf_dir, sig_path)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.col(f"mh{2 * band}").alias("x"),
-                F.col(f"mh{2 * band + 1}").alias("y"),
-            )
-            for band in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", *[f"mh{i}" for i in range(8)], F.explode(band_structs).alias("b")).select(
-        "doc_id", *[f"mh{i}" for i in range(8)], "b.band", "b.x", "b.y"
+    bands = lsh_band_frame(
+        sig, docs.count(), carry=tuple(f"mh{i}" for i in range(8))
     )
     a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
@@ -169,8 +247,7 @@ def d03_minhash_lsh_pairs(
         a.join(
             b,
             (F.col("a_band") == F.col("b_band"))
-            & (F.col("a_x") == F.col("b_x"))
-            & (F.col("a_y") == F.col("b_y"))
+            & (F.col("a_key") == F.col("b_key"))
             & (F.col("a_doc_id") < F.col("b_doc_id")),
         )
         .groupBy(
@@ -241,16 +318,7 @@ def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 3
     ), sets AS (
       SELECT doc_id, list_distinct(shingles) AS s FROM sh
-    ), bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    )
+    )""" + _BANDS_SQL + """
     SELECT c.doc_a, c.doc_b,
            (ROUND(len(list_intersect(sa.s, sb.s)) * 1.0
                  / NULLIF(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)), 0), 6) + 0.0)
@@ -273,24 +341,12 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the verify join ships shingle sets only for colliding docs.
     docs = load_table(spark, sf_dir, "documents")
     sig = signature_table(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.col(f"mh{2 * band}").alias("x"),
-                F.col(f"mh{2 * band + 1}").alias("y"),
-            )
-            for band in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.x", "b.y"
-    )
+    bands = lsh_band_frame(sig, docs.count())
     pairs = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
-            ["band", "x", "y"],
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -386,17 +442,9 @@ def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d07_duplicate_clusters",
-    oracle=_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + """
-    , bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    ), scored AS (
+    oracle=_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    + _BANDS_SQL + """
+    , scored AS (
       SELECT c.doc_a, c.doc_b,
              (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
             + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
@@ -440,17 +488,8 @@ def d07_duplicate_clusters(
     return comps.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
-_D07_CLUSTER_SQL = """
-    , bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    ), scored AS (
+_D07_CLUSTER_SQL = _BANDS_SQL + """
+    , scored AS (
       SELECT c.doc_a, c.doc_b,
              (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
             + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
@@ -730,16 +769,7 @@ _D12_EXACT = (
       FROM toks WHERE len(t) >= 3
     ), sets AS (
       SELECT doc_id, list_distinct(shingles) AS s FROM sh
-    ), bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    )
+    ){_BANDS_SQL}
     SELECT c.doc_a, c.doc_b,
            (ROUND({_D12_EST}, 6) + 0.0) AS est_jaccard,
            (ROUND({_D12_EXACT}, 6) + 0.0) AS exact_jaccard,
@@ -758,24 +788,12 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decision the same way sim05 feeds ANN probe sizing.
     docs = load_table(spark, sf_dir, "documents")
     sig = signature_table(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.col(f"mh{2 * band}").alias("x"),
-                F.col(f"mh{2 * band + 1}").alias("y"),
-            )
-            for band in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.x", "b.y"
-    )
+    bands = lsh_band_frame(sig, docs.count())
     pairs = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
-            ["band", "x", "y"],
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -833,16 +851,7 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 3
     ), sets AS (
       SELECT doc_id, list_distinct(shingles) AS s FROM sh
-    ), bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    )
+    )""" + _BANDS_SQL + """
     SELECT c.doc_a, c.doc_b,
            (ROUND(len(list_intersect(xa.s, xb.s)) * 1.0
                   / NULLIF(len(xa.s), 0), 6) + 0.0) AS containment_a_in_b,
@@ -862,24 +871,12 @@ def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changes — the denominators are each side's own set size.
     docs = load_table(spark, sf_dir, "documents")
     sig = signature_table(spark, sf_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.col(f"mh{2 * band}").alias("x"),
-                F.col(f"mh{2 * band + 1}").alias("y"),
-            )
-            for band in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band", "b.x", "b.y"
-    )
+    bands = lsh_band_frame(sig, docs.count())
     pairs = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "x", "y")
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "x", "y"),
-            ["band", "x", "y"],
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
@@ -1009,23 +1006,11 @@ def d14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lvl < 3 guard, not fixpoint — correct on cyclic graphs. The
     # same SQL text runs on DuckDB over the same pair CTEs: the oracle
     # IS the query.
-    oracle=(_SIG_SQL + """
-    , cand AS (
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      FROM (SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig) a
-      JOIN (SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-            UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-            UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-            UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig) b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y
-       AND a.doc_id < b.doc_id
-    ), edges AS (
-      SELECT da AS a, db AS b FROM cand
+    oracle=(_SIG_SQL + _BANDS_SQL + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
       UNION ALL
-      SELECT db, da FROM cand
+      SELECT doc_b, doc_a FROM cand
     ), hop AS (
       SELECT a AS src, b AS dst, 1 AS lvl FROM edges
       UNION ALL

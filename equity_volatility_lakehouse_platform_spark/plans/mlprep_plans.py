@@ -308,19 +308,13 @@ def ml07_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml07_oracle() -> str:
-    from equity_volatility_lakehouse_platform_spark.plans.dedup import _SIG_SQL
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        _BANDS_SQL,
+        _SIG_SQL,
+    )
 
-    return _SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + f"""
-    , bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS x, mh1 AS y FROM sig
-      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
-    ), scored AS (
+    return _SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + _BANDS_SQL + f"""
+    , scored AS (
       SELECT c.doc_a, c.doc_b,
              (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
             + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)

@@ -895,3 +895,74 @@ def test_sim13_neighbors_share_lsh_bucket(spark, sf_dir):
     for r in out:
         assert buckets[r["vec_id"]] == buckets[r["nbr_id"]]
         assert r["vec_id"] != r["nbr_id"]
+
+
+# --------------------------------------------------------------- round 11 --
+
+
+def test_lsh_banding_ladder():
+    # Auto-provisioned banding (round 11): rows-per-band doubles as the
+    # corpus crosses 2^16 and 2^31 docs, keeping background-collision
+    # candidate mass sub-linear (see plans/dedup.py).
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import lsh_banding
+
+    assert lsh_banding(600) == (4, 2)
+    assert lsh_banding(2**16 - 1) == (4, 2)
+    assert lsh_banding(2**16) == (2, 4)
+    assert lsh_banding(2**31 - 1) == (2, 4)
+    assert lsh_banding(2**31) == (1, 8)
+
+
+def test_lsh_banding_r4_branch_cross_engine(spark, tmp_path, sf_dir):
+    # The fixture SFs never cross 2^16 docs, so the r=4 branch would
+    # otherwise ship untested: plant a 70k-doc corpus whose partial
+    # near-dups collide with HIGH probability under 4x2 banding but LOW
+    # probability under 2x4 (per-perm signature agreement ~0.5 for
+    # Jaccard-0.5 pairs), and run the full d03 compare — if the two
+    # engines derived different (b, r) from count(*), their candidate
+    # sets would diverge with overwhelming probability.
+    import os
+
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d03_minhash_lsh_pairs,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.registry import (
+        all_oracles,
+    )
+    from tests.oracle_compare import TABLES, run_compare
+
+    rows = []
+    for i in range(70_000):
+        if 68_000 <= i < 69_000:
+            base = i
+            rows.append((i, f"u{base}a u{base}b u{base}c u{base}d u{base}e"))
+            rows.append(
+                (i + 1_000, f"u{base}a u{base}b u{base}c u{base}d z{base}")
+            )
+        elif i < 68_000:
+            rows.append((i, f"u{i}a u{i}b u{i}c u{i}d u{i}e"))
+    big = str(tmp_path / "sf_r4")
+    os.makedirs(big)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(big, f"{t}.parquet"),
+            )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([i for i, _ in rows], dtype="int64"),
+            "text": [t for _, t in rows],
+            "lang": "en",
+            "source": "s0",
+            "n_chars": pd.array([len(t) for _, t in rows], dtype="int64"),
+        }
+    )
+    # Single FILE (not a Spark directory) so the DuckDB view pattern and
+    # load_table both read it like the driver-generated fixtures.
+    pdf.to_parquet(big + "/documents.parquet", index=False)
+
+    run_compare(
+        spark, big, "d03_minhash_lsh_pairs@70k",
+        d03_minhash_lsh_pairs, all_oracles()["d03_minhash_lsh_pairs"],
+    )
