@@ -560,6 +560,18 @@ def _binary_metrics(y_te, p_te, pos: float = 1.0) -> dict:
     }
 
 
+def _reject_unconsumed_params(model: str, params: dict) -> None:
+    """logistic_regression and decision_tree take ONLY named kwargs —
+    their branches never forward ``**params``, so a mistyped or
+    misrouted hyperparameter (``n_estimators`` passed to logistic)
+    would be silently dropped instead of erroring. Fail loud."""
+    if model in ("logistic_regression", "decision_tree") and params:
+        raise ValueError(
+            f"{model} does not consume extra params "
+            f"{sorted(params)}; its search space is the named kwargs only"
+        )
+
+
 def fit_eval(
     df: DataFrame,
     feature_cols: list[str],
@@ -593,6 +605,7 @@ def fit_eval(
     The remaining kwargs (+ ``**params``) expose each family's search
     space for ``trial_search``; ``seed`` pins every stochastic family.
     """
+    _reject_unconsumed_params(model, params)
     pdf = df.select(*feature_cols, label_col, split_col).toPandas()
     train = pdf[pdf[split_col] == train_value]
     test = pdf[pdf[split_col] != train_value]
@@ -940,6 +953,7 @@ def fit_model(
     The standardization stats (logistic only, train-split statistics —
     leakage-safe) travel WITH the model so a reload scores new data
     identically to fit time."""
+    _reject_unconsumed_params(model, params)
     pdf = df.select(*feature_cols, label_col, split_col).toPandas()
     train = pdf[pdf[split_col] == train_value]
     x_tr = train[feature_cols].to_numpy(dtype=float)
@@ -1017,26 +1031,57 @@ def predict_scores(m: dict, x) -> "object":
     raise ValueError(f"unknown model family {fam!r}")
 
 
-def save_model(spark, registry_root: str, name: str, m: dict) -> int:
-    """Register a fitted model: one atomic AcidTable append carrying
+def save_model(
+    spark, registry_root: str, name: str, m: dict, max_retries: int = 10
+) -> int:
+    """Register a fitted model: one atomic AcidTable commit carrying
     (name, family, model_version, model_json). model_version is
     per-name monotonic (1 + the registered count), the MLflow version
     counter analogue; the ACID commit log supplies history/time-travel
-    on top. Returns the new model_version."""
+    on top. Returns the new model_version.
+
+    The version is derived INSIDE the commit loop (merge_insert_only's
+    recheck-against-the-winner shape): on a lost commit race the count
+    re-runs against the winner's snapshot, so two concurrent
+    registrations of the same name get DISTINCT versions — a read-side
+    count taken before the append would hand both writers the same one.
+    """
     import json
 
-    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+    from equity_volatility_lakehouse_platform_spark.sources.acid import (
+        AcidTable,
+        CommitConflict,
+    )
 
     t = AcidTable(spark, registry_root)
-    existing = 0
-    if t.latest_version() is not None:
-        existing = t.read().filter(F.col("name") == name).count()
-    row = spark.createDataFrame(
-        [(name, m["model"], existing + 1, json.dumps(m, sort_keys=True))],
-        "name STRING, family STRING, model_version INT, model_json STRING",
+    for _ in range(max_retries):
+        latest = t.latest_version()
+        existing = (
+            0
+            if latest is None
+            else t.read(latest).filter(F.col("name") == name).count()
+        )
+        row = spark.createDataFrame(
+            [(name, m["model"], existing + 1, json.dumps(m, sort_keys=True))],
+            "name STRING, family STRING, model_version INT, model_json STRING",
+        )
+        files = t._write_data(row)
+        if latest is None:
+            base, schema = [], row.schema.simpleString()[7:-1]
+        else:
+            snap = t._manifest(latest)
+            base, schema = snap["files"], snap["schema"]
+        try:
+            t._try_commit(
+                0 if latest is None else latest + 1,
+                "append", base + files, schema,
+            )
+            return existing + 1
+        except CommitConflict:
+            continue  # recount against the winner's snapshot
+    raise CommitConflict(
+        f"lost {max_retries} registration races on {registry_root}"
     )
-    t.append(row)
-    return existing + 1
 
 
 def load_model(

@@ -1056,7 +1056,7 @@ def f28_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT user_id, day, draw,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY draw, day) AS rn
+                                ORDER BY draw NULLS LAST, day) AS rn
       FROM dd
     )
     SELECT user_id,
@@ -1084,7 +1084,13 @@ def f29_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("draw"),
     )
-    wmin = Window.partitionBy("user_id").orderBy("draw", "day")
+    # asc_nulls_last: Spark sorts NULLS FIRST by default where DuckDB
+    # sorts NULLS LAST — draw is NULL iff the running max is exactly 0
+    # (impossible on current fixtures, permitted by the schema), and a
+    # NULL-first trough pick would diverge between engines there.
+    wmin = Window.partitionBy("user_id").orderBy(
+        F.col("draw").asc_nulls_last(), "day"
+    )
     r = dd.withColumn("rn", F.row_number().over(wmin))
     g = r.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_days"),

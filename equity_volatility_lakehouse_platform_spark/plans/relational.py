@@ -4408,14 +4408,14 @@ def j19_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
       FROM events
     ), f AS (
-      SELECT user_id, ts, value, us,
+      SELECT user_id, ts, event_id, value, us,
              CASE WHEN lag(us) OVER w IS NULL
                        OR us - lag(us) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts, value, us,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM f
     )
@@ -4438,16 +4438,21 @@ def a32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     f = ev.select(
-        "user_id", "ts", "value", "us",
+        "user_id", "ts", "event_id", "value", "us",
         F.when(
             F.lag("us").over(w).isNull()
             | ((F.col("us") - F.lag("us").over(w)) > 1800000000),
             1,
         ).otherwise(0).alias("brk"),
     )
+    # sid window orders by (ts, event_id) — the SAME total order as the
+    # brk window. (ts, us) is NOT total when a user has duplicate
+    # timestamps (us is just unix_micros(ts)), and a non-total running
+    # sum makes session assignment nondeterministic on tied rows —
+    # certain to occur at real scale even though the fixtures never tie.
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "us")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     s = f.select(

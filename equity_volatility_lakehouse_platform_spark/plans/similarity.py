@@ -2010,13 +2010,16 @@ _simreg.set_oracle("sim11_ann_mmr", _sim11_oracle())
 def sim12_persisted_ivf_index(
     spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3
 ) -> DataFrame:
-    import tempfile
-
     from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+        session_scratch,
+    )
 
     emb = _ivf_emb(spark, sf_dir)
     # ---- build (offline in production; versioned ACID commits) ----
-    root = tempfile.mkdtemp(prefix="evlp_sim12_")
+    # Scratch root is reused (and wiped) per sf_dir, so timed re-runs
+    # don't each leave a corpus-assignment copy on disk.
+    root = session_scratch("sim12", sf_dir)
     cent = ivf_train_centroids(emb)
     t_cent = AcidTable(spark, root + "/ivf_centroids")
     t_cent.overwrite(cent)

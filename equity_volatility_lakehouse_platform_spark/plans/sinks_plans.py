@@ -828,8 +828,14 @@ def snk19_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ExpectationViolation,
     )
 
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+        session_scratch,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="evlp_snk19_")
+    # Reused-and-wiped per sf_dir (not a fresh mkdtemp): timed re-runs
+    # must not accumulate staging/prod lake copies.
+    root = session_scratch("snk19", sf_dir)
     staging = AcidTable(spark, root + "/staging")
     prod = AcidTable(spark, root + "/prod")
     rules = {

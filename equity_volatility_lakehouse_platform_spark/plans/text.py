@@ -693,9 +693,14 @@ def sc08_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions; the token split runs ONCE in a staged projection and
     # every derived column references it by name.
     docs = load_table(spark, sf_dir, "documents")
+    # array_remove, not F.filter(..., lambda): lambda higher-order
+    # functions are CodegenFallback (the whole projection runs
+    # interpreted, ~10x — the ml18/t16/t17 gotcha family); ArrayRemove
+    # is a codegen collection expression with identical semantics here
+    # (drop every '' element).
     staged = docs.select(
         "doc_id",
-        F.filter(tx.tokens(F.col("text")), lambda x: x != "").alias("tok"),
+        F.array_remove(tx.tokens(F.col("text")), "").alias("tok"),
     )
     stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
     return staged.select(

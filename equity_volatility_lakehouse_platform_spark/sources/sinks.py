@@ -19,10 +19,27 @@ append-path helpers predate:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def session_scratch(tag: str, sf_dir: str) -> str:
+    """Per-(query, sf_dir) scratch root for registered queries that
+    materialize corpus-sized artifacts (sim12's index tables, snk19's
+    staging/prod lake). Keyed by sf_dir and WIPED on entry, so repeated
+    invocations (bare sweeps, spot_100x's rebuild-per-timing protocol)
+    reuse one directory instead of leaking a fresh mkdtemp copy of the
+    corpus per timed run."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"evlp_{tag}_{key}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    return root
 
 
 def write_partitioned(
