@@ -78,7 +78,9 @@ def lsh_bucket(v: Column, bits: int = 2) -> Column:
     WHERE rn <= 5
     """,
 )
-def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim01_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 3
+) -> DataFrame:
     # Exact kNN baseline: tiny query set broadcast against the corpus, then
     # per-query top-k (window on the query key — k small, no global sort).
     # Norms are projected BEFORE the join, so each corpus vector's norm is
@@ -87,7 +89,7 @@ def sim01_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
     )
-    q = emb.filter(F.col("vec_id") < 3).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     cos = dot(F.col("qv"), F.col("v")) / F.nullif(
@@ -396,6 +398,7 @@ def sim04_ivf_ann_topk(
     nprobe: int = 2,
     k: int = 3,
     per_probe_cap: int = 64,
+    n_queries: int = 3,
 ) -> DataFrame:
     # IVF (inverted-file) ANN — the other classic scale path next to LSH
     # (sim03). A small coarse quantizer (fixed seed centroids, standing in
@@ -412,7 +415,7 @@ def sim04_ivf_ann_topk(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("nc")
     )
     assigned = ivf_assign(emb, cent)
-    qprobe = ivf_probe(emb, cent, nprobe)
+    qprobe = ivf_probe(emb, cent, nprobe, n_queries=n_queries)
     # Bounded re-rank (round-8): the probed lists grow linearly with the
     # corpus, and computing the full 64-dim cosine fold for EVERY
     # candidate made sim04 the one superlinear-wall query at 100x data.
@@ -443,7 +446,7 @@ def sim04_ivf_ann_topk(
     )
     # Late materialization: fetch vectors for only the capped ids.
     base = _emb(spark, sf_dir).select("vec_id", "v")
-    qvec = base.filter(F.col("vec_id") < 3).select(
+    qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
     cos = dot(F.col("qv"), F.col("v")) / F.nullif(
@@ -674,7 +677,9 @@ _ML12_SQL = """
     # brute force for ANN.
     oracle=_ML12_SQL,
 )
-def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ml12_knn_classify(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 20
+) -> DataFrame:
     # sim01's exact-kNN physical shape (norms projected pre-join, eval
     # queries broadcast into a BNLJ against the corpus) extended with a
     # two-window vote: top-3 by cosine, then majority label. The eval
@@ -683,7 +688,7 @@ def ml12_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "v", "label", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
     )
-    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+    q = emb.filter(F.col("vec_id") % eval_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("label").alias("true_label"), F.col("nv").alias("nq"),
     )
@@ -1215,6 +1220,7 @@ def sim06_pq_ann_topk(
     iters: int = 2,
     shortlist: int = 10,
     k: int = 3,
+    n_queries: int = 3,
 ) -> DataFrame:
     emb = _emb(spark, sf_dir)
     sub = _pq_subspaces(emb, n_sub)
@@ -1231,7 +1237,7 @@ def sim06_pq_ann_topk(
     codes = pq_encode(emb, cb, n_sub)
     # ADC tables for the tiny query set (n_sub x n_centroids per query).
     adc = (
-        sub.filter(F.col("vec_id") < 3)
+        sub.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("q_id"), F.col("m").alias("am"), "j",
@@ -1262,7 +1268,7 @@ def sim06_pq_ann_topk(
         F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
         F.lit(0.0),
     )
-    qvec = emb.filter(F.col("vec_id") < 3).select(
+    qvec = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
     rer = (
@@ -1448,11 +1454,12 @@ def sim08_ivfadc_topk(
     iters: int = 2,
     shortlist: int = 100,
     k: int = 3,
+    n_queries: int = 3,
 ) -> DataFrame:
     rer = _ivfadc_rerank(
         spark, sf_dir, n_coarse=n_coarse, coarse_iters=coarse_iters,
         nprobe=nprobe, n_centroids=n_centroids, n_sub=n_sub, iters=iters,
-        shortlist=shortlist,
+        shortlist=shortlist, n_queries=n_queries,
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -1476,6 +1483,7 @@ def _ivfadc_rerank(
     n_sub: int = 16,
     iters: int = 2,
     shortlist: int = 100,
+    n_queries: int = 3,
 ) -> DataFrame:
     """The composed IVFADC retrieval chain up to and including the
     exact re-rank of the ADC shortlist — (q_id, vec_id, approx, cos)
@@ -1491,7 +1499,9 @@ def _ivfadc_rerank(
     ).localCheckpoint(eager=False)
     # Coarse stage: lists + probes (ids only past this point).
     assigned = ivf_assign(emb, cent).select("vec_id", "cid")
-    qprobe = ivf_probe(emb, cent, nprobe).select("q_id", "qcid")
+    qprobe = ivf_probe(emb, cent, nprobe, n_queries=n_queries).select(
+        "q_id", "qcid"
+    )
     candp = (
         F.broadcast(qprobe)
         .join(
@@ -1507,7 +1517,7 @@ def _ivfadc_rerank(
     ).localCheckpoint(eager=False)
     codes = pq_encode(_emb(spark, sf_dir), cb, n_sub)
     adc = (
-        sub.filter(F.col("vec_id") < 3)
+        sub.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("aq"), F.col("m").alias("am"), "j",
@@ -1542,7 +1552,7 @@ def _ivfadc_rerank(
         F.lit(0.0),
     )
     base = _emb(spark, sf_dir).select("vec_id", "v")
-    qvec = base.filter(F.col("vec_id") < 3).select(
+    qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
     # "v" (the candidate's raw vector) rides along so sim11's MMR stage
@@ -1792,6 +1802,7 @@ def sim10_mmr_diversify(
     k: int = 5,
     lam: float = 0.7,
     mu: float = 0.3,
+    n_queries: int = 3,
 ) -> DataFrame:
     # NOTE: mu is passed explicitly rather than derived as 1 - lam —
     # 1.0 - 0.7 is NOT the double literal 0.3 (it is 0.300...04), and
@@ -1799,7 +1810,7 @@ def sim10_mmr_diversify(
     emb = _emb(spark, sf_dir).select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
     )
-    q = emb.filter(F.col("vec_id") < 3).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
@@ -2008,7 +2019,8 @@ _simreg.set_oracle("sim11_ann_mmr", _sim11_oracle())
     oracle=None,  # set below — composes the trained-IVF chain
 )
 def sim12_persisted_ivf_index(
-    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3
+    spark: SparkSession, sf_dir: str, nprobe: int = 2, k: int = 3,
+    n_queries: int = 3,
 ) -> DataFrame:
     from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
     from equity_volatility_lakehouse_platform_spark.sources.sinks import (
@@ -2028,7 +2040,9 @@ def sim12_persisted_ivf_index(
     # ---- query (artifacts only: no retraining, no corpus re-assign) --
     cent_r = t_cent.read()
     asg_r = t_asg.read()
-    qprobe = ivf_probe(emb, cent_r, nprobe).select("q_id", "qcid")
+    qprobe = ivf_probe(emb, cent_r, nprobe, n_queries=n_queries).select(
+        "q_id", "qcid"
+    )
     candp = (
         F.broadcast(qprobe)
         .join(
@@ -2039,7 +2053,7 @@ def sim12_persisted_ivf_index(
         .select("q_id", "vec_id")
     )
     base = _emb(spark, sf_dir).select("vec_id", "v")
-    qvec = base.filter(F.col("vec_id") < 3).select(
+    qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
     cos = dot(F.col("qv"), F.col("v")) / F.nullif(

@@ -59,11 +59,16 @@ spark.stop()
 print("ABJSON:" + json.dumps(out))
 """
 
-DEFAULT_QUERIES = (
-    "st14_stream_stream_left_join,st15_stream_stream_right_join,"
-    "st16_stream_stream_full_join,st17_stateful_timeout_sessions,"
-    "snk09_merge_upsert,snk10_zorder_layout"
-)
+def _default_queries() -> str:
+    """The FULL extended tier, sourced from bench.py (round 11 — the
+    round-10 A/B covered only 6 of the 18 queries, so cross-round
+    swings on the others had to be re-litigated; defaulting to the
+    whole tier makes the standing round-end A/B pre-exonerate all of
+    them)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import EXTENDED
+
+    return ",".join(EXTENDED)
 
 
 def run_engine(engine_dir: str, queries: str, sf_dir: str, n_runs: int) -> dict:
@@ -89,12 +94,14 @@ def run_engine(engine_dir: str, queries: str, sf_dir: str, n_runs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("engines", nargs=2, help="two engine dirs (A then B)")
-    ap.add_argument("--queries", default=DEFAULT_QUERIES)
+    ap.add_argument("--queries", default=None)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.queries is None:
+        args.queries = _default_queries()
 
     per_engine: dict[str, list[dict]] = {e: [] for e in args.engines}
     for rnd in range(args.rounds):
