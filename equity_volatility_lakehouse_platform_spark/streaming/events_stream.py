@@ -94,6 +94,27 @@ def _run_stream_scoped(
         _make_stream(), _make_stream
     )
     name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    # State partitions size to STATE VOLUME, not to the session's batch
+    # parallelism (round 11): every stateful operator materializes one
+    # state store PER shuffle partition PER micro-batch, and the store's
+    # fixed commit/maintenance cost dominates small state — at sf0.1 the
+    # four stream-stream joins spent ~27 s under 32 stores vs ~14 s
+    # under 8 (interleaved A/B, SCALE.md round-11 addendum 3; RocksDB
+    # was SLOWER for bounded one-batch runs — per-store JNI setup). The
+    # count derives from the input size (~16 MB of input per store,
+    # floor 8, capped at the session's parallelism so a 100 TB landing
+    # dir still fans out) and is pinned at query start via the session
+    # conf, restored after — results are partition-count-independent
+    # (oracle-verified at every SF).
+    n_state = max(
+        8,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            -(-os.path.getsize(path) // (16 << 20)),
+        ),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
         query = (
             built
@@ -109,6 +130,7 @@ def _run_stream_scoped(
         # no driver collect) so the sink view can be dropped immediately.
         return spark.table(name).localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.catalog.dropTempView(name)
         shutil.rmtree(tmp_root, ignore_errors=True)
 
