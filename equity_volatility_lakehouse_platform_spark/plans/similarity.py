@@ -1008,7 +1008,7 @@ _PQ_SQL = (
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY approx, vec_id) AS rn
             FROM appx)
-      WHERE rn <= 10
+      WHERE rn <= 100
     ), rer AS (
       SELECT s.q_id, s.vec_id, s.approx,
              list_dot_product(q.v, x.v)
@@ -1190,7 +1190,11 @@ def pq_train_codebook(
     # (pq_train_codebook: Lloyd's, 2 iterations, seed = the 16 lowest
     # vec_ids' subvectors) — round-7's untrained seed grids scored
     # recall@3 = 0.22 at shortlist 10; training lifts that to ~0.89 at
-    # sf0.1 (SCALE.md sweep). M = 16 subspaces of 4 dims, K = 16
+    # sf0.1, and the round-11 PQ-alone sweep (ANN_SHORTLIST_SWEEP_r11)
+    # measured the recall-1.0 point at shortlist 100 (one exact
+    # neighbor sits at ADC rank ~80 — PQ quantization error, the same
+    # neighbor the composed sim08 sweep found), so 100 is the default,
+    # consistent with sim08/sim11. M = 16 subspaces of 4 dims, K = 16
     # centroids each; code_m = argmin_j L2^2(sub_m(v), c_{m,j}) with the
     # d = dot(x,x) - 2*dot(x,c) + dot(c,c) expansion — the identical
     # left-to-right fold on both engines, so training means (ordered
@@ -1218,7 +1222,7 @@ def sim06_pq_ann_topk(
     n_centroids: int = 16,
     n_sub: int = 16,
     iters: int = 2,
-    shortlist: int = 10,
+    shortlist: int = 100,
     k: int = 3,
     n_queries: int = 3,
 ) -> DataFrame:
