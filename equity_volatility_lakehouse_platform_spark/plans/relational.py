@@ -4575,3 +4575,170 @@ def j20_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "a33_funnel",
+    # Ordered 3-step funnel (round 11) — the product-analytics staple
+    # next to a32's sessionization: of the users who VIEWED, how many
+    # later CLICKED, and of those, how many later PURCHASED; each step
+    # must occur strictly AFTER the user's first qualifying event of the
+    # previous step. Three stage aggregates (min qualifying ts per
+    # user), each a user-keyed groupBy co-partitioned with the join back
+    # onto the event scan — at 100 TB the event table shuffles on
+    # user_id once per stage with the type filter pushed to the scan,
+    # and the stage frontier (one row per surviving user) rides along.
+    # Counts are exact integers; the step conversion ratios take the
+    # nudged round.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+             (ROUND(1.0 - 0.000000001, 6) + 0.0) AS conv_from_prev
+      FROM n
+      UNION ALL
+      SELECT 2, 'click', CAST(n2 AS BIGINT),
+             (ROUND(n2 * 1.0 / NULLIF(n1, 0)
+                    - sign(n2 * 1.0 / NULLIF(n1, 0)) * 0.000000001, 6) + 0.0)
+      FROM n
+      UNION ALL
+      SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+             (ROUND(n3 * 1.0 / NULLIF(n2, 0)
+                    - sign(n3 * 1.0 / NULLIF(n2, 0)) * 0.000000001, 6) + 0.0)
+      FROM n
+    )
+    """,
+)
+def a33_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    one = F.lit(1.0)
+    c2 = F.col("n2") * 1.0 / F.nullif(F.col("n1"), F.lit(0))
+    c3 = F.col("n3") * 1.0 / F.nullif(F.col("n2"), F.lit(0))
+    return (
+        n.select(
+            F.lit(1).alias("step"), F.lit("view").alias("event_type"),
+            F.col("n1").cast("bigint").alias("n_users"),
+            r6s(one).alias("conv_from_prev"),
+        )
+        .unionByName(n.select(
+            F.lit(2).alias("step"), F.lit("click").alias("event_type"),
+            F.col("n2").cast("bigint").alias("n_users"),
+            r6s(c2).alias("conv_from_prev"),
+        ))
+        .unionByName(n.select(
+            F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
+            F.col("n3").cast("bigint").alias("n_users"),
+            r6s(c3).alias("conv_from_prev"),
+        ))
+    )
+
+
+@register(
+    "a34_retention_cohorts",
+    # Weekly retention cohorts (round 11) — the other product-analytics
+    # staple: users cohorted by the week of their FIRST event, then for
+    # each (cohort_week, week_offset) the count of cohort members active
+    # that week and the retention ratio against the cohort's size.
+    # Weeks are integer epoch-week buckets (epoch_us // (7 days of
+    # microseconds)) — pure integer arithmetic, no calendar/timezone
+    # divergence between engines. Plan: one user-keyed min (the cohort
+    # assignment), one broadcast-back join, one (cohort, offset)
+    # distinct-count roll-up — the event table shuffles on user_id once
+    # and on the (cohort, offset) key once; both map-side combine.
+    oracle="""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id
+    ), sizes AS (
+      SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw
+    ), active AS (
+      SELECT DISTINCT c.cw, w.wk - c.cw AS off, w.user_id
+      FROM w JOIN cohort c ON c.user_id = w.user_id
+    )
+    SELECT a.cw AS cohort_week,
+           CAST(a.off AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           (ROUND(count(*) * 1.0 / s.n_cohort
+                  - sign(count(*) * 1.0 / s.n_cohort) * 0.000000001, 6)
+            + 0.0) AS retention
+    FROM active a JOIN sizes s ON s.cw = a.cw
+    GROUP BY a.cw, a.off, s.n_cohort
+    """,
+)
+def a34_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unix_micros div 7-day-us: INTEGER division on both engines (`div`
+    # in Spark, `//` in DuckDB) — a double quotient could misround at a
+    # week boundary; integer division cannot.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select("cw", (F.col("wk") - F.col("cw")).alias("off"), "user_id")
+        .distinct()
+    )
+    ret = F.count(F.lit(1)) * 1.0 / F.col("n_cohort")
+    return (
+        active.join(F.broadcast(sizes), "cw")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            F.col("off").cast("bigint").alias("week_offset"),
+            "n_cohort",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            r6s(ret).alias("retention"),
+        )
+        .select(
+            "cohort_week", "week_offset", "n_active",
+            F.col("n_cohort").cast("bigint").alias("n_cohort"), "retention",
+        )
+    )

@@ -877,3 +877,110 @@ def snk19_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch INT, n_rows BIGINT, published BOOLEAN, "
         "prod_rows BIGINT, prod_price_sum DOUBLE",
     )
+
+
+@register(
+    "snk20_incremental_view_maintenance",
+    # Incremental view maintenance over the ACID change feed (round 11)
+    # — the lakehouse pattern that keeps a downstream aggregate fresh
+    # WITHOUT recomputing it: a per-status (count, money-sum) view is
+    # initialized once, then each committed mutation (COW UPDATE, then
+    # DELETE) publishes a row-level change feed (changes() — old image
+    # as delete + new image as insert, cost proportional to the CHANGE,
+    # not the table) that is folded into the view as signed deltas.
+    # Counts are exact integers and money rides the DECIMAL(18,2)
+    # device, so insert/delete images cancel EXACTLY — the maintained
+    # view is bit-identical to a full recompute, which is precisely
+    # what the oracle states (it recomputes the final table state from
+    # the same key arithmetic: +1.5 on keys % 7, keys % 13 deleted).
+    # At 100 TB: the view update scans only the touched files' change
+    # rows and shuffles one tiny (status)-keyed delta — the whole point
+    # of IVM vs the full groupBy it replaces.
+    oracle=f"""
+    WITH final AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT st AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_MONEY_SQL.format(col="price")} AS price_sum,
+           CAST(2 AS BIGINT) AS n_delta_commits
+    FROM final GROUP BY st
+    """,
+)
+def snk20_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+        session_scratch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = session_scratch("snk20", sf_dir)
+    t = AcidTable(spark, root + "/orders_acid")
+    v0 = t.overwrite(orders)
+
+    cents = r2(F.col("o_totalprice")).cast("decimal(18,2)")
+    view = AcidTable(spark, root + "/status_view")
+    view.overwrite(
+        t.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("decimal(28,2)").alias("price_cents"),
+        )
+    )
+
+    def _apply_delta(v_from: int, v_to: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            t.changes(v_from, v_to)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum(sign).cast("long").alias("d_n"),
+                F.sum(sign.cast("decimal(18,2)") * cents)
+                .cast("decimal(28,2)")
+                .alias("d_cents"),
+            )
+        )
+        cur = view.read()
+        merged = (
+            cur.join(delta, "o_orderstatus", "full")
+            .select(
+                "o_orderstatus",
+                (
+                    F.coalesce(F.col("n_orders"), F.lit(0))
+                    + F.coalesce(F.col("d_n"), F.lit(0))
+                ).cast("long").alias("n_orders"),
+                (
+                    F.coalesce(
+                        F.col("price_cents"),
+                        F.lit(0).cast("decimal(28,2)"),
+                    )
+                    + F.coalesce(
+                        F.col("d_cents"), F.lit(0).cast("decimal(28,2)")
+                    )
+                ).cast("decimal(28,2)").alias("price_cents"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        view.overwrite(merged)
+
+    v1 = t.update_where(
+        F.col("o_orderkey") % 7 == 0,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.5)},
+    )
+    _apply_delta(v0, v1)
+    v2 = t.delete_where(F.col("o_orderkey") % 13 == 0)
+    _apply_delta(v1, v2)
+
+    return view.read().select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("price_cents").cast("double").alias("price_sum"),
+        F.lit(2).cast("long").alias("n_delta_commits"),
+    )
