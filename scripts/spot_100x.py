@@ -86,6 +86,12 @@ QUERIES = [
     "sim13_knn_graph",
     "w41_garch_forecast",
     "j20_snapshot_reconcile",
+    # round-11 additions: funnel, retention cohorts, incremental view
+    # maintenance (the IVM query mutates its own scratch ACID table per
+    # run — REBUILD-style by construction since every call re-seeds).
+    "a33_funnel",
+    "a34_retention_cohorts",
+    "snk20_incremental_view_maintenance",
 ]
 
 
