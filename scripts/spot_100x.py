@@ -196,6 +196,9 @@ REBUILD = {
     "sim11_ann_mmr",
     "sim12_persisted_ivf_index",
     "d17_semantic_dedup",
+    # snk20 runs its ACID commits + delta folds EAGERLY at build time;
+    # timing only the returned view read would measure nothing.
+    "snk20_incremental_view_maintenance",
 }
 
 
@@ -228,6 +231,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
     failures: list[str] = []
+    extra_sections: dict = {}
     # $SPOT_QUERIES: comma-separated subset (split long runs across
     # invocations); $SPOT_MERGE: read the existing out_json and only
     # update/append this run's rows.
@@ -237,6 +241,13 @@ def main() -> int:
     if out_json and os.environ.get("SPOT_MERGE") and os.path.exists(out_json):
         with open(out_json) as fh:
             prior = json.load(fh)
+        # Preserve sections other runners merged in (query_axis, ad-hoc
+        # studies) — a subset re-run must not truncate the artifact.
+        extra_sections = {
+            k: v
+            for k, v in prior.items()
+            if k not in ("scale", "results", "failures")
+        }
         results.update(prior.get("results", {}))
         # Drop prior failure entries for queries re-run this invocation:
         # a query that failed before but passes now must not carry a
@@ -285,7 +296,10 @@ def main() -> int:
             )
         results[name] = rec
         print(name, json.dumps(rec))
-    summary = {"scale": "100x-sf0.1", "results": results, "failures": failures}
+    summary = {
+        "scale": "100x-sf0.1", "results": results, "failures": failures,
+        **extra_sections,
+    }
     line = json.dumps(summary)
     print(line)
     if out_json:
