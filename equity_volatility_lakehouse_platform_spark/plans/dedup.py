@@ -1773,3 +1773,115 @@ def _d20_oracle() -> str:
 
 
 _reg.set_oracle("d20_edit_distance_verify", _d20_oracle())
+
+
+@register(
+    "d21_pagerank",
+    # Fixed-iteration PageRank over the LSH candidate graph (round 11)
+    # — the curation-centrality signal next to d07's components and
+    # d15's k-hop reach: which documents sit at the CENTER of a
+    # near-dup neighborhood (template hubs, boilerplate attractors).
+    # Three power-iteration rounds with damping 0.85 over the same
+    # est >= 0.5 edges d07 clusters; every per-node in-neighbor sum is
+    # an ORDERED fold (contributions sorted by source id — the BNKS
+    # device), so the three chained float reductions are bit-identical
+    # across engines and the output takes one nudged round. Distributed
+    # shape: the classic Pregel-style iteration — contributions shuffle
+    # on dst once per round (3 fixed rounds = 3 shuffles), degree rides
+    # the edge list via one co-partitioned join; nothing global, no
+    # driver loop over data. Every node in the (undirected) candidate
+    # graph has degree >= 1, so there are no dangling-mass corrections.
+    oracle=_SIG_SQL + _BANDS_SQL + """
+    , scored AS (
+      SELECT c.doc_a, c.doc_b,
+             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
+            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
+            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                  JOIN sig sb ON c.doc_b = sb.doc_id
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM scored WHERE est >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM scored WHERE est >= 0.5
+    ), deg AS (
+      SELECT s, count(*) AS deg FROM edges GROUP BY s
+    ), e2 AS (
+      SELECT e.s, e.d, g.deg FROM edges e JOIN deg g ON g.s = e.s
+    ), pr0 AS (
+      SELECT DISTINCT s AS id, CAST(1.0 AS DOUBLE) AS pr FROM edges
+    ), pr1 AS (
+      SELECT e.d AS id,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * list_reduce(list(p.pr / e.deg ORDER BY e.s),
+                             (acc, val) -> acc + val) AS pr
+      FROM e2 e JOIN pr0 p ON p.id = e.s GROUP BY e.d
+    ), pr2 AS (
+      SELECT e.d AS id,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * list_reduce(list(p.pr / e.deg ORDER BY e.s),
+                             (acc, val) -> acc + val) AS pr
+      FROM e2 e JOIN pr1 p ON p.id = e.s GROUP BY e.d
+    ), pr3 AS (
+      SELECT e.d AS id,
+             CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * list_reduce(list(p.pr / e.deg ORDER BY e.s),
+                             (acc, val) -> acc + val) AS pr
+      FROM e2 e JOIN pr2 p ON p.id = e.s GROUP BY e.d
+    )
+    SELECT p.id AS doc_id,
+           CAST(g.deg AS BIGINT) AS degree,
+           (ROUND(p.pr - sign(p.pr) * 0.000000001, 6) + 0.0) AS pagerank
+    FROM pr3 p JOIN deg g ON g.s = p.id
+    """,
+)
+def d21_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    # teleport is passed EXPLICITLY rather than derived as 1 - damping:
+    # 1.0 - 0.85 is NOT the double literal 0.15 (it is 0.1500...02, the
+    # sim10 lam/mu lesson), and the oracle's CAST(0.15 AS DOUBLE) must
+    # be mirrored bit-exactly through three chained iterations.
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ordered_fold,
+    )
+
+    pairs = d03_minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    e1 = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    edges = e1.unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = edges.join(deg, "s")
+    r = edges.select(F.col("s").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("pr")
+    )
+    for _ in range(n_iter):
+        j = e2.join(r, e2["s"] == r["id"]).select(
+            "d", "s", (F.col("pr") / F.col("deg")).alias("c")
+        )
+        r = (
+            j.groupBy("d")
+            .agg(F.array_sort(F.collect_list(F.struct("s", "c"))).alias("lst"))
+            .select(
+                F.col("d").alias("id"),
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * _ordered_fold(F.col("lst"), "c")
+                ).alias("pr"),
+            )
+        )
+    return (
+        r.join(deg, r["id"] == deg["s"])
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            r6s("pr").alias("pagerank"),
+        )
+    )

@@ -1082,3 +1082,86 @@ def ml21_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6s("loo").alias("loo_enc"),
         r6s("oof").alias("oof_enc"),
     )
+
+
+@register(
+    "ml22_pr_auc",
+    # Average precision / PR-AUC (round 11) — the imbalanced-class
+    # complement to ml14's ROC AUC (a retrieval eval cares about
+    # precision at the top of the ranking, which ROC hides when
+    # negatives dominate): AP = (1/n_pos) * sum over positive ranks k
+    # of precision@k = tp_k / k, on the deterministic (score DESC,
+    # vec_id) ranking both engines share. tp_k/k are identical doubles
+    # per rank; their sum runs as an ORDERED fold over ranks, so the
+    # only inexactness is the final nudged round. One global sort (AP
+    # is global by definition — at 100 TB, per-slice APs or a sampled
+    # global, exactly like ml14), one cumulative window, one single-row
+    # reduction.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, v[1] AS score, CAST(label >= 5 AS INTEGER) AS y
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings)
+    ), r AS (
+      SELECT y,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+             SUM(y) OVER (ORDER BY score DESC, vec_id
+                          ROWS UNBOUNDED PRECEDING) AS tp
+      FROM s
+    ), agg AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(tp * 1.0 / rn ORDER BY rn) FILTER (WHERE y = 1)),
+               (acc, val) -> acc + val) / SUM(y) AS ap
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           (ROUND(ap - sign(ap) * 0.000000001, 6) + 0.0)
+             AS average_precision
+    FROM agg
+    """,
+)
+def ml22_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        _ordered_fold,
+    )
+
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        "vec_id",
+        F.get(F.col("v"), 0).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    w = Window.orderBy(F.desc("score"), "vec_id")
+    ranked = s.select(
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("tp"),
+    )
+    # collect_list skips NULLs, so the when(...) keeps only the
+    # positive ranks' precision terms — mirrored by the oracle's agg
+    # FILTER clause.
+    agg = ranked.agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("y") == 1,
+                    F.struct(
+                        "rn", (F.col("tp") * 1.0 / F.col("rn")).alias("p")
+                    ),
+                )
+            )
+        ).alias("lst"),
+    )
+    ap = _ordered_fold(F.col("lst"), "p") / F.col("n_pos")
+    return agg.select(
+        "n_pos", "n_neg", r6s(ap).alias("average_precision")
+    )

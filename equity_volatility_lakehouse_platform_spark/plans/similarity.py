@@ -2226,3 +2226,91 @@ def sim13_knn_graph(
             "nbr_id", r6("cos").alias("cosine"),
         )
     )
+
+
+@register(
+    "sim14_radius_search",
+    # Radius (range) search (round 11) — the retrieval primitive the
+    # top-k family doesn't cover: ALL corpus vectors within a cosine
+    # radius of each query ("everything at least tau-similar"), the
+    # query shape retrieval-augmented pipelines use for recall-bounded
+    # context pulls and dedup-adjacent "find all variants" lookups.
+    # Scale path: sim13's auto-provisioned sign-LSH buckets block the
+    # corpus (~256 vectors per bucket at any size), queries probe only
+    # their own bucket, and the exact cosine filter keeps cos >= tau —
+    # candidate volume is linear in bucket occupancy, never O(Q x N).
+    # The threshold compares doubles both engines compute by the same
+    # fold, so membership cannot flip (the d06 contract). Results are
+    # unranked memberships; no window, no cap — output size is the
+    # query's true radius set (bounded by the bucket).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bb AS (
+      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
+        AS bits
+      FROM e
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(list_reduce(
+               list_transform(range(1, bits + 1),
+                 j -> CASE WHEN list_dot_product(v,
+                        list_transform(range(1, 65),
+                          i -> sin(i * CAST(j AS DOUBLE)))) >= 0
+                      THEN 1 ELSE 0 END),
+               (acc, x) -> acc * 2 + x) AS BIGINT) AS bucket
+      FROM e CROSS JOIN bb
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 3
+    )
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine,
+           cos >= 0.25 AS in_radius
+    FROM (
+      SELECT q.q_id, b.vec_id,
+             list_dot_product(q.qv, b.v)
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(b.v, b.v)), 0) AS cos
+      FROM q JOIN b ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+    )
+    WHERE cos >= 0.2
+    """,
+)
+def sim14_radius_search(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = 0.2,
+    inner_tau: float = 0.25,
+    bits: int | None = None,
+    n_queries: int = 3,
+) -> DataFrame:
+    import math
+
+    base = _emb(spark, sf_dir)
+    if bits is None:
+        # sim13's auto-provisioning: ~256-vector buckets at any corpus.
+        bits = max(2, math.ceil(math.log2(base.count() / 256.0)))
+    emb = base.select(
+        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("qb") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(tau))
+        .select(
+            "q_id", "vec_id", r6("cos").alias("cosine"),
+            (F.col("cos") >= F.lit(inner_tau)).alias("in_radius"),
+        )
+    )
