@@ -38,10 +38,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic pseudo-random hyperplanes: r_j[i] = sin(i * j), i 1-based —
 # reproducible in any engine without a shared RNG.
 def _projection(v: Column, j: int) -> Column:
-    weights = F.transform(
-        F.sequence(F.lit(1), F.lit(64)), lambda i: F.sin(i.cast("double") * j)
-    )
-    return dot(v, weights)
+    # Hyperplane weights are LITERALS (round 11): the original
+    # F.transform(sequence, sin) recomputed 64 JVM sins PER ROW per
+    # hyperplane inside an unfoldable higher-order function — 128M sin
+    # calls on a 200k-vector corpus at auto-bits 10 (sim14's first 100x
+    # spot measured 78x wall, almost all of it here). Python's libm sin
+    # is bit-identical to DuckDB's on every i*j input (verified: 0/1088
+    # mismatches, where the JVM's intrinsic differs on 3 — a latent
+    # sign-flip risk this change also retires); the fold over literal
+    # weights is the same left-to-right sequence, so bucket ids are
+    # unchanged wherever the JVM sins agreed and oracle-exact where
+    # they did not.
+    # Unrolled +/* chain, not a fold: higher-order-function folds run
+    # INTERPRETED (CodegenFallback) — the remaining 10x after the
+    # literal-weights fix. The chain sums left-to-right, the identical
+    # sequence of the fold (the 0.0 init only matters at -0.0, and the
+    # consumer is `>= 0`, where the zeros agree); each projection is
+    # its own expression, so whole-stage codegen splits them into
+    # JIT-sized methods.
+    import math
+
+    proj = F.element_at(v, 1) * F.lit(math.sin(float(j)))
+    for i in range(2, 65):
+        proj = proj + F.element_at(v, i) * F.lit(math.sin(float(i * j)))
+    return proj
 
 
 def lsh_bucket(v: Column, bits: int = 2) -> Column:
