@@ -378,13 +378,20 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bb AS (
+      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
+        AS bits
+      FROM e
     ), b AS (
       SELECT vec_id, v,
-             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
-                       THEN 1 ELSE 0 END * 2
-                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
-                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
-      FROM e
+             CAST(list_reduce(
+               list_transform(range(1, bits + 1),
+                 j -> CASE WHEN list_dot_product(v,
+                        list_transform(range(1, 65),
+                          i -> sin(i * CAST(j AS DOUBLE)))) >= 0
+                      THEN 1 ELSE 0 END),
+               (acc, x) -> acc * 2 + x) AS BIGINT) AS bucket
+      FROM e CROSS JOIN bb
     ), pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)
@@ -397,41 +404,57 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs
     """,
 )
-def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d06_embedding_neardup(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> DataFrame:
     # Embedding-cosine near-dup, composed END-TO-END over the LSH bucket
     # candidates (the same random-hyperplane buckets as sim02) — the
     # cosine mirror of how d07 composes d03's MinHash candidates: bucket
     # equi-join proposes, exact cosine verifies. Each vector lands in
     # exactly ONE bucket, so every candidate pair appears once (no
-    # DISTINCT). Dot products fold JVM-side — no UDF. At 100 TB the
-    # hyperplane count rises with corpus size (more bits -> smaller
-    # buckets) so the within-bucket self-join stays linear in collisions,
-    # and the bucket key doubles as the shuffle/partition key.
+    # DISTINCT). Round 11: bits AUTO-PROVISIONS (~256-vector buckets,
+    # sim13's formula mirrored by the oracle's bb CTE) — the fixed
+    # 2-bit bucketing put a 200k-vector corpus in 4 buckets (~5e9
+    # in-bucket pairs, the exact cliff sim13's first spot hit); norms
+    # are projected per VECTOR before the pair join (computed once, and
+    # the pair stage's expression stays a third of the size — the
+    # codegen 64KB ceiling is real at 64 unrolled dims); the bucket
+    # join is hint-pinned shuffle_hash so the plan is identical at
+    # every corpus size.
+    import math
+
     from equity_volatility_lakehouse_platform_spark.plans.similarity import (
-        _projection,
         dot,
+        lsh_bucket_frame,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    b1 = (_projection(F.col("v"), 1) >= 0).cast("long") * 2
-    b2 = (_projection(F.col("v"), 2) >= 0).cast("long")
-    bucketed = emb.select("vec_id", "v", (b1 + b2).alias("bucket"))
+    if bits is None:
+        bits = max(2, math.ceil(math.log2(emb.count() / 256.0)))
+    bucketed = lsh_bucket_frame(emb, bits).select(
+        "vec_id", "v", "bucket",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
     a = bucketed.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("bucket").alias("bkt_a"),
+        F.col("bucket").alias("bkt_a"), F.col("nv").alias("nva"),
     )
     b = bucketed.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("bucket").alias("bkt_b"),
+        F.col("bucket").alias("bkt_b"), F.col("nv").alias("nvb"),
     )
     cos = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb"))),
-        F.lit(0.0),
+        F.col("nva") * F.col("nvb"), F.lit(0.0)
     )
     return (
-        a.join(b, (F.col("bkt_a") == F.col("bkt_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("bkt_a") == F.col("bkt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select(
             "vec_a", "vec_b",
             r6(cos).alias("cosine"),
@@ -657,13 +680,20 @@ _reg.set_oracle("d09_curation_pipeline", _d09_oracle())
     oracle="""
     WITH RECURSIVE e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bb AS (
+      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
+        AS bits
+      FROM e
     ), b AS (
       SELECT vec_id, v,
-             CAST(CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 1.0))) >= 0
-                       THEN 1 ELSE 0 END * 2
-                + CASE WHEN list_dot_product(v, list_transform(range(1, 65), i -> sin(i * 2.0))) >= 0
-                       THEN 1 ELSE 0 END AS BIGINT) AS bucket
-      FROM e
+             CAST(list_reduce(
+               list_transform(range(1, bits + 1),
+                 j -> CASE WHEN list_dot_product(v,
+                        list_transform(range(1, 65),
+                          i -> sin(i * CAST(j AS DOUBLE)))) >= 0
+                      THEN 1 ELSE 0 END),
+               (acc, x) -> acc * 2 + x) AS BIGINT) AS bucket
+      FROM e CROSS JOIN bb
     ), pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)

@@ -17,12 +17,32 @@ from equity_volatility_lakehouse_platform_spark.sources.readers import load_tabl
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
-def dot(x: Column, y: Column) -> Column:
-    """Sequential fold dot product — bit-identical to a left-to-right SQL
-    list_dot_product over the same doubles."""
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
-    )
+def dot(x: Column, y: Column, dims: int | None = None) -> Column:
+    """Dot product, bit-identical to a left-to-right SQL
+    list_dot_product over the same doubles.
+
+    The fold is CodegenFallback (interpreted), but it is the FASTEST
+    JVM-side option measured (round 11): 6us/pair on 64-dim arrays vs
+    20us/pair for an unrolled element_at/get +/* chain — per-element
+    scalar array access generates branch-heavy checked code that loses
+    to the interpreted fold by 3x, and the unrolled chains additionally
+    overflow the 64KB codegen method ceiling when fused into join
+    stages (the whole stage then silently interprets). Corpus-scale
+    vector arithmetic belongs in Arrow kernels (ivf_assign,
+    lsh_bucket_frame); this fold is for per-pair/per-candidate scoring
+    whose volume the bucketing already bounded. ``dims`` keeps the
+    unrolled variant available for narrow hot projections (unused by
+    default)."""
+    if dims is None:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    out = F.element_at(x, 1) * F.element_at(y, 1)
+    for i in range(2, dims + 1):
+        out = out + F.element_at(x, i) * F.element_at(y, i)
+    return out
 
 
 def cosine(x: Column, y: Column) -> Column:
@@ -49,19 +69,10 @@ def _projection(v: Column, j: int) -> Column:
     # weights is the same left-to-right sequence, so bucket ids are
     # unchanged wherever the JVM sins agreed and oracle-exact where
     # they did not.
-    # Unrolled +/* chain, not a fold: higher-order-function folds run
-    # INTERPRETED (CodegenFallback) — the remaining 10x after the
-    # literal-weights fix. The chain sums left-to-right, the identical
-    # sequence of the fold (the 0.0 init only matters at -0.0, and the
-    # consumer is `>= 0`, where the zeros agree); each projection is
-    # its own expression, so whole-stage codegen splits them into
-    # JIT-sized methods.
     import math
 
-    proj = F.element_at(v, 1) * F.lit(math.sin(float(j)))
-    for i in range(2, 65):
-        proj = proj + F.element_at(v, i) * F.lit(math.sin(float(i * j)))
-    return proj
+    weights = F.array(*[F.lit(math.sin(float(i * j))) for i in range(1, 65)])
+    return dot(v, weights)
 
 
 def lsh_bucket(v: Column, bits: int = 2) -> Column:
@@ -69,11 +80,76 @@ def lsh_bucket(v: Column, bits: int = 2) -> Column:
     (2^bits buckets). ``bits`` is THE recall/cost knob at scale: each
     extra bit halves the expected bucket (probe cost) and lowers recall;
     the measured curve lives in SCALE.md (round-6 ANN knob study).
-    bits=2 is the oracle-checked default."""
+    bits=2 is the oracle-checked default.
+
+    Column form — fine for tests and tiny frames; the QUERY consumers
+    use ``lsh_bucket_frame`` (below), because at auto-provisioned bits
+    the bits x 64-term expression exceeds whole-stage codegen's 64KB
+    method ceiling when fused into a join stage (WSCG cannot split
+    expressions over pipeline-local variables) and the whole stage
+    silently falls back to interpretation."""
     b: Column = F.lit(0).cast("long")
     for j in range(1, bits + 1):
         b = b + (_projection(v, j) >= 0).cast("long") * (1 << (bits - j))
     return b
+
+
+def lsh_bucket_frame(
+    df: DataFrame, bits: int, vec_col: str = "v", out: str = "bucket"
+) -> DataFrame:
+    """Append the LSH bucket id via one Arrow map pass (round 11 — the
+    ivf_assign recipe applied to bucketing).
+
+    Why a kernel and not the Column expression: at auto-provisioned
+    bits the unrolled projection chains overflow the 64KB codegen
+    method limit inside fused join stages (Janino falls back and the
+    WHOLE stage — including the pair cosines — runs interpreted; d06
+    measured 103s at 100x that way), while the earlier HOF fold ran
+    interpreted by construction. Bit-exactness is structural: the
+    accumulation is dimension-sequential (ascending d, one add per
+    step — the exact left-fold sequence of the SQL list_reduce), the
+    hyperplane weights are Python-libm sins (bit-identical to DuckDB's,
+    verified 0/1088), and the output is an INTEGER bucket id.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    w = np.array(
+        [
+            [math.sin(float(i * j)) for j in range(1, bits + 1)]
+            for i in range(1, 65)
+        ]
+    )  # (64, bits)
+    # Fresh StructType — StructType.add MUTATES, and df.schema is the
+    # DataFrame's cached object.
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.LongType())]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def _kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out] = pd.Series([], dtype="int64")
+                yield pdf[cols]
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())  # (n, 64)
+            acc = np.zeros((len(pdf), bits))
+            for d in range(64):
+                # one add per dimension == the fold's summation order
+                acc = acc + np.outer(V[:, d], w[d])
+            b = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(bits):
+                b = b * 2 + (acc[:, j] >= 0).astype(np.int64)
+            pdf[out] = b
+            yield pdf[cols]
+
+    return df.mapInPandas(_kernel, schema)
 
 
 @register(
@@ -151,7 +227,9 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = 2) -> DataFr
     # shuffle, queries probe one bucket instead of the corpus. ``bits``
     # parameterizes the recall/cost trade (default 2 = the oracle).
     emb = _emb(spark, sf_dir)
-    return emb.select("vec_id", lsh_bucket(F.col("v"), bits).alias("bucket"))
+    return lsh_bucket_frame(emb.select("vec_id", "v"), bits).select(
+        "vec_id", "bucket"
+    )
 
 
 def _ivf_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,8 +602,8 @@ def sim03_lsh_ann_topk(
     # pattern from sim01's baseline. ``bits`` sets the bucket count
     # (recall/cost knob, default = oracle).
     emb = _emb(spark, sf_dir)
-    bucketed = emb.select(
-        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
+    bucketed = lsh_bucket_frame(emb.select("vec_id", "v"), bits).select(
+        "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
@@ -605,8 +683,8 @@ def sim05_ann_recall(
     # serves the full load. ``bits`` sweeps the knob (scripts/ann_sweep.py
     # records the recall/cost curve in SCALE.md); defaults = the oracle.
     emb = _emb(spark, sf_dir)
-    bucketed = emb.select(
-        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
+    bucketed = lsh_bucket_frame(emb.select("vec_id", "v"), bits).select(
+        "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
@@ -1067,7 +1145,13 @@ def _pq_subspaces(emb: DataFrame, n_sub: int = 16) -> DataFrame:
 
 def _pq_l2(x: Column, c: Column) -> Column:
     # d = |x|^2 - 2<x,c> + |c|^2, same left-to-right shape as the SQL.
-    return dot(x, x) - F.lit(2) * dot(x, c) + dot(c, c)
+    # dims=None: subspace slices are 64/n_sub wide (variable), so these
+    # stay on the fold — they are tiny (4 elements at the default).
+    return (
+        dot(x, x, dims=None)
+        - F.lit(2) * dot(x, c, dims=None)
+        + dot(c, c, dims=None)
+    )
 
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
@@ -2211,9 +2295,7 @@ def sim13_knn_graph(
 
         n = base.count()
         bits = max(2, math.ceil(math.log2(n / 256.0)))
-    emb = base.select(
-        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket")
-    )
+    emb = lsh_bucket_frame(base.select("vec_id", "v"), bits)
     a = emb.select(
         "bucket", "vec_id", F.col("v").alias("va"),
     )
@@ -2309,8 +2391,8 @@ def sim14_radius_search(
     if bits is None:
         # sim13's auto-provisioning: ~256-vector buckets at any corpus.
         bits = max(2, math.ceil(math.log2(base.count() / 256.0)))
-    emb = base.select(
-        "vec_id", "v", lsh_bucket(F.col("v"), bits).alias("bucket"),
+    emb = lsh_bucket_frame(base.select("vec_id", "v"), bits).select(
+        "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(

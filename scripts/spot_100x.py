@@ -92,6 +92,14 @@ QUERIES = [
     "a33_funnel",
     "a34_retention_cohorts",
     "snk20_incremental_view_maintenance",
+    # d06/d10 joined in round 11 after their fixed 2-bit bucketing was
+    # caught putting the 100x corpus in 4 buckets (~5e9 pairs); bits now
+    # auto-provisions like sim13/sim14.
+    "d06_embedding_neardup",
+    "d10_cosine_dup_clusters",
+    "d21_pagerank",
+    "ml22_pr_auc",
+    "sim14_radius_search",
 ]
 
 
@@ -197,8 +205,11 @@ REBUILD = {
     "sim12_persisted_ivf_index",
     "d17_semantic_dedup",
     # snk20 runs its ACID commits + delta folds EAGERLY at build time;
-    # timing only the returned view read would measure nothing.
+    # timing only the returned view read would measure nothing. d10's
+    # connected-components rounds likewise run eagerly (localCheckpoint
+    # per label-propagation round).
     "snk20_incremental_view_maintenance",
+    "d10_cosine_dup_clusters",
 }
 
 
