@@ -2296,37 +2296,73 @@ def sim13_knn_graph(
         n = base.count()
         bits = max(2, math.ceil(math.log2(n / 256.0)))
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits)
-    a = emb.select(
-        "bucket", "vec_id", F.col("v").alias("va"),
-    )
-    b = emb.select(
-        F.col("bucket").alias("nb"), F.col("vec_id").alias("nbr_id"),
-        F.col("v").alias("vb"),
-    )
-    cos = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb"))),
-        F.lit(0.0),
-    )
-    # shuffle_hash hint: at small SFs the corpus side fits under the
-    # auto-broadcast threshold and the planner picks BHJ — a plan that
-    # silently flips to extra shuffles at scale (the r10 spot caught
-    # exchanges 2 -> 3). Pinning the bucket-key shuffle join makes the
-    # plan IDENTICAL at every corpus size: both sides partition once on
-    # the bucket, the LSH partition key.
-    pairs = a.hint("shuffle_hash").join(
-        b,
-        (F.col("nb") == F.col("bucket"))
-        & (F.col("nbr_id") != F.col("vec_id")),
-    ).select("vec_id", "nbr_id", cos.alias("cos"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            "vec_id", F.col("rn").cast("bigint").alias("rank"),
-            "nbr_id", r6("cos").alias("cosine"),
+
+    # In-bucket top-k via ONE Arrow kernel per bucket group (round 11 —
+    # d17's blockwise recipe): the former bucket self-join + window
+    # materialized every in-bucket PAIR (29M rows at 100x) through a
+    # shuffle and scored each with the interpreted fold (~71 s at
+    # 100x); the kernel shuffles the corpus ONCE on the bucket key and
+    # ranks inside numpy. Bit-exactness is the d17 argument verbatim:
+    # cosines accumulate dimension-sequentially (the fold's summation
+    # order), sqrt/divide are correctly rounded everywhere, ranking is
+    # a stable argsort over ids sorted ascending == the oracle's
+    # (cos DESC NULLS LAST, nbr_id) order, and the emitted (rank,
+    # nbr_id) are integers. Buckets are ~256 vectors by construction;
+    # the d17-style guard fails loud on pathological skew instead of
+    # hanging.
+    def _topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        n, D = V.shape
+        if n > 16384:
+            raise ValueError(
+                f"sim13_knn_graph: bucket of {n} vectors exceeds the "
+                "16384 pairwise bound; raise bits (buckets scale as "
+                "~N/256) so in-bucket ranking stays memory-sized"
+            )
+        acc = np.zeros(n)
+        for d in range(D):
+            acc = acc + V[:, d] * V[:, d]
+        nv = np.sqrt(acc)
+        out_id, out_rank, out_nbr, out_cos = [], [], [], []
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            G = np.outer(V[lo:hi, 0], V[:, 0])
+            for d in range(1, D):
+                G = G + np.outer(V[lo:hi, d], V[:, d])
+            den = np.outer(nv[lo:hi], nv)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, np.nan, G / den)
+            for r in range(lo, hi):
+                c = cos[r - lo]
+                key = np.where(np.isnan(c), -np.inf, c)
+                key[r] = np.nan  # exclude self entirely
+                order = np.argsort(-key, kind="stable")  # NaN (self) last
+                picks = order[: min(k, n - 1)]
+                for rk, j in enumerate(picks, start=1):
+                    out_id.append(ids[r])
+                    out_rank.append(rk)
+                    out_nbr.append(ids[j])
+                    out_cos.append(None if np.isnan(c[j]) else float(c[j]))
+        return pd.DataFrame(
+            {
+                "vec_id": pd.array(out_id, dtype="int64"),
+                "rank": pd.array(out_rank, dtype="int64"),
+                "nbr_id": pd.array(out_nbr, dtype="int64"),
+                "cos": pd.array(out_cos, dtype="float64"),
+            }
         )
+
+    ranked = emb.groupBy("bucket").applyInPandas(
+        _topk, "vec_id bigint, rank bigint, nbr_id bigint, cos double"
+    )
+    return ranked.select(
+        "vec_id", "rank", "nbr_id", r6("cos").alias("cosine")
     )
 
 

@@ -462,7 +462,7 @@ def test_round10_exchange_budgets(spark, sf_dir):
         "f28_rolling_beta": 5,           # daily rollup + tiny day agg + lag/beta windows
         "f29_max_drawdown": 3,           # daily rollup + draw window + trough rollup (shared keys reuse)
         "a32_sessionization": 2,         # one user sort; (user, sid) rollup reuses it
-        "sim13_knn_graph": 3,            # pinned bucket-key shuffle join (both sides) + top-k window
+        "sim13_knn_graph": 1,            # ONE bucket-key shuffle into the Arrow top-k kernel (round 11)
         "w41_garch_forecast": 3,         # bar rollup + per-user fold rollup
     }
     for name, budget in budgets.items():
