@@ -966,3 +966,32 @@ def test_lsh_banding_r4_branch_cross_engine(spark, tmp_path, sf_dir):
         spark, big, "d03_minhash_lsh_pairs@70k",
         d03_minhash_lsh_pairs, all_oracles()["d03_minhash_lsh_pairs"],
     )
+
+
+def test_lsh_bucket_frame_matches_column_form(spark, sf_dir):
+    # The Arrow bucketing kernel and the Column expression are two
+    # implementations of ONE contract (the oracle's list_reduce over
+    # sin-hyperplane signs) — pin them against each other so a weight
+    # or fold-order drift in either surfaces as a test failure, not an
+    # oracle mismatch three queries downstream.
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        lsh_bucket,
+        lsh_bucket_frame,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    for bits in (2, 5):
+        kern = {
+            r["vec_id"]: r["bucket"]
+            for r in lsh_bucket_frame(emb, bits).collect()
+        }
+        col = {
+            r["vec_id"]: r["bucket"]
+            for r in emb.select(
+                "vec_id", lsh_bucket(F.col("v"), bits).alias("bucket")
+            ).collect()
+        }
+        assert kern == col, f"bits={bits}: kernel != column form"

@@ -470,3 +470,12 @@ def test_round10_exchange_budgets(spark, sf_dir):
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_d06_bucket_join_pinned_shuffle(spark, sf_dir):
+    # d06 (round 11): the bucket self-join is hint-pinned shuffle_hash
+    # so the plan is identical at every corpus size, and the pair
+    # stage must never cartesian.
+    plan = _plan(spark, sf_dir, "d06_embedding_neardup")
+    assert "ShuffledHashJoin" in plan, "bucket join must shuffle on the key"
+    assert "CartesianProduct" not in plan
