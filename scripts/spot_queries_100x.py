@@ -39,6 +39,7 @@ CASES = [
     ("sim10_mmr_diversify", {"n_queries": 3}, {"n_queries": 300}, 100),
     ("sim11_ann_mmr", {"n_queries": 3}, {"n_queries": 300}, 100),
     ("sim12_persisted_ivf_index", {"n_queries": 3}, {"n_queries": 300}, 100),
+    ("sim14_radius_search", {"n_queries": 3}, {"n_queries": 300}, 100),
     ("ml12_knn_classify", {"eval_mod": 20}, {"eval_mod": 1}, 20),
 ]
 
