@@ -1040,48 +1040,32 @@ def save_model(
     counter analogue; the ACID commit log supplies history/time-travel
     on top. Returns the new model_version.
 
-    The version is derived INSIDE the commit loop (merge_insert_only's
-    recheck-against-the-winner shape): on a lost commit race the count
+    The version is derived INSIDE the commit loop
+    (AcidTable.append_with_recompute): on a lost commit race the count
     re-runs against the winner's snapshot, so two concurrent
     registrations of the same name get DISTINCT versions — a read-side
     count taken before the append would hand both writers the same one.
     """
     import json
 
-    from equity_volatility_lakehouse_platform_spark.sources.acid import (
-        AcidTable,
-        CommitConflict,
-    )
+    from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
 
     t = AcidTable(spark, registry_root)
-    for _ in range(max_retries):
-        latest = t.latest_version()
+    committed = {}
+
+    def _build(snap):
         existing = (
-            0
-            if latest is None
-            else t.read(latest).filter(F.col("name") == name).count()
+            0 if snap is None
+            else snap.filter(F.col("name") == name).count()
         )
-        row = spark.createDataFrame(
+        committed["version"] = existing + 1
+        return spark.createDataFrame(
             [(name, m["model"], existing + 1, json.dumps(m, sort_keys=True))],
             "name STRING, family STRING, model_version INT, model_json STRING",
         )
-        files = t._write_data(row)
-        if latest is None:
-            base, schema = [], row.schema.simpleString()[7:-1]
-        else:
-            snap = t._manifest(latest)
-            base, schema = snap["files"], snap["schema"]
-        try:
-            t._try_commit(
-                0 if latest is None else latest + 1,
-                "append", base + files, schema,
-            )
-            return existing + 1
-        except CommitConflict:
-            continue  # recount against the winner's snapshot
-    raise CommitConflict(
-        f"lost {max_retries} registration races on {registry_root}"
-    )
+
+    t.append_with_recompute(_build, max_retries=max_retries)
+    return committed["version"]
 
 
 def load_model(

@@ -500,3 +500,122 @@ def resize_media_real(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
             )
 
     return df.select("doc_id", "payload").mapInPandas(resize, RESIZE_REAL_SCHEMA)
+
+
+# --------------------------------------------------------------- round 12 --
+# Perceptual image near-dup primitives (d22): a pair-planting pixel rule
+# and a dHash kernel over REAL decoded PNGs. The rule is pure integer
+# arithmetic (Knuth multiplicative constants mod the Mersenne prime,
+# then mod 256) so a SQL oracle recomputes every hash bit exactly; even
+# and odd doc_ids sharing a base (doc_id // 2) are PLANTED near-dups —
+# the odd sibling perturbs ~1/53 of pixels by +128, flipping a handful
+# of dHash bits while unrelated images differ in ~half of them.
+
+def _pair_dims(doc_id: int) -> tuple[int, int]:
+    """Sibling images (2k, 2k+1) must share dimensions, so dims derive
+    from the base, not the doc_id."""
+    base = doc_id // 2
+    return 8 + base % 9, 8 + (base // 9) % 9
+
+
+def _gray_pair_rule(doc_id: int):
+    """value(idx, channel) for the pair-planted grayscale family
+    (R=G=B — one decode path for every PNG in the repo).
+
+    Pixel (y, x) is byte x of md5(f"{base}:{y}") — one digest per image
+    ROW (w <= 16 == digest width), decimal-string keyed so DuckDB's
+    md5() recomputes it exactly (the _SIG_SQL token-hash device). md5
+    matters here: dHash is brightness-invariant by construction, so any
+    arithmetic (affine/LCG/quadratic) rule leaves constant-offset
+    structure between bases and unrelated images collide — measured
+    twice before settling on the hash."""
+    base = doc_id // 2
+    odd = doc_id % 2 == 1
+    w, _h = _pair_dims(doc_id)
+    import hashlib
+
+    row_hex: dict[int, str] = {}
+
+    def pix(idx: int, c: int) -> int:  # noqa: ARG001 — channels equal
+        y, x = idx // w, idx % w
+        hx = row_hex.get(y)
+        if hx is None:
+            hx = hashlib.md5(f"{base}:{y}".encode()).hexdigest()
+            row_hex[y] = hx
+        v = int(hx[2 * x : 2 * x + 2], 16)
+        if odd and (idx * 2654435761 % 2147483647) % 53 == 0:
+            v = (v + 128) % 256
+        return v
+
+    return pix
+
+
+def synth_png_pair_payloads(df: DataFrame) -> DataFrame:
+    """Genuine PNG payloads under the pair-planting rule (same Arrow map
+    shape as synth_png_payloads)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _pair_dims(d)
+                payloads.append(encode_png_rgb(w, h, _gray_pair_rule(d)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return df.select("doc_id").mapInPandas(synth, schema=schema)
+
+
+DHASH_BANDS_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"k{m}", T.LongType()) for m in range(4)]
+)
+
+
+def dhash_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """64-bit dHash of each decoded image as FOUR 16-bit band keys.
+
+    Classic difference hash: the image is floor-resampled to a 9x8
+    grayscale grid (the mm03 mapping, R channel — the pair family is
+    R=G=B) and bit j (j = y*8 + x) is 1 iff grid[y][x+1] > grid[y][x].
+    Emitting the hash as four 16-bit bands instead of one int64 keeps
+    every value small and sign-free in BOTH engines (no 2^63 edge) and
+    IS the Hamming-LSH blocking unit: near-dup images (few flipped
+    bits) collide on at least one unchanged band, so the d03-shaped
+    band equi-join proposes candidates linear in collisions, never
+    O(n^2). Map-only Arrow kernel — bytes never shuffle."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "k0": [], "k1": [], "k2": [], "k3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, px = _rgb_pixels(bytes(payload))
+                g = [
+                    px[((y * h // 8) * w + (x * w // 9)) * 3]
+                    for y in range(8)
+                    for x in range(9)
+                ]
+                out["doc_id"].append(int(doc_id))
+                for m in range(4):
+                    k = 0
+                    for t in range(16):
+                        j = m * 16 + t
+                        y, x = j // 8, j % 8
+                        if g[y * 9 + x + 1] > g[y * 9 + x]:
+                            k |= 1 << t
+                    out[f"k{m}"].append(k)
+            yield pd.DataFrame(
+                {c: pd.array(v, dtype="int64") for c, v in out.items()}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kern, DHASH_BANDS_SCHEMA
+    )

@@ -29,6 +29,30 @@ MINHASH_B = tuple(i * 15485863 + 1 for i in range(8))
 FP_MOD = 1000000007
 
 
+def minhash_params(n_perm: int = 8) -> list[tuple[int, int]]:
+    """(a_k, b_k) universal-hash parameters for ``n_perm`` permutations.
+
+    Permutations 0..7 are the legacy fixed primes (d02's signature
+    contract — any widened signature has the 8-perm frame as an exact
+    PREFIX, so materialized signature tables stay forward-compatible).
+    Permutations k >= 8 are formula-generated:
+
+        a_k = (1000003 * (k + 1)) % P      b_k = (15485863 * k + 1) % P
+
+    For the universal family h(x) = (a*x + b) % P with P prime, any
+    distinct nonzero a is as good as a hand-picked prime; the formula
+    exists so a SQL oracle (DuckDB CASE + list_transform over range())
+    derives the SAME parameters from the permutation index — the two
+    engines widen in lockstep with zero shipped constants.
+    """
+    out = [(MINHASH_A[k], MINHASH_B[k]) for k in range(min(8, n_perm))]
+    for k in range(8, n_perm):
+        out.append(
+            ((1000003 * (k + 1)) % HASH_P, (15485863 * k + 1) % HASH_P)
+        )
+    return out
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens of lowercased, trimmed text."""
     return F.split(F.trim(F.lower(col)), r"\s+")
@@ -74,10 +98,15 @@ def shingle_hash_array(th: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = 8,
 ) -> DataFrame:
-    """Per-document MinHash signature (8 permutations) over word-3-gram
-    shingle hashes.
+    """Per-document MinHash signature (``n_perm`` permutations, default
+    8 — see ``plans.dedup.lsh_n_perm`` for the corpus-size ladder) over
+    word-3-gram shingle hashes.
 
     Entirely per-row: tokenize -> hash tokens -> Horner-combine into
     shingle hashes -> array_min of each permuted array. No explode, no
@@ -96,7 +125,7 @@ def minhash_signature(
         F.array_min(
             F.transform(F.col("_sh"), lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
         ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for i, (a, b) in enumerate(minhash_params(n_perm))
     ]
     return base.select(id_col, *mins)
 

@@ -52,17 +52,36 @@ WITH toks AS (
   FROM th
 ), sig AS (
   SELECT doc_id,
-         list_min(list_transform(sh, x -> (1000000007  * x + 1)        % 2147483647)) AS mh0,
-         list_min(list_transform(sh, x -> (998244353   * x + 15485864) % 2147483647)) AS mh1,
-         list_min(list_transform(sh, x -> (754974721   * x + 30971727) % 2147483647)) AS mh2,
-         list_min(list_transform(sh, x -> (167772161   * x + 46457590) % 2147483647)) AS mh3,
-         list_min(list_transform(sh, x -> (469762049   * x + 61943453) % 2147483647)) AS mh4,
-         list_min(list_transform(sh, x -> (1004535809  * x + 77429316) % 2147483647)) AS mh5,
-         list_min(list_transform(sh, x -> (1224736769  * x + 92915179) % 2147483647)) AS mh6,
-         list_min(list_transform(sh, x -> (2013265921  * x + 108401042) % 2147483647)) AS mh7
+         list_transform(range(0, CASE
+             WHEN (SELECT count(*) FROM documents) < 65536     THEN 8
+             WHEN (SELECT count(*) FROM documents) < 268435456 THEN 36
+             ELSE 48 END), k ->
+           list_min(list_transform(sh, x ->
+             ((CASE k WHEN 0 THEN 1000000007 WHEN 1 THEN 998244353
+                      WHEN 2 THEN 754974721  WHEN 3 THEN 167772161
+                      WHEN 4 THEN 469762049  WHEN 5 THEN 1004535809
+                      WHEN 6 THEN 1224736769 WHEN 7 THEN 2013265921
+                      ELSE 1000003 * (k + 1) END) * x
+              + (15485863 * k + 1)) % 2147483647))) AS mh
   FROM shh
 )
 """
+
+# Signature agreement fraction over however many permutations the
+# corpus-size ladder provisioned — len(mh) IS n_perm, so every consumer
+# estimate self-adapts when the signature widens.
+_EST_SQL = (
+    "(len(list_filter(range(1, len(sa.mh) + 1), i -> sa.mh[i] = sb.mh[i]))"
+    " / (len(sa.mh) + 0.0))"
+)
+
+# Shared candidate-scoring CTE (d07/d21/ml07 compose it identically).
+_SCORED_SQL = f"""
+    , scored AS (
+      SELECT c.doc_a, c.doc_b, {_EST_SQL} AS est
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                  JOIN sig sb ON c.doc_b = sb.doc_id
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -77,35 +96,51 @@ WITH toks AS (
 # s0 ~ 2^-8 (one-in-256 background row agreement, typical same-domain
 # text) the FP mass crosses ~4N at N = 2^16 docs and explodes past it.
 # Doubling rows-per-band squares the background collision rate, buying
-# ~15 more octaves of corpus before FP mass turns super-linear again
-# (r=4 holds N^2 * 2 * s0^4 <= N through N ~ 2^31). The ladder:
+# ~15 more octaves of corpus before FP mass turns super-linear again.
+# Round 12 closes the RECALL side of that trade: rows-per-band r is no
+# longer constrained to divide a fixed 8-perm signature — the signature
+# WIDTH auto-provisions alongside (b, r), so band count b stays high
+# enough that moderate-similarity near-dups still collide. The ladder
+# (P(collide) = 1 - (1 - s^r)^b; FP mass ~ N^2 * b * s0^r at background
+# row agreement s0 ~ 2^-8):
 #
-#     r = 2 (b=4)  N < 2^16    S-curve threshold (1/b)^(1/r) = 0.50
-#     r = 4 (b=2)  N < 2^31    threshold 0.84
-#     r = 8 (b=1)  N >= 2^31   near-exact only
+#     n_perm =  8  (b=4, r=2)  N < 2^16   threshold 0.50, recall@0.7 = 0.93
+#     n_perm = 36  (b=9, r=4)  N < 2^28   threshold 0.58, recall@0.7 = 0.92
+#                                         (FP <= N through N ~ 2^28.8)
+#     n_perm = 48  (b=8, r=6)  N >= 2^28  threshold 0.71, recall@0.8 = 0.91
+#                                         (FP <= N through N ~ 2^45)
 #
-# b*r = 8 always — n_perm is d02's signature schema, so the growth axis
-# past 2^31 docs is widening the signature itself (a schema migration,
-# not a banding knob). Every consumer (d03/d05/d07/d12/d13/d15/d20/ml07)
-# derives (b, r) from ONE cheap count; the DuckDB oracle computes the
-# SAME CASE ladder from count(*) so both engines re-band in lockstep at
-# every scale. Fixture SFs (600/6k/60k docs) all sit below 2^16, so
-# small-scale results are unchanged; the 100x spot corpus (480k docs)
-# crosses into r=4 and exercises the re-provisioning for real.
+# The fixed-8 r=4 regime (rounds 11 and earlier, b=2) collided
+# 0.7-Jaccard pairs at only ~48%; b=9 recovers them to 91.6%. Perms
+# 0..7 keep the legacy primes so d02's 8-perm signature is an exact
+# PREFIX of every widened signature; perms >= 8 are formula-generated
+# (textops.minhash_params) so the DuckDB oracle derives identical
+# parameters from the permutation index. Every consumer
+# (d03/d05/d07/d12/d13/d15/d20/ml07) derives (n_perm, b, r) from ONE
+# cheap count; the oracle computes the SAME CASE ladder from count(*)
+# so both engines re-provision in lockstep at every scale. Fixture SFs
+# (600/6k/60k docs) all sit below 2^16, so small-scale results are
+# unchanged; the 70k-doc planted test and the 100x spot corpus (480k
+# docs) cross into the widened regime and exercise it for real.
 # ---------------------------------------------------------------------------
 
-_LSH_N_PERM = 8
+
+def lsh_n_perm(n_docs: int) -> int:
+    """Signature width for an ``n_docs``-document corpus."""
+    if n_docs < 2**16:
+        return 8
+    if n_docs < 2**28:
+        return 36
+    return 48
 
 
 def lsh_banding(n_docs: int) -> tuple[int, int]:
     """(bands, rows_per_band) for an ``n_docs``-document corpus."""
     if n_docs < 2**16:
-        r = 2
-    elif n_docs < 2**31:
-        r = 4
-    else:
-        r = 8
-    return _LSH_N_PERM // r, r
+        return 4, 2
+    if n_docs < 2**28:
+        return 9, 4
+    return 8, 6
 
 
 # SQL mirror: bands(doc_id, band, key) + cand(doc_a, doc_b), with
@@ -114,16 +149,17 @@ def lsh_banding(n_docs: int) -> tuple[int, int]:
 # Spark's array equality element-for-element.
 _BANDS_SQL = """
     , prm AS (
-      SELECT CASE WHEN (SELECT count(*) FROM documents) < 65536 THEN 2
-                  WHEN (SELECT count(*) FROM documents) < 2147483648 THEN 4
-                  ELSE 8 END AS r
+      SELECT CASE WHEN (SELECT count(*) FROM documents) < 65536     THEN 2
+                  WHEN (SELECT count(*) FROM documents) < 268435456 THEN 4
+                  ELSE 6 END AS r,
+             CASE WHEN (SELECT count(*) FROM documents) < 65536     THEN 4
+                  WHEN (SELECT count(*) FROM documents) < 268435456 THEN 9
+                  ELSE 8 END AS b
     ), bandix AS (
-      SELECT r, unnest(range(0, 8 // r)) AS band FROM prm
+      SELECT r, unnest(range(0, b)) AS band FROM prm
     ), bands AS (
       SELECT s.doc_id, b.band,
-             list_slice([s.mh0, s.mh1, s.mh2, s.mh3,
-                         s.mh4, s.mh5, s.mh6, s.mh7],
-                        b.band * b.r + 1, (b.band + 1) * b.r) AS key
+             list_slice(s.mh, b.band * b.r + 1, (b.band + 1) * b.r) AS key
       FROM sig s CROSS JOIN bandix b
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -136,7 +172,7 @@ _BANDS_SQL = """
 def lsh_band_frame(sig: DataFrame, n_docs: int, carry: tuple = ()) -> DataFrame:
     """Explode a signature frame into (doc_id, band, key [, carry...]).
 
-    ``key`` is the r-element array slice of (mh0..mh7) for the band —
+    ``key`` is the r-element array slice of (mh0..mh{b*r-1}) for the band —
     the LSH bucket key the candidate equi-join collides on. ``carry``
     columns ride through the explode (d03 carries the full signature so
     the pair join yields both sides' agreement count without a second
@@ -183,15 +219,27 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d02_minhash_signatures", oracle=_SIG_SQL + "SELECT * FROM sig")
+@register(
+    "d02_minhash_signatures",
+    oracle=_SIG_SQL + """
+    SELECT doc_id, mh[1] AS mh0, mh[2] AS mh1, mh[3] AS mh2, mh[4] AS mh3,
+           mh[5] AS mh4, mh[6] AS mh5, mh[7] AS mh6, mh[8] AS mh7
+    FROM sig
+    """,
+)
 def d02_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MinHash: shingle -> 8 permuted min-hashes per doc (Broder).
+    # MinHash: shingle -> 8 permuted min-hashes per doc (Broder). The
+    # 8-perm frame is the PREFIX of any corpus-size-widened signature
+    # (lsh_n_perm), so this query's schema is scale-stable.
     docs = load_table(spark, sf_dir, "documents")
     return tx.minhash_signature(docs)
 
 
 def signature_table(
-    spark: SparkSession, sf_dir: str, sig_path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sig_path: str | None = None,
+    n_perm: int = 8,
 ) -> DataFrame:
     """Signature frame for the LSH consumers (d03/d07).
 
@@ -199,23 +247,21 @@ def signature_table(
     100 TB shape is ``sig_path``: signatures MATERIALIZED once per corpus
     snapshot (e.g. via ``sources.sinks.write_partitioned``) and scanned
     from parquet by every downstream job — no recompute, no cache memory,
-    and the band explode reads a column-pruned table scan.
+    and the band explode reads a column-pruned table scan. A materialized
+    table must carry the corpus's provisioned width (``lsh_n_perm``).
     tests/test_plans.py asserts path-scan-replaces-recompute.
     """
     if sig_path is not None:
         return spark.read.parquet(sig_path)
-    return d02_minhash_signatures(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.minhash_signature(docs, n_perm=n_perm).cache()
 
 
 @register(
     "d03_minhash_lsh_pairs",
-    oracle=_SIG_SQL + _BANDS_SQL + """
+    oracle=_SIG_SQL + _BANDS_SQL + f"""
     SELECT c.doc_a, c.doc_b,
-           (ROUND((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
-                + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
-                + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-                + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0, 6) + 0.0)
-             AS est_jaccard
+           (ROUND({_EST_SQL}, 6) + 0.0) AS est_jaccard
     FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                 JOIN sig sb ON c.doc_b = sb.doc_id
     """,
@@ -234,14 +280,17 @@ def d03_minhash_lsh_pairs(
     # immediately yields both sides' signatures; duplicate pairs from
     # multiple colliding bands dedupe in the final groupBy.
     docs = load_table(spark, sf_dir, "documents")
-    sig = signature_table(spark, sf_dir, sig_path)
+    n_docs = docs.count()
+    n_perm = lsh_n_perm(n_docs)
+    sig = signature_table(spark, sf_dir, sig_path, n_perm=n_perm)
     bands = lsh_band_frame(
-        sig, docs.count(), carry=tuple(f"mh{i}" for i in range(8))
+        sig, n_docs, carry=tuple(f"mh{i}" for i in range(n_perm))
     )
     a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
     agree = sum(
-        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int") for i in range(8)
+        (F.col(f"a_mh{i}") == F.col(f"b_mh{i}")).cast("int")
+        for i in range(n_perm)
     )
     return (
         a.join(
@@ -253,7 +302,7 @@ def d03_minhash_lsh_pairs(
         .groupBy(
             F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
         )
-        .agg(r6(F.max(agree) / 8.0).alias("est_jaccard"))
+        .agg(r6(F.max(agree) / float(n_perm)).alias("est_jaccard"))
     )
 
 
@@ -340,8 +389,9 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized table (sig_path), the band join shuffles 16-byte keys,
     # and the verify join ships shingle sets only for colliding docs.
     docs = load_table(spark, sf_dir, "documents")
-    sig = signature_table(spark, sf_dir)
-    bands = lsh_band_frame(sig, docs.count())
+    n_docs = docs.count()
+    sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
+    bands = lsh_band_frame(sig, n_docs)
     pairs = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -379,8 +429,8 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), bb AS (
-      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
-        AS bits
+      SELECT GREATEST(2, CASE WHEN (count(*) - 1) // 256 = 0 THEN 0
+          ELSE length(printf('%b', (count(*) - 1) // 256)) END) AS bits
       FROM e
     ), b AS (
       SELECT vec_id, v,
@@ -421,8 +471,6 @@ def d06_embedding_neardup(
     # codegen 64KB ceiling is real at 64 unrolled dims); the bucket
     # join is hint-pinned shuffle_hash so the plan is identical at
     # every corpus size.
-    import math
-
     from equity_volatility_lakehouse_platform_spark.plans.similarity import (
         dot,
         lsh_bucket_frame,
@@ -432,7 +480,7 @@ def d06_embedding_neardup(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if bits is None:
-        bits = max(2, math.ceil(math.log2(emb.count() / 256.0)))
+        bits = max(2, ((emb.count() - 1) // 256).bit_length())
     bucketed = lsh_bucket_frame(emb, bits).select(
         "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
@@ -468,11 +516,7 @@ def d06_embedding_neardup(
     oracle=_SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks")
     + _BANDS_SQL + """
     , scored AS (
-      SELECT c.doc_a, c.doc_b,
-             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
-            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
-            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      SELECT c.doc_a, c.doc_b, (len(list_filter(range(1, len(sa.mh) + 1), i -> sa.mh[i] = sb.mh[i])) / (len(sa.mh) + 0.0)) AS est
       FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                   JOIN sig sb ON c.doc_b = sb.doc_id
     ), edges AS (
@@ -513,11 +557,7 @@ def d07_duplicate_clusters(
 
 _D07_CLUSTER_SQL = _BANDS_SQL + """
     , scored AS (
-      SELECT c.doc_a, c.doc_b,
-             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
-            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
-            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      SELECT c.doc_a, c.doc_b, (len(list_filter(range(1, len(sa.mh) + 1), i -> sa.mh[i] = sb.mh[i])) / (len(sa.mh) + 0.0)) AS est
       FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                   JOIN sig sb ON c.doc_b = sb.doc_id
     ), edges AS (
@@ -681,8 +721,8 @@ _reg.set_oracle("d09_curation_pipeline", _d09_oracle())
     WITH RECURSIVE e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), bb AS (
-      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
-        AS bits
+      SELECT GREATEST(2, CASE WHEN (count(*) - 1) // 256 = 0 THEN 0
+          ELSE length(printf('%b', (count(*) - 1) // 256)) END) AS bits
       FROM e
     ), b AS (
       SELECT vec_id, v,
@@ -773,11 +813,7 @@ def d11_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D12_EST = (
-    "("
-    + " + ".join(f"CAST(sa.mh{i} = sb.mh{i} AS INT)" for i in range(8))
-    + ") / 8.0"
-)
+_D12_EST = _EST_SQL
 _D12_EXACT = (
     "len(list_intersect(xa.s, xb.s)) * 1.0"
     " / NULLIF(len(xa.s) + len(xb.s) - len(list_intersect(xa.s, xb.s)), 0)"
@@ -817,8 +853,9 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-pair error feeds the permutations-vs-precision sizing
     # decision the same way sim05 feeds ANN probe sizing.
     docs = load_table(spark, sf_dir, "documents")
-    sig = signature_table(spark, sf_dir)
-    bands = lsh_band_frame(sig, docs.count())
+    n_docs = docs.count()
+    sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
+    bands = lsh_band_frame(sig, n_docs)
     pairs = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -829,13 +866,14 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    n_perm = lsh_n_perm(n_docs)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perm)],
     )
     sb = sig.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perm)],
     )
     tok = tx.tokens(F.col("text"))
     sets = (
@@ -846,8 +884,11 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     xa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     xb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     est = (
-        sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8))
-        / F.lit(8.0)
+        sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            for i in range(n_perm)
+        )
+        / F.lit(float(n_perm))
     )
     inter = F.size(F.array_intersect("s_a", "s_b"))
     exact = inter * 1.0 / F.nullif(
@@ -900,8 +941,9 @@ def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proposes, shingle sets verify); only the verification metric
     # changes — the denominators are each side's own set size.
     docs = load_table(spark, sf_dir, "documents")
-    sig = signature_table(spark, sf_dir)
-    bands = lsh_band_frame(sig, docs.count())
+    n_docs = docs.count()
+    sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
+    bands = lsh_band_frame(sig, n_docs)
     pairs = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -1823,11 +1865,7 @@ _reg.set_oracle("d20_edit_distance_verify", _d20_oracle())
     # graph has degree >= 1, so there are no dangling-mass corrections.
     oracle=_SIG_SQL + _BANDS_SQL + """
     , scored AS (
-      SELECT c.doc_a, c.doc_b,
-             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
-            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
-            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      SELECT c.doc_a, c.doc_b, (len(list_filter(range(1, len(sa.mh) + 1), i -> sa.mh[i] = sb.mh[i])) / (len(sa.mh) + 0.0)) AS est
       FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                   JOIN sig sb ON c.doc_b = sb.doc_id
     ), edges AS (

@@ -315,11 +315,7 @@ def _ml07_oracle() -> str:
 
     return _SIG_SQL.replace("WITH toks", "WITH RECURSIVE toks") + _BANDS_SQL + f"""
     , scored AS (
-      SELECT c.doc_a, c.doc_b,
-             (CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
-            + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)
-            + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT)
-            + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT)) / 8.0 AS est
+      SELECT c.doc_a, c.doc_b, (len(list_filter(range(1, len(sa.mh) + 1), i -> sa.mh[i] = sb.mh[i])) / (len(sa.mh) + 0.0)) AS est
       FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
                   JOIN sig sb ON c.doc_b = sb.doc_id
     ), dedges AS (

@@ -1112,3 +1112,119 @@ def mm13_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         walked["phys"].alias("has_phys"),
         walked["text_len"].alias("text_len"),
     )
+
+
+@register(
+    "d22_perceptual_image_neardup",
+    # Perceptual near-dup for IMAGES (round 12) — the multimodal leg of
+    # the dedup ladder (d03's LSH shape transplanted to Hamming space):
+    # every document carries a REAL grayscale PNG under the pair-planted
+    # pixel rule (operators.multimodal._gray_pair_rule: even/odd doc_ids
+    # share a base image, the odd sibling perturbs ~1/53 of pixels), the
+    # engine DECODES the genuine zlib bytes, computes a 64-bit dHash as
+    # four 16-bit bands, and self-joins on (band, key) — near-dups (few
+    # flipped bits) collide on an unchanged band; unrelated images
+    # (~32/64 bits apart) almost never do. Candidates are verified with
+    # the EXACT Hamming distance (xor + bit_count per band — integer
+    # arithmetic, bit-identical across engines). The oracle recomputes
+    # every hash bit from the pixel rule arithmetically (the mm02
+    # device): any error in the Spark side's chunk parse, inflate,
+    # unfilter, resample, or band packing breaks the hash match.
+    # 100 TB shape: two map-only Arrow stages (payload synth + dHash),
+    # ONE shuffle on the 16-bit band key (hint-pinned shuffle_hash so
+    # the plan is scale-stable), verify arithmetic on colliding pairs
+    # only — candidate volume is linear in collisions at any corpus.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + (doc_id // 2) % 9 AS w,
+             8 + ((doc_id // 2) // 9) % 9 AS h
+      FROM documents
+    ), sidx AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(0, 71),
+               k -> ((k // 9) * h // 8) * w + ((k % 9) * w // 9)) AS si
+      FROM dims
+    ), gray AS (
+      SELECT doc_id,
+             list_transform(si, i ->
+               CASE WHEN doc_id % 2 = 1
+                         AND (i * 2654435761 % 2147483647) % 53 = 0
+                    THEN (CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(i // w AS VARCHAR)), (i % w) * 2 + 1, 2)) AS INT)
+                          + 128) % 256
+                    ELSE CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(i // w AS VARCHAR)), (i % w) * 2 + 1, 2)) AS INT)
+               END) AS gv
+      FROM sidx
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), m ->
+               list_sum(list_transform(range(0, 16), t ->
+                 CASE WHEN gv[((m*16 + t) // 8) * 9 + ((m*16 + t) % 8) + 2]
+                           > gv[((m*16 + t) // 8) * 9 + ((m*16 + t) % 8) + 1]
+                      THEN 1 << t ELSE 0 END))) AS ks
+      FROM gray
+    ), bands AS (
+      SELECT doc_id, ks, unnest(range(0, 4)) AS band FROM hashes
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band
+       AND a.ks[a.band + 1] = b.ks[b.band + 1]
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.ks[1], hb.ks[1]))
+              + bit_count(xor(ha.ks[2], hb.ks[2]))
+              + bit_count(xor(ha.ks[3], hb.ks[3]))
+              + bit_count(xor(ha.ks[4], hb.ks[4])) AS BIGINT) AS hamming,
+           bit_count(xor(ha.ks[1], hb.ks[1]))
+              + bit_count(xor(ha.ks[2], hb.ks[2]))
+              + bit_count(xor(ha.ks[3], hb.ks[3]))
+              + bit_count(xor(ha.ks[4], hb.ks[4])) <= 10 AS is_near_dup
+    FROM cand c JOIN hashes ha ON c.doc_a = ha.doc_id
+                JOIN hashes hb ON c.doc_b = hb.doc_id
+    """,
+)
+def d22_perceptual_image_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        dhash_bands_frame,
+        synth_png_pair_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = dhash_bands_frame(synth_png_pair_payloads(docs))
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(m).alias("band"), F.col(f"k{m}").alias("key"))
+            for m in range(4)
+        ]
+    )
+    bands = hashes.select(
+        "doc_id", "k0", "k1", "k2", "k3",
+        F.explode(band_structs).alias("_b"),
+    ).select("doc_id", "k0", "k1", "k2", "k3", "_b.band", "_b.key")
+    a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
+    hd = sum(
+        F.bit_count(F.col(f"a_k{m}").bitwiseXOR(F.col(f"b_k{m}")))
+        for m in range(4)
+    )
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .groupBy(
+            F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
+        )
+        .agg(F.max(hd).cast("bigint").alias("hamming"))
+        .select(
+            "doc_a", "doc_b", "hamming",
+            (F.col("hamming") <= 10).alias("is_near_dup"),
+        )
+    )

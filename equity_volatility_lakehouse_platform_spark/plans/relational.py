@@ -4583,13 +4583,13 @@ def j20_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next to a32's sessionization: of the users who VIEWED, how many
     # later CLICKED, and of those, how many later PURCHASED; each step
     # must occur strictly AFTER the user's first qualifying event of the
-    # previous step. Three stage aggregates (min qualifying ts per
-    # user), each a user-keyed groupBy co-partitioned with the join back
-    # onto the event scan — at 100 TB the event table shuffles on
-    # user_id once per stage with the type filter pushed to the scan,
-    # and the stage frontier (one row per surviving user) rides along.
-    # Counts are exact integers; the step conversion ratios take the
-    # nudged round.
+    # previous step. Round 12: the per-stage groupBy+join chain (37
+    # exchanges at sf0.1) is replaced by a21's recipe — three chained
+    # whole-partition window mins over ONE user_id exchange, a per-user
+    # roll-up, one single-row count reduction, and an explode pivot to
+    # the 3-row output. At 100 TB the event table shuffles on user_id
+    # exactly once. Counts are exact integers; the step conversion
+    # ratios take the nudged round.
     oracle="""
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
@@ -4627,53 +4627,67 @@ def j20_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a33_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    wu = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(wu),
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(wu),
     )
-    n = (
-        s1.agg(F.count(F.lit(1)).alias("n1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     one = F.lit(1.0)
     c2 = F.col("n2") * 1.0 / F.nullif(F.col("n1"), F.lit(0))
     c3 = F.col("n3") * 1.0 / F.nullif(F.col("n2"), F.lit(0))
-    return (
-        n.select(
+    steps = F.array(
+        F.struct(
             F.lit(1).alias("step"), F.lit("view").alias("event_type"),
             F.col("n1").cast("bigint").alias("n_users"),
             r6s(one).alias("conv_from_prev"),
-        )
-        .unionByName(n.select(
+        ),
+        F.struct(
             F.lit(2).alias("step"), F.lit("click").alias("event_type"),
             F.col("n2").cast("bigint").alias("n_users"),
             r6s(c2).alias("conv_from_prev"),
-        ))
-        .unionByName(n.select(
+        ),
+        F.struct(
             F.lit(3).alias("step"), F.lit("purchase").alias("event_type"),
             F.col("n3").cast("bigint").alias("n_users"),
             r6s(c3).alias("conv_from_prev"),
-        ))
+        ),
     )
+    return counts.select(F.explode(steps).alias("_s")).select("_s.*")
 
 
 @register(

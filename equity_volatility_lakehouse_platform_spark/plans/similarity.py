@@ -138,7 +138,16 @@ def lsh_bucket_frame(
                 pdf[out] = pd.Series([], dtype="int64")
                 yield pdf[cols]
                 continue
-            V = np.stack(pdf[vec_col].to_numpy())  # (n, 64)
+            vals = pdf[vec_col].to_numpy()
+            # np.stack silently mangles (or cryptically raises on) NULL
+            # or ragged embeddings the replaced Column expression would
+            # have NULLed — fail loudly at the contract boundary instead.
+            if any(x is None or len(x) != 64 for x in vals):
+                raise ValueError(
+                    f"lsh_bucket_frame: column {vec_col!r} contains NULL "
+                    "or non-64-dim embeddings; filter or fix upstream"
+                )
+            V = np.stack(vals)  # (n, 64)
             acc = np.zeros((len(pdf), bits))
             for d in range(64):
                 # one add per dimension == the fold's summation order
@@ -2249,10 +2258,12 @@ _simreg.set_oracle("sim12_persisted_ivf_index", _sim12_oracle())
     ), bb AS (
       -- auto-provisioned bit count (mirrors the Spark side): target
       -- ~256-vector buckets so in-bucket pair volume stays linear as
-      -- the corpus grows; log2 hits are exact at power-of-two
-      -- boundaries on both engines.
-      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
-        AS bits
+      -- the corpus grows. Pure INTEGER arithmetic (binary digit count
+      -- of (n-1)//256 == ceil(log2(n/256))) — a libm log2 could flip
+      -- by 1 ulp at exact power-of-two boundaries and diverge the
+      -- whole bucket assignment between engines.
+      SELECT GREATEST(2, CASE WHEN (count(*) - 1) // 256 = 0 THEN 0
+          ELSE length(printf('%b', (count(*) - 1) // 256)) END) AS bits
       FROM e
     ), b AS (
       SELECT vec_id, v,
@@ -2291,10 +2302,8 @@ def sim13_knn_graph(
         # in-bucket pair join linear in corpus size (the first 100x
         # spot of the fixed bits=2 default hit ~10^10 pairs at 200k
         # vectors — exactly the cliff this knob exists to prevent).
-        import math
-
         n = base.count()
-        bits = max(2, math.ceil(math.log2(n / 256.0)))
+        bits = max(2, ((n - 1) // 256).bit_length())
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits)
 
     # In-bucket top-k via ONE Arrow kernel per bucket group (round 11 —
@@ -2315,7 +2324,13 @@ def sim13_knn_graph(
         import pandas as pd
 
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        V = np.stack(pdf["v"].to_numpy())
+        vals = pdf["v"].to_numpy()
+        if any(x is None or len(x) != 64 for x in vals):
+            raise ValueError(
+                "sim13_knn_graph: NULL or non-64-dim embedding in bucket; "
+                "filter or fix upstream"
+            )
+        V = np.stack(vals)
         ids = pdf["vec_id"].to_numpy()
         n, D = V.shape
         if n > 16384:
@@ -2385,8 +2400,8 @@ def sim13_knn_graph(
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), bb AS (
-      SELECT GREATEST(2, CAST(ceil(log2(count(*) / 256.0)) AS INT))
-        AS bits
+      SELECT GREATEST(2, CASE WHEN (count(*) - 1) // 256 = 0 THEN 0
+          ELSE length(printf('%b', (count(*) - 1) // 256)) END) AS bits
       FROM e
     ), b AS (
       SELECT vec_id, v,
@@ -2421,12 +2436,10 @@ def sim14_radius_search(
     bits: int | None = None,
     n_queries: int = 3,
 ) -> DataFrame:
-    import math
-
     base = _emb(spark, sf_dir)
     if bits is None:
         # sim13's auto-provisioning: ~256-vector buckets at any corpus.
-        bits = max(2, math.ceil(math.log2(base.count() / 256.0)))
+        bits = max(2, ((base.count() - 1) // 256).bit_length())
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits).select(
         "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),

@@ -3,13 +3,13 @@
 Each query exercises a real write path end-to-end — partitioned parquet
 with dynamic partition overwrite, and the on-conflict-do-nothing upsert —
 then reads the lake back and aggregates it, so the DuckDB oracle can
-state what the sink must contain. Writes go to a fresh temp directory per
-invocation (the driver may call these repeatedly).
+state what the sink must contain. Writes go to a per-(query, sf,
+process) scratch root that is reused and wiped across invocations
+(sources.sinks.session_scratch) — repeated sweeps leave no net-new
+temp directories.
 """
 
 from __future__ import annotations
-
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +19,7 @@ from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
 from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
 from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+    session_scratch,
     write_partitioned,
 )
 
@@ -53,7 +54,7 @@ def snk01_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> D
     # not duplicate, each partition. Partition column count stays bounded
     # (event_type cardinality), the 100 TB-safe layout.
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="evlp_snk01_") + "/events_lake"
+    path = session_scratch("snk01", sf_dir) + "/events_lake"
     write_partitioned(ev, path, ["event_type"])
     write_partitioned(ev, path, ["event_type"])  # idempotent re-run
     back = spark.read.parquet(path)
@@ -80,7 +81,7 @@ def snk02_upsert_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each order exactly once — and a crash mid-merge would leave the
     # previous snapshot intact (tests/test_acid.py kill-test).
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk02_") + "/orders_acid"
+    path = session_scratch("snk02", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
     table.merge_insert_only(orders, ["o_orderkey"])
@@ -108,11 +109,10 @@ def snk03_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # follow-up groupBy on that key run with ZERO exchanges — the layout
     # investment that pays on every subsequent query at 100 TB.
     # tests/test_plans.py asserts the no-shuffle property.
-    import tempfile
     import uuid
 
     suffix = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="evlp_bucketed_")
+    base = session_scratch("bucketed", sf_dir)
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"evlp_{tbl}_b{suffix}"
@@ -155,7 +155,7 @@ def snk04_acid_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical after a later MERGE commits version 1 — immutable
     # data files + manifest snapshots, the Delta/Iceberg read contract.
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk04_") + "/orders_acid"
+    path = session_scratch("snk04", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders.filter(F.col("o_orderkey") % 3 == 0))
     table.merge_insert_only(orders, ["o_orderkey"])
@@ -192,7 +192,7 @@ def snk05_acid_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches carry over by reference (tests/test_acid.py asserts the
     # minimal-rewrite property).
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk05_") + "/orders_acid"
+    path = session_scratch("snk05", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders)
     table.delete_where(F.col("o_orderstatus") == "F")
@@ -232,7 +232,7 @@ def snk06_acid_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manifests — change-proportional, not table-proportional (the
     # incremental-consumption contract a 100 TB downstream sync needs).
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk06_") + "/orders_acid"
+    path = session_scratch("snk06", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
     table.merge_insert_only(orders, ["o_orderkey"])
@@ -285,7 +285,7 @@ def snk07_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="evlp_snk07_") + "/orders_acid"
+    path = session_scratch("snk07", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
     widened = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
@@ -326,7 +326,7 @@ def snk08_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a union — the table itself is never re-shipped. (The replica here
     # re-aggregates fully only because the gate compares full states.)
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk08_") + "/orders_acid"
+    path = session_scratch("snk08", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders.filter(F.col("o_orderkey") % 2 == 0))
     table.merge_insert_only(orders, ["o_orderkey"])
@@ -375,7 +375,7 @@ def snk08_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snk09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk09_") + "/orders_acid"
+    path = session_scratch("snk09", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     corrupted = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
@@ -410,7 +410,7 @@ def snk10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    path = tempfile.mkdtemp(prefix="evlp_snk10_") + "/events_acid"
+    path = session_scratch("snk10", sf_dir) + "/events_acid"
     table = AcidTable(spark, path)
     table.overwrite(ev.filter(F.dayofmonth("ts") <= 10).coalesce(2))
     table.append(ev.filter(F.dayofmonth("ts").between(11, 20)).coalesce(2))
@@ -448,7 +448,7 @@ def snk11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="evlp_snk11_") + "/events_jsonl"
+    out = session_scratch("snk11", sf_dir) + "/events_jsonl"
     # Spark's default JSON timestampFormat is millisecond-grain — a
     # silent 3-digit truncation on micro-stamped events. Pin the format
     # to microseconds on BOTH sides for a lossless round trip.
@@ -495,7 +495,7 @@ def snk12_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="evlp_snk12_") + "/events_csv"
+    out = session_scratch("snk12", sf_dir) + "/events_csv"
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     (
         ev.write.mode("overwrite")
@@ -540,7 +540,7 @@ def snk13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="evlp_snk13_") + "/events_orc"
+    out = session_scratch("snk13", sf_dir) + "/events_orc"
     ev.write.mode("overwrite").option("compression", "zlib").orc(out)
     back = spark.read.schema(
         "event_id bigint, user_id bigint, ts timestamp, "
@@ -581,7 +581,7 @@ def snk13_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snk14_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="evlp_snk14_")
+    base = session_scratch("snk14", sf_dir)
     src = AcidTable(spark, base + "/src")
     src.overwrite(orders)
     clone = src.clone(base + "/clone")
@@ -627,7 +627,7 @@ def snk14_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snk15_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk15_") + "/orders_acid"
+    path = session_scratch("snk15", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders)                             # v0: seed
     table.delete_where(F.col("o_orderstatus") == "F")   # v1: the "oops"
@@ -675,7 +675,7 @@ def snk15_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snk16_merge_delete_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evlp_snk16_") + "/orders_acid"
+    path = session_scratch("snk16", sf_dir) + "/orders_acid"
     table = AcidTable(spark, path)
     table.overwrite(orders)
     source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
@@ -720,7 +720,7 @@ def snk17_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="evlp_snk17_") + "/events_acid"
+    path = session_scratch("snk17", sf_dir) + "/events_acid"
     table = AcidTable(spark, path)
     cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
     table.append_partitioned(
@@ -770,7 +770,7 @@ def snk18_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="evlp_snk18_") + "/events_acid"
+    path = session_scratch("snk18", sf_dir) + "/events_acid"
     table = AcidTable(spark, path)
     table.overwrite(events.repartition(6))   # value scattered everywhere
     table.optimize_zorder(["value"], target_files=6)

@@ -415,6 +415,54 @@ class AcidTable:
                 continue  # data files are reusable; only the log moved
         raise CommitConflict(f"lost {max_retries} commit races on {self.root}")
 
+    def append_with_recompute(self, build_df, max_retries: int = 10) -> int:
+        """Atomic append whose BATCH is derived from the current
+        snapshot (a per-name version counter, a dedup decision, ...):
+        ``build_df(snapshot_df_or_None)`` is re-evaluated against the
+        WINNER's snapshot after every lost commit race, so
+        snapshot-derived values stay serializable — a batch built once
+        before the loop would hand two concurrent writers the same
+        counter. The losing attempt's data files are unlinked before
+        the retry, so no orphan parquet accumulates under data/.
+
+        The public API for the model-registry pattern (ml_prep
+        .save_model) and anything else that must read-then-append in
+        one serializable step; keeps callers off the private
+        _write_data/_manifest/_try_commit internals."""
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest is None:
+                snap, base, schema = None, [], None
+            else:
+                manifest = self._manifest(latest)
+                snap = self.read(latest)
+                base, schema = manifest["files"], manifest["schema"]
+            df = build_df(snap)
+            if schema is None:
+                schema = df.schema.simpleString()[7:-1]
+            files = self._write_data(df)
+            try:
+                self._try_commit(
+                    0 if latest is None else latest + 1,
+                    "append", base + files, schema,
+                )
+                return 0 if latest is None else latest + 1
+            except CommitConflict:
+                self._unlink_files(files)
+                continue  # rebuild against the winner's snapshot
+        raise CommitConflict(
+            f"lost {max_retries} commit races on {self.root}"
+        )
+
+    def _unlink_files(self, rel_files: list[str]) -> None:
+        """Best-effort removal of data files a losing commit attempt
+        wrote (they are invisible — no manifest references them)."""
+        for rel in rel_files:
+            try:
+                os.unlink(os.path.join(self.root, rel))
+            except OSError:
+                pass
+
     def merge_insert_only(
         self, updates: DataFrame, keys: list[str], max_retries: int = 5
     ) -> int:
@@ -447,7 +495,10 @@ class AcidTable:
                 )
                 return latest + 1
             except CommitConflict:
-                continue  # recompute against the new snapshot
+                # recompute against the new snapshot; drop the loser's
+                # files (the anti-join result is snapshot-dependent)
+                self._unlink_files(files)
+                continue
         raise CommitConflict(f"lost {max_retries} merge races on {self.root}")
 
     def merge_upsert(

@@ -19,6 +19,7 @@ append-path helpers predate:
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -28,17 +29,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_SCRATCH_ROOTS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    for root in _SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_scratch)
+
+
 def session_scratch(tag: str, sf_dir: str) -> str:
-    """Per-(query, sf_dir) scratch root for registered queries that
-    materialize corpus-sized artifacts (sim12's index tables, snk19's
-    staging/prod lake). Keyed by sf_dir and WIPED on entry, so repeated
-    invocations (bare sweeps, spot_100x's rebuild-per-timing protocol)
-    reuse one directory instead of leaking a fresh mkdtemp copy of the
-    corpus per timed run."""
+    """Per-(query, sf_dir, process) scratch root for registered queries
+    that materialize corpus-sized artifacts (sim12's index tables,
+    snk19's staging/prod lake, the snk01-snk08 sink round-trips). Keyed
+    by sf_dir and WIPED on entry, so repeated invocations (bare sweeps,
+    spot_100x's rebuild-per-timing protocol) reuse one directory instead
+    of leaking a fresh mkdtemp copy of the corpus per timed run. The key
+    includes the PID so two concurrent processes running the same query
+    on the same sf_dir (parallel pytest, a sweep overlapping a spot run)
+    never wipe each other's live tables mid-read; every root this
+    process created is removed at interpreter exit."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"evlp_{tag}_{key}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"evlp_{tag}_{key}_p{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
+    _SCRATCH_ROOTS.add(root)
     return root
 
 

@@ -33,6 +33,24 @@ from equity_volatility_lakehouse_platform_spark.sources.readers import _nano_ts_
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 
+def _input_bytes(path: str) -> int:
+    """Total data bytes under ``path``. A landing dir is a DIRECTORY of
+    part files — os.path.getsize on it returns the inode size (~4 KB),
+    which would pin the state-store sizing below to its floor for
+    exactly the multi-file layout it exists to handle — so directories
+    are walked and summed."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _run_stream_scoped(
     spark: SparkSession,
     sf_dir: str,
@@ -110,7 +128,7 @@ def _run_stream_scoped(
         8,
         min(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
-            -(-os.path.getsize(path) // (16 << 20)),
+            -(-_input_bytes(path) // (16 << 20)),
         ),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -37,6 +37,11 @@ def main() -> int:
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    tmp_before = set(os.listdir(tmp))
+
     qs, oracles = e.queries(), e.oracle_sql()
     results: dict[str, str] = {}
     for name in sorted(qs):
@@ -52,11 +57,31 @@ def main() -> int:
             print(f"FAIL {name}: {str(ex)[:200]}", file=sys.stderr)
 
     n_fail = sum(v.startswith("fail") for v in results.values())
+    # Scratch hygiene (round 12): every sink/index query goes through
+    # sources.sinks.session_scratch (reused+wiped per query, removed at
+    # exit), so a full sweep may create at most the per-query scratch
+    # roots of THIS process — anything else is a leak.
+    pid_tag = f"_p{os.getpid()}"
+    leaked = sorted(
+        d
+        for d in set(os.listdir(tmp)) - tmp_before
+        if not d.endswith(pid_tag)
+        # Spark/JVM session artifacts, not engine scratch: native codec
+        # libs, the connect artifacts dir, JVM perf files.
+        and not d.startswith(
+            ("spark-", "blockmgr-", "hive", "temporary", "artifacts-",
+             "liblz4", "snappy-", "libzstd", "hsperfdata")
+        )
+    )
+    if leaked:
+        print(f"SCRATCH LEAK: {leaked}", file=sys.stderr)
+
     summary = {
         "sf_dir": sf_dir,
         "queries": len(qs),
         "oracles": len(oracles),
         "failed": n_fail,
+        "tmp_leaked": leaked,
         "results": results,
     }
     payload = json.dumps(summary, indent=1, sort_keys=True)

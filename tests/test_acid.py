@@ -870,3 +870,40 @@ def test_manifest_stats_prune_band_probe(spark, sf_dir, root):
     t.append(ev.limit(5))
     keep2, total2 = t.prune_files("value", 999999.0, 999999.5)
     assert total2 == total + 1 and len(keep2) >= 1
+
+
+def test_append_with_recompute_race_and_no_orphans(spark, root):
+    # The public read-then-append API (round 12, replaces save_model's
+    # private-internals copy of the commit loop): the batch builder is
+    # re-run against the WINNER's snapshot after a lost race, and the
+    # losing attempt's data files are unlinked — no orphan parquet
+    # accumulates under data/.
+    t = AcidTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1,)], "k INT"))
+    rival = AcidTable(spark, root)
+    calls = {"n": 0}
+
+    def build(snap):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # rival lands a commit between our snapshot read and publish
+            rival.append(spark.createDataFrame([(100,)], "k INT"))
+        return spark.createDataFrame([(snap.count(),)], "k INT")
+
+    v = t.append_with_recompute(build)
+    assert calls["n"] == 2, "builder must re-run against the winner"
+    assert v == 2
+    # first attempt saw count=1 and lost; the retry saw {1, 100} -> 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 100]
+    # every parquet on disk is referenced by some manifest (loser wiped)
+    live: set[str] = set()
+    for manifest in t.history():
+        live.update(manifest["files"])
+    data_root = os.path.join(root, "data")
+    on_disk = {
+        os.path.join("data", w, f)
+        for w in os.listdir(data_root)
+        for f in os.listdir(os.path.join(data_root, w))
+        if f.endswith(".parquet")
+    }
+    assert on_disk <= live, f"orphan files: {sorted(on_disk - live)}"

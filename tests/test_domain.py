@@ -901,26 +901,68 @@ def test_sim13_neighbors_share_lsh_bucket(spark, sf_dir):
 
 
 def test_lsh_banding_ladder():
-    # Auto-provisioned banding (round 11): rows-per-band doubles as the
-    # corpus crosses 2^16 and 2^31 docs, keeping background-collision
-    # candidate mass sub-linear (see plans/dedup.py).
-    from equity_volatility_lakehouse_platform_spark.plans.dedup import lsh_banding
+    # Auto-provisioned banding + signature width (rounds 11-12):
+    # rows-per-band grows as the corpus crosses 2^16 and 2^28 docs
+    # (background-collision FP mass stays sub-linear), and the
+    # signature WIDENS alongside so the band count keeps the
+    # 0.7-Jaccard collision probability >= 0.9 in the r=4 regime —
+    # the round-11 fixed-8 signature collided those at only ~48%.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        lsh_banding,
+        lsh_n_perm,
+    )
 
     assert lsh_banding(600) == (4, 2)
     assert lsh_banding(2**16 - 1) == (4, 2)
-    assert lsh_banding(2**16) == (2, 4)
-    assert lsh_banding(2**31 - 1) == (2, 4)
-    assert lsh_banding(2**31) == (1, 8)
+    assert lsh_banding(2**16) == (9, 4)
+    assert lsh_banding(2**28 - 1) == (9, 4)
+    assert lsh_banding(2**28) == (8, 6)
+    for n in (600, 2**16 - 1, 2**16, 2**28 - 1, 2**28, 2**40):
+        b, r = lsh_banding(n)
+        assert b * r == lsh_n_perm(n)
+    # Recall at the regime the round-11 verdict flagged: 0.7-Jaccard
+    # pairs in the >= 2^16 regime must collide with probability >= 0.9.
+    b, r = lsh_banding(2**20)
+    assert 1.0 - (1.0 - 0.7**r) ** b >= 0.90
+
+
+def test_minhash_params_prefix_and_formula():
+    # Perms 0..7 are the legacy primes (widened signatures keep d02's
+    # 8-perm frame as an exact prefix); perms >= 8 follow the formula
+    # the DuckDB oracle derives from the permutation index.
+    from equity_volatility_lakehouse_platform_spark.operators.textops import (
+        HASH_P,
+        MINHASH_A,
+        MINHASH_B,
+        minhash_params,
+    )
+
+    p36 = minhash_params(36)
+    assert len(p36) == 36
+    assert p36[:8] == list(zip(MINHASH_A, MINHASH_B))
+    assert minhash_params(8) == p36[:8]
+    for k in range(8, 36):
+        assert p36[k] == (
+            (1000003 * (k + 1)) % HASH_P,
+            (15485863 * k + 1) % HASH_P,
+        )
+    # distinct nonzero multipliers (universal-family requirement)
+    assert len({a for a, _ in p36}) == 36
+    assert all(0 < a < HASH_P for a, _ in p36)
 
 
 def test_lsh_banding_r4_branch_cross_engine(spark, tmp_path, sf_dir):
-    # The fixture SFs never cross 2^16 docs, so the r=4 branch would
-    # otherwise ship untested: plant a 70k-doc corpus whose partial
-    # near-dups collide with HIGH probability under 4x2 banding but LOW
-    # probability under 2x4 (per-perm signature agreement ~0.5 for
-    # Jaccard-0.5 pairs), and run the full d03 compare — if the two
-    # engines derived different (b, r) from count(*), their candidate
-    # sets would diverge with overwhelming probability.
+    # The fixture SFs never cross 2^16 docs, so the widened-signature
+    # r=4 regime (n_perm=36, b=9) would otherwise ship untested: plant
+    # a >= 2^16-doc corpus and run the full d03 compare — if the two
+    # engines derived different (n_perm, b, r) from count(*), or their
+    # formula-generated permutation parameters diverged, the candidate
+    # sets would mismatch with overwhelming probability. On top of the
+    # bit-exact compare, the corpus carries 1500 planted ~0.714-Jaccard
+    # pairs (20-token docs, one middle token changed: 15 of 21 distinct
+    # shingles shared) whose RECALL must be >= 0.9 — the round-11
+    # fixed-8 signature (b=2, r=4) collided these at only ~48%;
+    # b=9 x r=4 gives 1-(1-J^4)^9 ~ 0.93.
     import os
 
     from equity_volatility_lakehouse_platform_spark.plans.dedup import (
@@ -941,6 +983,15 @@ def test_lsh_banding_r4_branch_cross_engine(spark, tmp_path, sf_dir):
             )
         elif i < 68_000:
             rows.append((i, f"u{i}a u{i}b u{i}c u{i}d u{i}e"))
+    n_planted = 1_500
+    planted = []
+    for i in range(n_planted):
+        toks = [f"p{i}w{j}" for j in range(20)]
+        a_id, b_id = 200_000 + i, 300_000 + i
+        rows.append((a_id, " ".join(toks)))
+        toks[9] = f"p{i}x"
+        rows.append((b_id, " ".join(toks)))
+        planted.append((a_id, b_id))
     big = str(tmp_path / "sf_r4")
     os.makedirs(big)
     for t in TABLES:
@@ -965,6 +1016,17 @@ def test_lsh_banding_r4_branch_cross_engine(spark, tmp_path, sf_dir):
     run_compare(
         spark, big, "d03_minhash_lsh_pairs@70k",
         d03_minhash_lsh_pairs, all_oracles()["d03_minhash_lsh_pairs"],
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in d03_minhash_lsh_pairs(spark, big)
+        .filter(F.col("doc_a") >= 200_000)
+        .collect()
+    }
+    recall = sum(1 for p in planted if p in got) / n_planted
+    assert recall >= 0.90, (
+        f"widened-signature recall at 0.714 Jaccard = {recall:.3f} < 0.90"
     )
 
 
@@ -995,3 +1057,53 @@ def test_lsh_bucket_frame_matches_column_form(spark, sf_dir):
             ).collect()
         }
         assert kern == col, f"bits={bits}: kernel != column form"
+
+
+def test_input_bytes_walks_directories(tmp_path):
+    # State-store sizing derives from INPUT BYTES; a landing dir is a
+    # directory of part files, where os.path.getsize returns the inode
+    # size (~4KB) and would pin the store count to its floor for
+    # exactly the multi-file layout the sizing exists to handle.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        _input_bytes,
+    )
+
+    single = tmp_path / "one.parquet"
+    single.write_bytes(b"x" * 1000)
+    assert _input_bytes(str(single)) == 1000
+
+    d = tmp_path / "landing"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.parquet").write_bytes(b"x" * 600)
+    (d / "sub" / "b.parquet").write_bytes(b"x" * 400)
+    assert _input_bytes(str(d)) == 1000
+
+
+def test_d22_planted_image_pairs_recovered(spark, sf_dir):
+    # The pair-planting rule makes (2k, 2k+1) siblings perceptual
+    # near-dups (~1/53 of pixels perturbed -> a few dHash bits flip);
+    # d22's band join + exact Hamming verify must recover nearly all of
+    # them through the REAL PNG encode/decode round trip, and no
+    # unrelated pair may pass the <= 10 threshold.
+    from equity_volatility_lakehouse_platform_spark.plans.multimodal import (
+        d22_perceptual_image_neardup,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {(k, k + 1) for k in ids if k % 2 == 0 and k + 1 in ids}
+    rows = d22_perceptual_image_neardup(spark, sf_dir).collect()
+    near = {(r.doc_a, r.doc_b) for r in rows if r.is_near_dup}
+    assert planted, "fixture must contain sibling pairs"
+    recall = len(planted & near) / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall:.3f} < 0.95"
+    # every pair passing the threshold is a planted sibling (the
+    # perturbation is the only sub-threshold phenomenon in the family)
+    assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"

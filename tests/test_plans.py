@@ -80,6 +80,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "t10_tfidf_topk": 4,           # tf groupBy + df groupBy + term join + doc window
         "j17_asof_nearest": 2,         # quotes groupBy + one shared union-window sort
         "a21_funnel_conversion": 2,    # user window + single-row stage-count agg
+        "a33_funnel": 2,               # same recipe: user window + single-row count agg
+        "d22_perceptual_image_neardup": 3,  # band join (2 sides) + pair groupBy; synth/dHash are map-only
         "a22_cohort_retention": 3,     # cohort agg + join + distinct-cell count
         "a23_gini_concentration": 2,   # per-user totals + type-partition rank window
         "t11_zipf_fit": 2,             # term counts + lang rank window/OLS agg
