@@ -907,6 +907,178 @@ def ml13_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ML23_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 17, 29, 41)
+    ), sc AS (
+      SELECT e.vec_id, e.v, e.label, c.cid,
+             list_dot_product(e.v, c.cv)
+               / NULLIF(sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(c.cv, c.cv)), 0) AS cosc
+      FROM e CROSS JOIN c
+    ), assigned AS (
+      SELECT vec_id, v, cid
+      FROM (SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM sc)
+      WHERE rn = 1
+    ), probe AS (
+      SELECT q_id, qv, true_label, qcid
+      FROM (SELECT vec_id AS q_id, v AS qv, label AS true_label,
+                   cid AS qcid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosc DESC, cid) AS rn
+            FROM sc WHERE vec_id % 20 = 0)
+      WHERE rn <= 2
+    ), cand0 AS (
+      SELECT p.q_id, p.qcid, a.vec_id,
+             list_dot_product(list_slice(p.qv, 1, 16),
+                              list_slice(a.v, 1, 16)) AS part
+      FROM probe p JOIN assigned a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    ), capped AS (
+      SELECT q_id, vec_id
+      FROM (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id, qcid
+                                      ORDER BY part DESC, vec_id) AS prn
+            FROM cand0)
+      WHERE prn <= 64
+    ), cand AS (
+      SELECT cp.q_id, q.label AS true_label, cp.vec_id, x.label,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM capped cp
+      JOIN e q ON q.vec_id = cp.q_id
+      JOIN e x ON x.vec_id = cp.vec_id
+    ), nn AS (
+      SELECT q_id, true_label, label FROM (
+        SELECT q_id, true_label, label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= 3
+    ), votes AS (
+      SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS n
+      FROM nn GROUP BY q_id, true_label, label
+    )
+    SELECT q_id, true_label, label AS pred_label,
+           (label = true_label) AS correct
+    FROM (
+      SELECT q_id, true_label, label, n,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY n DESC, label) AS vrk
+      FROM votes
+    ) WHERE vrk = 1
+    """
+
+
+@register(
+    "ml23_knn_classify_ann",
+    # ml12 with the brute-force cross join swapped for sim04's IVF
+    # shortlist (round 12) — the PRODUCTION eval loop once the ANN stack
+    # ships, with ml12 kept as the documented brute-force audit. Every
+    # 20th vector is an eval query; its candidates come from probing the
+    # 2 nearest inverted lists (fixed coarse codebook, the sim04
+    # contract), a 16-dim partial dot caps each probed list at 64, and
+    # only the capped ids pay the exact cosine re-rank before the same
+    # majority vote ml12 runs. Per-query cost is O(nprobe * cap)
+    # REGARDLESS of corpus size — the audit's per-query cost is O(N).
+    # Physical shape mirrors sim04: Arrow-kernel coarse assignment with
+    # zero corpus shuffle, eval set broadcast (fixed-size sample by
+    # construction — ml12's documented contract), late materialization
+    # of vectors and labels for capped ids only.
+    oracle=_ML23_SQL,
+)
+def ml23_knn_classify_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = 20,
+    centroid_ids: tuple = (5, 17, 29, 41),
+    nprobe: int = 2,
+    per_probe_cap: int = 64,
+) -> DataFrame:
+    emb = _ivf_emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    assigned = ivf_assign(emb, cent)
+    # Probe stage over the eval sample (ivf_probe's shape with the
+    # eval_mod predicate instead of the first-n one).
+    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+        F.col("nv") * F.col("nc"), F.lit(0.0)
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
+    qprobe = (
+        emb.filter(F.col("vec_id") % eval_mod == 0)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", cosc.alias("cosc"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    part = F.element_at(F.col("qv"), 1) * F.element_at(F.col("v"), 1)
+    for i in range(2, 17):
+        part = part + F.element_at(F.col("qv"), i) * F.element_at(F.col("v"), i)
+    cand0 = (
+        F.broadcast(qprobe)
+        .join(
+            assigned,
+            (F.col("qcid") == F.col("cid"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "qcid", "vec_id", part.alias("part"))
+    )
+    wc = Window.partitionBy("q_id", "qcid").orderBy(F.desc("part"), "vec_id")
+    capped = (
+        cand0.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= per_probe_cap)
+        .select("q_id", "vec_id")
+    )
+    # Late materialization: vectors + labels for capped ids only.
+    base = _emb(spark, sf_dir).select("vec_id", "v", "label")
+    qvec = base.filter(F.col("vec_id") % eval_mod == 0).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    cand = (
+        F.broadcast(capped)
+        .join(base, "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
+        .select("q_id", "true_label", "vec_id", "label", cos.alias("cos"))
+    )
+    wnn = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    nn = (
+        cand.withColumn("rn", F.row_number().over(wnn))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "true_label", "label")
+    )
+    votes = nn.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "q_id", "true_label",
+            F.col("label").alias("pred_label"),
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 @register(
     "ml14_roc_auc",
     # Rank-based ROC AUC (Mann-Whitney U) of a deterministic score

@@ -20,6 +20,7 @@ sink; the transformation graph is unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -49,6 +50,11 @@ def _input_bytes(path: str) -> int:
             except OSError:
                 pass
     return total
+
+
+# Telemetry from the most recent scoped run (state-growth spot reads
+# stateOperators/numRowsTotal from here; never consumed by queries).
+LAST_PROGRESS: dict | None = None
 
 
 def _run_stream_scoped(
@@ -144,6 +150,15 @@ def _run_stream_scoped(
             .start()
         )
         query.awaitTermination()
+        global LAST_PROGRESS
+        try:
+            lp = query.lastProgress
+            LAST_PROGRESS = (
+                lp if isinstance(lp, dict) or lp is None
+                else json.loads(lp.json)
+            )
+        except Exception:  # noqa: BLE001 — telemetry only, never fail a run
+            LAST_PROGRESS = None
         # Detach the result from the sink (executor-side materialization,
         # no driver collect) so the sink view can be dropped immediately.
         return spark.table(name).localCheckpoint(eager=True)
