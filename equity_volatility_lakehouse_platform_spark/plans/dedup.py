@@ -119,9 +119,11 @@ _SCORED_SQL = f"""
 # (d03/d05/d07/d12/d13/d15/d20/ml07) derives (n_perm, b, r) from ONE
 # cheap count; the oracle computes the SAME CASE ladder from count(*)
 # so both engines re-provision in lockstep at every scale. Fixture SFs
-# (600/6k/60k docs) all sit below 2^16, so small-scale results are
-# unchanged; the 70k-doc planted test and the 100x spot corpus (480k
-# docs) cross into the widened regime and exercise it for real.
+# and the corpus spot's 8x replication (40k docs) all sit below 2^16,
+# so their results and walls are unchanged; the widened regime is
+# exercised for real by the 70k-doc planted cross-engine test
+# (tests/test_domain.py) and the 500k-doc recall/cost study
+# (scripts/lsh_recall_500k.py, SCALE.md round-12 addendum 1).
 # ---------------------------------------------------------------------------
 
 

@@ -100,6 +100,10 @@ QUERIES = [
     "d21_pagerank",
     "ml22_pr_auc",
     "sim14_radius_search",
+    # round-12 additions: perceptual image near-dup (real PNG decode +
+    # Hamming banding) and the ANN-backed eval loop.
+    "d22_perceptual_image_neardup",
+    "ml23_knn_classify_ann",
 ]
 
 

@@ -41,6 +41,10 @@ CASES = [
     ("sim12_persisted_ivf_index", {"n_queries": 3}, {"n_queries": 300}, 100),
     ("sim14_radius_search", {"n_queries": 3}, {"n_queries": 300}, 100),
     ("ml12_knn_classify", {"eval_mod": 20}, {"eval_mod": 1}, 20),
+    # round 12: the ANN-backed eval loop next to its brute-force audit —
+    # same 20x eval-set growth, but per-query work is O(nprobe * cap)
+    # instead of O(N), so the wall must amortize where ml12's is linear.
+    ("ml23_knn_classify_ann", {"eval_mod": 20}, {"eval_mod": 1}, 20),
 ]
 
 # Same rebuild discipline as the corpus-axis spot: these train/write
