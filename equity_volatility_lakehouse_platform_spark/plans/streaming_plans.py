@@ -687,3 +687,51 @@ def st21_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_cdc_apply_stream(spark, sf_dir)
+
+
+@register(
+    "st22_session_window_sessions",
+    # NATIVE streaming sessionization: session_window + watermark in
+    # append mode — the at-scale migration target for st17's
+    # applyInPandasWithState sessionizer (SCALE.md round-12 addendum 2
+    # measured st17's 100x-keys floor at ~190 s of per-key GroupState
+    # bridge traffic; this operator keeps the session state machine
+    # JVM-side). Closed form over bounded input: 1h-gap sessions where
+    # a NEW session starts when ts - prev_ts >= 1h (strict overlap
+    # semantics — each event claims [ts, ts+gap)), emitted iff the
+    # final watermark max(ts) - 2h reached the session end last_ts + 1h
+    # (NON-strict <=, unlike st17's strict GroupState timeout — both
+    # boundaries pinned by the planted probe in tests/test_domain.py). Microsecond grain end to end: Spark
+    # session merging and DuckDB interval arithmetic are both exact on
+    # epoch-us timestamps.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), sess AS (
+      SELECT user_id,
+             CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             (ROUND(SUM(value), 6) + 0.0) AS total_value
+      FROM g GROUP BY user_id, sid
+    ), mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sess
+    WHERE session_end <= (SELECT m FROM mx) - INTERVAL 2 HOUR
+    """,
+)
+def st22_session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_session_window_stream,
+    )
+
+    return run_session_window_stream(spark, sf_dir)

@@ -772,6 +772,62 @@ def run_timeout_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_scoped(spark, sf_dir, build, "evtmo_", "append")
 
 
+def session_window_agg(df: DataFrame, gap: str = "1 hour") -> DataFrame:
+    """Shared sessionization graph for batch AND streaming: one groupBy
+    on (user_id, session_window) — Spark merges overlapping gap
+    intervals inside the aggregation itself, entirely JVM-side."""
+    src = df.withWatermark("ts", "2 hours") if df.isStreaming else df
+    sw = F.session_window("ts", gap)
+    return (
+        src.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization (session_window + watermark,
+    append mode) — the AT-SCALE migration target for st17's
+    applyInPandasWithState sessionizer.
+
+    The state-growth spot (SCALE.md round-12 addendum 2) decomposed
+    st17's 100x-keys wall into ~41 s of python groupBy work and ~190 s
+    of per-key GroupState bridge traffic that no store/partition knob
+    can move. session_window keeps the whole session state machine in
+    the JVM state store: no Python worker round-trip per key, per-event
+    merge logic inside the aggregation operator, state evicted by the
+    watermark exactly like any windowed aggregate.
+
+    Semantics vs st17 (both well-defined, documented trade):
+      * merge boundary — session_window merges an event into the open
+        session iff ts - prev_ts <= gap (an event exactly gap after
+        the previous one merges — same split-on-diff > gap boundary
+        as st17's GroupState loop, here at us grain);
+      * emission — append mode emits a session only once the watermark
+        REACHES its end (last_ts + gap; non-strict <=, where st17's
+        GroupState timeout is strict — both boundaries empirically
+        probed by test_session_window_emission_boundary, which plants
+        an exact-boundary event), so with final watermark max(ts) - 2h
+        the output is ALL sessions with
+        last_ts + 1h <= max(ts) - 2h, regardless of whether a
+        later session exists for the user. st17 additionally emits
+        gap-closed sessions inside the horizon but never the open
+        tail; st22 emits nothing inside the 3h tail horizon.
+    """
+    return _run_stream_scoped(
+        spark, sf_dir, lambda s: session_window_agg(s), "evsw_", "append"
+    )
+
+
 def run_record_highs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user RECORD-HIGH change log on the NEW Spark 4 stateful API
     (``transformWithStateInPandas`` + ``StatefulProcessor`` +

@@ -37,6 +37,9 @@ QUERIES = (
     "st15_stream_stream_right_join",
     "st16_stream_stream_full_join",
     "st17_stateful_timeout_sessions",
+    # round 12: the native session_window migration target next to the
+    # GroupState sessionizer it replaces — same keys, same gap.
+    "st22_session_window_sessions",
 )
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
@@ -111,10 +114,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPOT_STATE_QUERIES=a,b runs a subset and MERGES into an existing
+    # out file (adding one query must not re-pay the whole matrix).
+    sel = os.environ.get("SPOT_STATE_QUERIES")
+    active = tuple(sel.split(",")) if sel else QUERIES
     results: dict = {"axis": "state (distinct keys x stream length)"}
+    if sel and os.path.exists(out_path):
+        with open(out_path) as f:
+            results.update(json.load(f))
     for factor in (1, 100):
         sf_dir = build_events(factor)
-        for name in QUERIES:
+        for name in active:
             r = run_one(spark, name, sf_dir)
             results.setdefault(name, {})[f"f{factor}"] = r
             print(f"f{factor} {name}: {r}", flush=True)
@@ -125,7 +135,10 @@ def main() -> int:
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
     try:
         for name in ("st14_stream_stream_left_join",
-                     "st17_stateful_timeout_sessions"):
+                     "st17_stateful_timeout_sessions",
+                     "st22_session_window_sessions"):
+            if name not in active:
+                continue
             r = run_one(spark, name, build_events(100))
             results[name]["f100_rocksdb"] = r
             print(f"f100[rocksdb] {name}: {r}", flush=True)
@@ -137,7 +150,7 @@ def main() -> int:
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
 
-    for name in QUERIES:
+    for name in active:
         f1, f100 = results[name]["f1"], results[name]["f100"]
         results[name]["wall_ratio"] = round(
             f100["wall_s"] / max(f1["wall_s"], 1e-9), 1

@@ -1107,3 +1107,70 @@ def test_d22_planted_image_pairs_recovered(spark, sf_dir):
     # every pair passing the threshold is a planted sibling (the
     # perturbation is the only sub-threshold phenomenon in the family)
     assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"
+
+
+def test_session_window_emission_boundary(spark, tmp_path):
+    # Pins st22's two boundary semantics empirically (the round-7 probe
+    # method): (a) append-mode emission is NON-strict — a session whose
+    # end (last_ts + 1h) lands EXACTLY on the final watermark
+    # max(ts) - 2h IS emitted (unlike st17's strict GroupState
+    # timeout); (b) session_window merging is INCLUSIVE at the gap — an
+    # event exactly gap after the previous one MERGES into the session
+    # (split only on diff > gap, st17's boundary at us grain).
+    # The st22 oracle encodes both; if a Spark upgrade flips either,
+    # this fails loudly before the sweep does.
+    import pandas as pd
+
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_session_window_stream,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    us = pd.Timedelta(microseconds=1)
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # watermark anchor: max(ts) = t0+10h -> final wm = t0+8h
+        (99, t0 + 10 * h, 1.0),
+        # plainly-closed session: end = t0+10min+1h << wm
+        (1, t0, 1.0),
+        (1, t0 + pd.Timedelta(minutes=10), 2.0),
+        # boundary session: end = t0+7h+1h == wm exactly
+        (2, t0 + 7 * h, 1.0),
+        # just inside: end = wm - 1us
+        (3, t0 + 7 * h - us, 1.0),
+        # merge boundary: second event exactly gap after the first
+        (4, t0, 1.0),
+        (4, t0 + h, 2.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": "probe",
+            "value": [r[2] for r in rows],
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf = str(tmp_path / "probe_sf")
+    os.makedirs(sf)
+    pdf.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = run_session_window_stream(spark, sf)
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in out.collect()
+    }
+    users = {u for (u, _, _) in got}
+    assert 1 in users, "plainly-closed session must be emitted"
+    assert 2 in users, (
+        "emission must be NON-strict: session end == watermark NOT "
+        "emitted — flip the st22 oracle back to < if Spark changed"
+    )
+    assert 3 in users, "session end one microsecond inside the wm"
+    assert 99 not in users, "open tail session must stay in state"
+    u4 = {(s, n) for (u, s, n) in got if u == 4}
+    assert u4 == {(t0.isoformat(), 2)}, (
+        f"diff == gap must MERGE (got {u4}) — flip the st22 oracle's "
+        "new-session predicate to >= if Spark changed semantics"
+    )
