@@ -619,3 +619,128 @@ def dhash_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(
         kern, DHASH_BANDS_SCHEMA
     )
+
+
+def _audio_pair_samples(doc_id: int) -> list:
+    """Centered 8-bit-amplitude samples for the pair-planted AUDIO
+    family: siblings (2k, 2k+1) share a base waveform; the odd sibling
+    perturbs ~1/211 of samples (same multiplicative-hash site rule as
+    the image family, sparser because an energy fingerprint integrates
+    16 samples per window). Sample i is byte i%16 of
+    md5(f"{base}:{i//16}") minus 128 — one digest per 16-sample block,
+    decimal-string keyed so DuckDB's md5() recomputes it exactly. md5
+    for the same reason as _gray_pair_rule: a delta-sign fingerprint is
+    offset-invariant, so any arithmetic rule leaves cross-base
+    structure and unrelated waveforms collide."""
+    base = doc_id // 2
+    odd = doc_id % 2 == 1
+    import hashlib
+
+    out = []
+    for b in range(65):
+        dg = hashlib.md5(f"{base}:{b}".encode()).digest()
+        for t in range(16):
+            i = b * 16 + t
+            v = dg[t]
+            if odd and (i * 2654435761 % 2147483647) % 211 == 0:
+                v = (v + 128) % 256
+            out.append(v - 128)
+    return out
+
+
+def encode_wav_pcm16(samples) -> bytes:
+    """A genuine single-chunk-walkable WAV container: RIFF header,
+    canonical fmt chunk (PCM, mono, 8 kHz, 16-bit), data chunk of
+    little-endian int16 samples."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synth_wav_pair_payloads(df: DataFrame) -> DataFrame:
+    """Genuine WAV payloads under the audio pair-planting rule (same
+    Arrow map shape as synth_png_pair_payloads)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(_audio_pair_samples(int(d)))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return df.select("doc_id").mapInPandas(synth, schema=schema)
+
+
+def audio_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """64-bit audio energy fingerprint as FOUR 16-bit band keys.
+
+    The WAV container is genuinely PARSED (RIFF/WAVE magic asserted,
+    chunks walked to the data chunk — an extra metadata chunk would be
+    skipped correctly), samples decoded as int16 LE, then: 65 windows
+    of 16 samples, integer energy = sum of squares per window (exact in
+    int64), bit j = energy[j+1] > energy[j]. Delta-sign energy bits are
+    the classic audio-fingerprint primitive (Haitsma-Kalker shape,
+    collapsed to one band because the synthetic corpus is white):
+    robust to sparse sample perturbation because each bit integrates 32
+    samples and only a SIGN change of the window delta flips it. Four
+    16-bit keys = the Hamming-LSH blocking unit (see dhash_bands_frame).
+    Integer outputs make cross-engine bit-exactness structural."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "k0": [], "k1": [], "k2": [], "k3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                assert b[0:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+                off, samples = 12, None
+                while off + 8 <= len(b):
+                    cid = b[off : off + 4]
+                    ln = int.from_bytes(b[off + 4 : off + 8], "little")
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            b, dtype="<i2", count=ln // 2, offset=off + 8
+                        )
+                        break
+                    off += 8 + ln + (ln % 2)
+                assert samples is not None, "WAV has no data chunk"
+                e = (
+                    samples.astype(np.int64) ** 2
+                ).reshape(-1, 16).sum(axis=1)
+                bits = e[1:] > e[:-1]
+                out["doc_id"].append(int(doc_id))
+                for m in range(4):
+                    k = 0
+                    for t in range(16):
+                        if bits[m * 16 + t]:
+                            k |= 1 << t
+                    out[f"k{m}"].append(k)
+            yield pd.DataFrame(
+                {c: pd.array(v, dtype="int64") for c, v in out.items()}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kern, DHASH_BANDS_SCHEMA
+    )

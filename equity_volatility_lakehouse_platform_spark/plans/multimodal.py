@@ -1114,6 +1114,47 @@ def mm13_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hamming_band_neardup(hashes: DataFrame, threshold: int = 10) -> DataFrame:
+    """Shared Hamming-LSH tail for every perceptual fingerprint family
+    (d22 images, d23 audio): explode four 16-bit band keys, self-join on
+    (band, key) — ONE hint-pinned shuffle_hash exchange, scale-stable —
+    then verify candidates with the exact Hamming distance (xor +
+    bit_count, pure integer arithmetic)."""
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(m).alias("band"), F.col(f"k{m}").alias("key"))
+            for m in range(4)
+        ]
+    )
+    bands = hashes.select(
+        "doc_id", "k0", "k1", "k2", "k3",
+        F.explode(band_structs).alias("_b"),
+    ).select("doc_id", "k0", "k1", "k2", "k3", "_b.band", "_b.key")
+    a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
+    b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
+    hd = sum(
+        F.bit_count(F.col(f"a_k{m}").bitwiseXOR(F.col(f"b_k{m}")))
+        for m in range(4)
+    )
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .groupBy(
+            F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
+        )
+        .agg(F.max(hd).cast("bigint").alias("hamming"))
+        .select(
+            "doc_a", "doc_b", "hamming",
+            (F.col("hamming") <= threshold).alias("is_near_dup"),
+        )
+    )
+
+
 @register(
     "d22_perceptual_image_neardup",
     # Perceptual near-dup for IMAGES (round 12) — the multimodal leg of
@@ -1194,37 +1235,84 @@ def d22_perceptual_image_neardup(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    hashes = dhash_bands_frame(synth_png_pair_payloads(docs))
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(m).alias("band"), F.col(f"k{m}").alias("key"))
-            for m in range(4)
-        ]
+    return _hamming_band_neardup(
+        dhash_bands_frame(synth_png_pair_payloads(docs))
     )
-    bands = hashes.select(
-        "doc_id", "k0", "k1", "k2", "k3",
-        F.explode(band_structs).alias("_b"),
-    ).select("doc_id", "k0", "k1", "k2", "k3", "_b.band", "_b.key")
-    a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
-    b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
-    hd = sum(
-        F.bit_count(F.col(f"a_k{m}").bitwiseXOR(F.col(f"b_k{m}")))
-        for m in range(4)
+
+
+@register(
+    "d23_perceptual_audio_neardup",
+    # Perceptual near-dup for AUDIO (round 12) — completes the
+    # multimodal dedup leg next to d22's images. Every document carries
+    # a REAL WAV container under the pair-planted sample rule
+    # (operators.multimodal._audio_pair_samples: siblings (2k, 2k+1)
+    # share a base waveform, the odd sibling perturbs ~1/211 of
+    # samples); the engine PARSES the RIFF chunks, decodes int16 LE
+    # PCM, integrates 65 windows of 16 samples into exact int64
+    # energies, and takes the 64 delta-sign bits (Haitsma-Kalker-shaped
+    # fingerprint) as four 16-bit Hamming-LSH bands — each bit
+    # integrates 32 samples, so sparse perturbation almost never flips
+    # a window-delta SIGN (measured: sibling hamming <= 1, unrelated
+    # ~32). Candidate generation and exact-Hamming verify share d22's
+    # band-join tail (_hamming_band_neardup: ONE hint-pinned
+    # shuffle_hash exchange). The oracle recomputes every energy bit
+    # from the md5 sample rule arithmetically — any error in the WAV
+    # header synth, chunk walk, int16 decode, windowing, or band
+    # packing breaks the hash match.
+    oracle="""
+    WITH samp AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 1039), i ->
+               CASE WHEN doc_id % 2 = 1
+                         AND (i * 2654435761 % 2147483647) % 211 = 0
+                    THEN ((CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), (i % 16) * 2 + 1, 2)) AS INT) + 128) % 256) - 128
+                    ELSE CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)), (i % 16) * 2 + 1, 2)) AS INT) - 128
+               END) AS s
+      FROM documents
+    ), energy AS (
+      SELECT doc_id,
+             list_transform(range(0, 65), w ->
+               list_sum(list_transform(range(1, 17), t ->
+                 CAST(s[w * 16 + t] AS BIGINT) * s[w * 16 + t]))) AS e
+      FROM samp
+    ), hashes AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), m ->
+               list_sum(list_transform(range(0, 16), t ->
+                 CASE WHEN e[m * 16 + t + 2] > e[m * 16 + t + 1]
+                      THEN 1 << t ELSE 0 END))) AS ks
+      FROM energy
+    ), bands AS (
+      SELECT doc_id, ks, unnest(range(0, 4)) AS band FROM hashes
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band
+       AND a.ks[a.band + 1] = b.ks[b.band + 1]
+       AND a.doc_id < b.doc_id
     )
-    return (
-        a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a_band") == F.col("b_band"))
-            & (F.col("a_key") == F.col("b_key"))
-            & (F.col("a_doc_id") < F.col("b_doc_id")),
-        )
-        .groupBy(
-            F.col("a_doc_id").alias("doc_a"), F.col("b_doc_id").alias("doc_b")
-        )
-        .agg(F.max(hd).cast("bigint").alias("hamming"))
-        .select(
-            "doc_a", "doc_b", "hamming",
-            (F.col("hamming") <= 10).alias("is_near_dup"),
-        )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.ks[1], hb.ks[1]))
+              + bit_count(xor(ha.ks[2], hb.ks[2]))
+              + bit_count(xor(ha.ks[3], hb.ks[3]))
+              + bit_count(xor(ha.ks[4], hb.ks[4])) AS BIGINT) AS hamming,
+           bit_count(xor(ha.ks[1], hb.ks[1]))
+              + bit_count(xor(ha.ks[2], hb.ks[2]))
+              + bit_count(xor(ha.ks[3], hb.ks[3]))
+              + bit_count(xor(ha.ks[4], hb.ks[4])) <= 10 AS is_near_dup
+    FROM cand c JOIN hashes ha ON c.doc_a = ha.doc_id
+                JOIN hashes hb ON c.doc_b = hb.doc_id
+    """,
+)
+def d23_perceptual_audio_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        audio_fp_bands_frame,
+        synth_wav_pair_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _hamming_band_neardup(
+        audio_fp_bands_frame(synth_wav_pair_payloads(docs))
     )

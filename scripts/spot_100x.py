@@ -103,6 +103,7 @@ QUERIES = [
     # round-12 additions: perceptual image near-dup (real PNG decode +
     # Hamming banding) and the ANN-backed eval loop.
     "d22_perceptual_image_neardup",
+    "d23_perceptual_audio_neardup",
     "ml23_knn_classify_ann",
 ]
 

@@ -1174,3 +1174,32 @@ def test_session_window_emission_boundary(spark, tmp_path):
         f"diff == gap must MERGE (got {u4}) — flip the st22 oracle's "
         "new-session predicate to >= if Spark changed semantics"
     )
+
+
+def test_d23_planted_audio_pairs_recovered(spark, sf_dir):
+    # The audio pair rule perturbs ~1/211 of samples; each fingerprint
+    # bit integrates 32 samples and flips only on a window-delta SIGN
+    # change, so siblings stay within a couple of Hamming bits (design
+    # simulation: mean 0.14, max 1 over 500 pairs) — d23's band join +
+    # exact verify must recover them through the REAL WAV encode/parse
+    # round trip, and no unrelated pair may pass the <= 10 threshold.
+    from equity_volatility_lakehouse_platform_spark.plans.multimodal import (
+        d23_perceptual_audio_neardup,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {(k, k + 1) for k in ids if k % 2 == 0 and k + 1 in ids}
+    rows = d23_perceptual_audio_neardup(spark, sf_dir).collect()
+    near = {(r.doc_a, r.doc_b) for r in rows if r.is_near_dup}
+    assert planted, "fixture must contain sibling pairs"
+    recall = len(planted & near) / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall:.3f} < 0.95"
+    assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"

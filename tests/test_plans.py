@@ -82,6 +82,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "a21_funnel_conversion": 2,    # user window + single-row stage-count agg
         "a33_funnel": 2,               # same recipe: user window + single-row count agg
         "d22_perceptual_image_neardup": 3,  # band join (2 sides) + pair groupBy; synth/dHash are map-only
+        "d23_perceptual_audio_neardup": 3,  # same _hamming_band_neardup tail over the audio fingerprint
         "a22_cohort_retention": 3,     # cohort agg + join + distinct-cell count
         "a23_gini_concentration": 2,   # per-user totals + type-partition rank window
         "t11_zipf_fit": 2,             # term counts + lang rank window/OLS agg
