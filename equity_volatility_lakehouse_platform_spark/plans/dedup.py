@@ -1955,3 +1955,114 @@ def d21_pagerank(
             r6s("pr").alias("pagerank"),
         )
     )
+
+
+@register(
+    "d24_semantic_decontamination",
+    # Benchmark decontamination (round 12) — the LLM-pipeline op the
+    # dedup family stops short of: given a TRAIN split and a held-out
+    # BENCHMARK split (here vec_id % 10 == 0, the pipeline's eval set),
+    # flag every train document whose embedding is tau-similar to ANY
+    # benchmark document, so eval contamination is dropped before
+    # training. Distinct from d06/d17 (symmetric near-dup): the
+    # relation is asymmetric (train screened AGAINST benchmark), the
+    # output is a per-train-doc mask (vec_id, n_hits, max_cosine,
+    # contaminated) covering CLEAN docs too — the filter column a
+    # curation DAG consumes directly. Scale path: one shared sign-LSH
+    # bucketing (auto-provisioned bits, ~256 vectors/bucket at any
+    # corpus) blocks both splits; the probe is a bucket equi-join
+    # (hint-pinned shuffle_hash, linear in bucket occupancy — never
+    # Q x N) and the mask re-join is vec_id-keyed. Neither side is
+    # broadcast: BOTH splits are corpus-sized at 100 TB (unlike sim14's
+    # capped query set). max/count are order-independent aggregates, so
+    # the double threshold compares identically in both engines (the
+    # d06 contract).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bb AS (
+      SELECT GREATEST(2, CASE WHEN (count(*) - 1) // 256 = 0 THEN 0
+          ELSE length(printf('%b', (count(*) - 1) // 256)) END) AS bits
+      FROM e
+    ), b AS (
+      SELECT vec_id, v,
+             CAST(list_reduce(
+               list_transform(range(1, bits + 1),
+                 j -> CASE WHEN list_dot_product(v,
+                        list_transform(range(1, 65),
+                          i -> sin(i * CAST(j AS DOUBLE)))) >= 0
+                      THEN 1 ELSE 0 END),
+               (acc, x) -> acc * 2 + x) AS BIGINT) AS bucket
+      FROM e CROSS JOIN bb
+    ), hits AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS mc
+      FROM (
+        SELECT tr.vec_id,
+               list_dot_product(tr.v, bm.v)
+                 / NULLIF(sqrt(list_dot_product(tr.v, tr.v))
+                          * sqrt(list_dot_product(bm.v, bm.v)), 0) AS cos
+        FROM (SELECT * FROM b WHERE vec_id % 10 <> 0) tr
+        JOIN (SELECT * FROM b WHERE vec_id % 10 = 0) bm
+          ON tr.bucket = bm.bucket
+      )
+      WHERE cos >= 0.25
+      GROUP BY vec_id
+    )
+    SELECT t.vec_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           (ROUND(h.mc, 6) + 0.0) AS max_cosine,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT vec_id FROM e WHERE vec_id % 10 <> 0) t
+    LEFT JOIN hits h ON t.vec_id = h.vec_id
+    """,
+)
+def d24_semantic_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = 0.25,
+    bits: int | None = None,
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        dot,
+        lsh_bucket_frame,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if bits is None:
+        bits = max(2, ((emb.count() - 1) // 256).bit_length())
+    bucketed = lsh_bucket_frame(emb, bits).select(
+        "vec_id", "v", "bucket",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
+    train = bucketed.filter(F.col("vec_id") % 10 != 0)
+    bench = bucketed.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("v").alias("bv"), F.col("bucket").alias("bb"),
+        F.col("nv").alias("nb"),
+    )
+    cos = dot(F.col("v"), F.col("bv")) / F.nullif(
+        F.col("nv") * F.col("nb"), F.lit(0.0)
+    )
+    hits = (
+        train.hint("shuffle_hash")
+        .join(bench, F.col("bucket") == F.col("bb"))
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(tau))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("h_n"),
+            F.max("cos").alias("mc"),
+        )
+    )
+    return (
+        emb.filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("h_n"), F.lit(0)).cast("bigint").alias("n_hits"),
+            r6(F.col("mc")).alias("max_cosine"),
+            (F.coalesce(F.col("h_n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -4106,6 +4106,54 @@ def sql05_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("sql05_events")
 
 
+# Shared-dialect recursive CTE (round 12) — Spark 4's native WITH
+# RECURSIVE (SPARK-24497), executed as the LITERAL oracle string like
+# sql03: proves a user's recursive hierarchy SQL runs UNCHANGED on the
+# engine. The hierarchy is the customer key's decimal-digit forest
+# (parent(k) = k div 10, roots 0-9): depth = digits - 1, so the
+# recursion runs O(log10 N) iterations — at 100 TB key ranges that is
+# ~12 rounds of an equi-join whose probe side shrinks geometrically,
+# never an unbounded loop. The recursive member keeps only k >= 10, so
+# parent(k) < k STRICTLY and termination is structural (custkey 0 is a
+# root; without the guard parent(0) = 0 self-loops and BOTH engines
+# recurse forever — the planted-cycle test pins this guard).
+# Parent derivation uses (k - k % 10) / 10:
+# the numerator is exactly divisible, the true quotient is an integer
+# < 2^53, so the correctly-rounded double division IS exact in both
+# engines (no DIV/// dialect split). Account balances fold as exact
+# cents (the sql05 convention) so the per-(root, depth) totals are
+# order-independent BIGINTs, converted to dollars once at the end.
+_SQL06 = """
+WITH RECURSIVE chain (custkey, root, depth, cents) AS (
+  SELECT c_custkey, c_custkey, 0,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)
+  FROM customer WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+  FROM customer c
+  JOIN chain
+    ON c.c_custkey >= 10
+   AND CAST((c.c_custkey - (c.c_custkey % 10)) / 10 AS BIGINT) = chain.custkey
+)
+SELECT root, CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS acctbal_total
+FROM chain
+GROUP BY root, depth
+"""
+
+
+@register("sql06_recursive_hierarchy", oracle=_SQL06)
+def sql06_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_SQL06)
+
+
 @register(
     "j18_interval_overlap_join",
     # Interval x interval OVERLAP join (round 8) — the operator j05/j13

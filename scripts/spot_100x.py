@@ -105,6 +105,11 @@ QUERIES = [
     "d22_perceptual_image_neardup",
     "d23_perceptual_audio_neardup",
     "ml23_knn_classify_ann",
+    # d24 rides the 100x-replicated embeddings (train AND benchmark
+    # splits both scale). sql06 is NOT spotted on this axis: its input
+    # (customer) is a symlinked dim here, and its cost is O(N_cust)
+    # over log10(key-range) equi-join rounds by construction.
+    "d24_semantic_decontamination",
 ]
 
 

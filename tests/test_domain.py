@@ -1203,3 +1203,76 @@ def test_d23_planted_audio_pairs_recovered(spark, sf_dir):
     recall = len(planted & near) / len(planted)
     assert recall >= 0.95, f"planted-pair recall {recall:.3f} < 0.95"
     assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"
+
+
+# --------------------------------------------------------------- round 12 --
+
+
+def test_d24_planted_contamination(spark, tmp_path):
+    # A train vector IDENTICAL to a benchmark vector must be flagged
+    # contaminated at max_cosine 1.0 (identical vectors always share
+    # the LSH bucket); an anti-parallel train vector (cosine -1, the
+    # one relation bucketing cannot split from its negative) must come
+    # out clean with n_hits 0 / NULL max_cosine; benchmark ids never
+    # appear in the mask.
+    import os
+
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d24_semantic_decontamination,
+    )
+
+    sf_dir = str(tmp_path / "sf_tiny")
+    os.makedirs(sf_dir)
+    a = [1.0, 0.5] + [0.25] * 62
+    rows = [
+        (10, a, 0),                      # benchmark (vec_id % 10 == 0)
+        (11, a, 1),                      # train, identical -> contaminated
+        (12, [-x for x in a], 1),        # train, cosine -1 -> clean
+    ]
+    spark.createDataFrame(
+        [
+            {"vec_id": i, "embedding": [float(x) for x in v], "label": lb}
+            for i, v, lb in rows
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(sf_dir + "/embeddings.parquet")
+    got = {
+        r.vec_id: (r.n_hits, r.max_cosine, r.contaminated)
+        for r in d24_semantic_decontamination(spark, sf_dir).collect()
+    }
+    assert set(got) == {11, 12}, f"mask must cover train ids only: {got}"
+    assert got[11] == (1, 1.0, True)
+    assert got[12] == (0, None, False)
+
+
+def test_sql06_terminates_with_zero_key_and_orphans(spark, tmp_path):
+    # custkey 0 is parent(0) == 0 — without the k >= 10 guard the
+    # recursion re-derives it forever and BOTH engines blow the
+    # recursion limit (found live at sf0.001, where custkeys start at
+    # 0). This fixture also plants an orphan subtree head (custkey 205,
+    # parent 20 absent) which must simply never enter the hierarchy —
+    # termination does not depend on key density.
+    import os
+
+    from equity_volatility_lakehouse_platform_spark.plans.relational import (
+        sql06_recursive_hierarchy,
+    )
+
+    sf_dir = str(tmp_path / "sf_cust")
+    os.makedirs(sf_dir)
+    rows = [(0, 1.0), (1, 2.0), (10, 4.0), (105, 8.0), (205, 16.0)]
+    spark.createDataFrame(
+        [{"c_custkey": k, "c_acctbal": b} for k, b in rows],
+        "c_custkey long, c_acctbal double",
+    ).coalesce(1).write.parquet(sf_dir + "/customer.parquet")
+    got = {
+        (r.root, r.depth): (r.n_nodes, r.acctbal_total)
+        for r in sql06_recursive_hierarchy(spark, sf_dir).collect()
+    }
+    assert got == {
+        (0, 0): (1, 1.0),   # zero key is a root exactly once
+        (1, 0): (1, 2.0),
+        (1, 1): (1, 4.0),   # 10 under 1
+        (1, 2): (1, 8.0),   # 105 under 10
+        # 205 orphaned (parent 20 absent) -> not reachable, not emitted
+    }, got

@@ -482,3 +482,21 @@ def test_d06_bucket_join_pinned_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d06_embedding_neardup")
     assert "ShuffledHashJoin" in plan, "bucket join must shuffle on the key"
     assert "CartesianProduct" not in plan
+
+
+def test_round12_new_query_plans(spark, sf_dir):
+    # d24: the train x benchmark probe is the hint-pinned shuffle_hash
+    # bucket join (NEITHER side broadcasts — both splits are
+    # corpus-sized at 100 TB, unlike sim14's capped query set); the
+    # whole mask costs the bucket shuffle + the vec_id agg/re-join.
+    plan = _plan(spark, sf_dir, "d24_semantic_decontamination")
+    assert "ShuffledHashJoin" in plan, "bucket probe must shuffle on key"
+    assert "CartesianProduct" not in plan
+    got = _exchanges(plan)
+    assert got <= 6, f"d24: {got} exchanges > budget 6"
+    # sql06: the recursion must stay an equi-join per level — a
+    # cartesian inside the loop multiplies by the customer table per
+    # iteration.
+    plan6 = _plan(spark, sf_dir, "sql06_recursive_hierarchy")
+    assert "CartesianProduct" not in plan6
+    assert "BroadcastNestedLoopJoin" not in plan6
