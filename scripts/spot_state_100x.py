@@ -10,12 +10,22 @@ watermark horizon and the stream is 10M rows long; per-key event volume
 stays constant, so correct state handling means wall and state rows grow
 ~linearly with keys — anything superlinear is a state-management bug.
 
-For each of st10/st14/st15/st16/st17 at factor 1 and 100 it records
-wall, output rows, and the state-store telemetry captured by
+For each of st10/st14/st15/st16/st17/st22 at factor 1 and 100 it
+records wall, output rows, and the state-store telemetry captured by
 events_stream.LAST_PROGRESS (numRowsTotal summed over state operators,
 state partitions). A RocksDB-provider variant re-validates the
 HDFS-vs-RocksDB decision of SCALE.md addendum 3 in the large-state
 regime it explicitly left untested.
+
+PROTOCOL (second r12 cut): every cell runs in its OWN subprocess with
+a fresh engine session (session.get_spark — measuring the engine as
+shipped, not a hand-rolled builder). The first cut ran all cells in one
+long-lived JVM: each streaming row localCheckpoints its full output
+(9.1M rows for the sessionizers) into the shared block manager, so
+later cells paid the earlier cells' heap — st22's f100 measured 252 s
+late in a full matrix vs 102 s in a fresh JVM, and every row inflated
+monotonically with run position. Subprocess isolation makes cells
+position-independent and reproducible.
 
 Usage: python scripts/spot_state_100x.py [out.json]
 """
@@ -25,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -44,6 +55,13 @@ QUERIES = (
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
+)
+# RocksDB re-validation in the large-state regime (one stream-stream
+# join + both sessionizers).
+ROCKSDB_QUERIES = (
+    "st14_stream_stream_left_join",
+    "st17_stateful_timeout_sessions",
+    "st22_session_window_sessions",
 )
 
 
@@ -72,15 +90,29 @@ def build_events(factor: int) -> str:
     return root
 
 
-def run_one(spark, name: str, sf_dir: str) -> dict:
+def run_cell(name: str, sf_dir: str, provider: str | None) -> dict:
+    """Run one (query, dataset, provider) cell in THIS process and
+    return its measurement dict. Invoked only in --cell subprocesses."""
     from equity_volatility_lakehouse_platform_spark.plans import (
         all_queries,
         load_all,
     )
+    from equity_volatility_lakehouse_platform_spark.session import get_spark
     from equity_volatility_lakehouse_platform_spark.streaming import (
         events_stream,
     )
 
+    extra = {
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    }
+    if provider == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB
+    spark = get_spark(
+        app_name="spot-state-100x",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=32,
+        extra_conf=extra,
+    )
     load_all()
     t0 = time.time()
     out = all_queries()[name](spark, sf_dir)
@@ -99,21 +131,31 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
     }
 
 
-def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SPOT_STATE_100x_r12.json"
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        .getOrCreate()
+def spawn_cell(name: str, sf_dir: str, provider: str | None) -> dict:
+    """Fresh-JVM measurement: re-exec this script in --cell mode and
+    parse the single JSON line it prints last."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--cell", name,
+           sf_dir, provider or "default"]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"cell {name} ({provider or 'default'}) failed:\n"
+            + proc.stderr[-2000:]
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--cell":
+        name, sf_dir, provider = sys.argv[2], sys.argv[3], sys.argv[4]
+        r = run_cell(name, sf_dir, None if provider == "default" else provider)
+        print(json.dumps(r), flush=True)
+        return 0
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SPOT_STATE_100x_r12.json"
     # SPOT_STATE_QUERIES=a,b runs a subset and MERGES into an existing
     # out file (adding one query must not re-pay the whole matrix).
     sel = os.environ.get("SPOT_STATE_QUERIES")
@@ -125,30 +167,16 @@ def main() -> int:
     for factor in (1, 100):
         sf_dir = build_events(factor)
         for name in active:
-            r = run_one(spark, name, sf_dir)
+            r = spawn_cell(name, sf_dir, None)
             results.setdefault(name, {})[f"f{factor}"] = r
             print(f"f{factor} {name}: {r}", flush=True)
 
-    # RocksDB re-validation in the large-state regime (one stream-stream
-    # join + the applyInPandasWithState sessionizer).
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
-    try:
-        for name in ("st14_stream_stream_left_join",
-                     "st17_stateful_timeout_sessions",
-                     "st22_session_window_sessions"):
-            if name not in active:
-                continue
-            r = run_one(spark, name, build_events(100))
-            results[name]["f100_rocksdb"] = r
-            print(f"f100[rocksdb] {name}: {r}", flush=True)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
+    for name in ROCKSDB_QUERIES:
+        if name not in active:
+            continue
+        r = spawn_cell(name, build_events(100), "rocksdb")
+        results[name]["f100_rocksdb"] = r
+        print(f"f100[rocksdb] {name}: {r}", flush=True)
 
     for name in active:
         f1, f100 = results[name]["f1"], results[name]["f100"]
