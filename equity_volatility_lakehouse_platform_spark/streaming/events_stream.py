@@ -64,6 +64,7 @@ def _run_stream_scoped(
     prefix: str,
     output_mode: str,
     n_copies: int = 1,
+    bytes_per_store: int = 16 << 20,
 ) -> DataFrame:
     """Run a file-source streaming query to a memory sink with EVERY temp
     artifact scoped to the call: one temp root holds the source symlink
@@ -125,16 +126,24 @@ def _run_stream_scoped(
     # four stream-stream joins spent ~27 s under 32 stores vs ~14 s
     # under 8 (interleaved A/B, SCALE.md round-11 addendum 3; RocksDB
     # was SLOWER for bounded one-batch runs — per-store JNI setup). The
-    # count derives from the input size (~16 MB of input per store,
-    # floor 8, capped at the session's parallelism so a 100 TB landing
-    # dir still fans out) and is pinned at query start via the session
-    # conf, restored after — results are partition-count-independent
-    # (oracle-verified at every SF).
+    # count derives from the input size (default ~16 MB of input per
+    # store, floor 8, capped at the session's parallelism so a 100 TB
+    # landing dir still fans out) and is pinned at query start via the
+    # session conf, restored after — results are partition-count-
+    # independent (oracle-verified at every SF). ``bytes_per_store``
+    # is the operator's state-to-input ratio knob: stream-stream joins
+    # buffer only the watermark horizon (16 MB/store measured best,
+    # round-11 A/B), while append-mode session windows buffer EVERY
+    # input row's session until the horizon passes and then pay a
+    # store-serial eviction scan on the flush batch — at 100x keys the
+    # 8-store layout put a 9.1M-session eviction behind 8 threads
+    # (allRemovalsTimeMs 381 s, wall 580 s); 4 MB/store -> 28 stores
+    # cut the same run to 102 s (round-12 addendum 3).
     n_state = max(
         8,
         min(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
-            -(-_input_bytes(path) // (16 << 20)),
+            -(-_input_bytes(path) // bytes_per_store),
         ),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -824,7 +833,12 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail; st22 emits nothing inside the 3h tail horizon.
     """
     return _run_stream_scoped(
-        spark, sf_dir, lambda s: session_window_agg(s), "evsw_", "append"
+        spark, sf_dir, lambda s: session_window_agg(s), "evsw_", "append",
+        # state ~= input for append-mode session windows (every row's
+        # session is buffered until the watermark passes), and the
+        # flush-batch eviction is serial per store — size stores 4x
+        # denser than the join default so the eviction parallelizes.
+        bytes_per_store=4 << 20,
     )
 
 

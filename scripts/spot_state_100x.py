@@ -114,6 +114,12 @@ def run_cell(name: str, sf_dir: str, provider: str | None) -> dict:
         extra_conf=extra,
     )
     load_all()
+    # Warm the fresh JVM on the SMALL (f1) dataset first — codegen, JIT,
+    # state-store machinery, Python worker pool all pay their one-time
+    # cost outside the timed region (the bench.py protocol). Without it
+    # the f1 cells measure ~10 s of cold-start and the wall ratios
+    # deflate to meaninglessness.
+    all_queries()[name](spark, build_events(1)).count()
     t0 = time.time()
     out = all_queries()[name](spark, sf_dir)
     n = out.count()
