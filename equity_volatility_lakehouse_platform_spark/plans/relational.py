@@ -4151,7 +4151,24 @@ def sql06_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_views(spark, sf_dir, ["customer"])
-    return spark.sql(_SQL06)
+    # The chain emits exactly ONE row per customer (each key sits at one
+    # depth), so total recursion rows = N_customer — past Spark 4's
+    # default spark.sql.cteRecursionRowLimit=1,000,000 (~sf10 customer)
+    # the query would throw RECURSION_ROW_LIMIT_EXCEEDED while the
+    # oracle succeeds (round-13 ADVICE). The LEVEL limit (default 100)
+    # is the safety that actually matters here — depth is digits-1,
+    # ~12 at 100 TB key ranges and structurally terminating — so lift
+    # the ROW limit for this plan. The limit is read at EXECUTION time
+    # (measured: a restored session default re-fails a lazy count), so
+    # the recursion must materialize inside the lifted window — the
+    # grouped output is O(roots x depths) ~ 50 rows at any SF, so the
+    # eager localCheckpoint is metadata-cheap (the sql05 convention).
+    row_limit = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    try:
+        return spark.sql(_SQL06).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", row_limit)
 
 
 @register(
@@ -4746,10 +4763,18 @@ def a33_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that week and the retention ratio against the cohort's size.
     # Weeks are integer epoch-week buckets (epoch_us // (7 days of
     # microseconds)) — pure integer arithmetic, no calendar/timezone
-    # divergence between engines. Plan: one user-keyed min (the cohort
-    # assignment), one broadcast-back join, one (cohort, offset)
-    # distinct-count roll-up — the event table shuffles on user_id once
-    # and on the (cohort, offset) key once; both map-side combine.
+    # divergence between engines. Plan (round 13 — the a33 recipe): the
+    # event table shuffles ON USER_ID EXACTLY ONCE, into a groupBy that
+    # computes the cohort (min wk) AND the distinct active weeks
+    # (collect_set, map-side partial) together; the set explodes to
+    # (cohort, offset) cells and a second, cell-volume groupBy counts
+    # members. Cohort SIZE needs no third pass over events: every user
+    # is active at offset 0 by construction (cw = min wk), so n_cohort
+    # IS the off=0 cell's count, read back via one tiny cohort-key
+    # window over the cell table. 3 exchanges total (user_id at event
+    # volume, then two at cell volume), pinned in tests/test_plans.py.
+    # The round-11 shape re-aggregated per (cohort, offset) via a
+    # groupBy+join+distinct chain — 5 exchanges, two at event volume.
     oracle="""
     WITH w AS (
       SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
@@ -4776,31 +4801,32 @@ def a34_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_micros div 7-day-us: INTEGER division on both engines (`div`
     # in Spark, `//` in DuckDB) — a double quotient could misround at a
     # week boundary; integer division cannot.
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.expr("unix_micros(ts) div 604800000000").alias("wk"),
     )
-    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
-    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
-    active = (
-        ev.join(cohort, "user_id")
-        .select("cw", (F.col("wk") - F.col("cw")).alias("off"), "user_id")
-        .distinct()
+    per_user = ev.groupBy("user_id").agg(
+        F.min("wk").alias("cw"),
+        F.collect_set("wk").alias("wks"),
     )
-    ret = F.count(F.lit(1)) * 1.0 / F.col("n_cohort")
-    return (
-        active.join(F.broadcast(sizes), "cw")
-        .groupBy(
-            F.col("cw").alias("cohort_week"),
-            F.col("off").cast("bigint").alias("week_offset"),
-            "n_cohort",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_active"),
-            r6s(ret).alias("retention"),
-        )
-        .select(
-            "cohort_week", "week_offset", "n_active",
-            F.col("n_cohort").cast("bigint").alias("n_cohort"), "retention",
-        )
+    cells = (
+        per_user.select("cw", F.explode("wks").alias("wk"))
+        .select("cw", (F.col("wk") - F.col("cw")).alias("off"))
+        .groupBy("cw", "off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wcw = Window.partitionBy("cw")
+    sized = cells.withColumn(
+        "n_cohort",
+        F.max(F.when(F.col("off") == 0, F.col("n_active"))).over(wcw),
+    )
+    ret = F.col("n_active") * 1.0 / F.col("n_cohort")
+    return sized.select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").cast("bigint").alias("week_offset"),
+        "n_active",
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        r6s(ret).alias("retention"),
     )

@@ -270,21 +270,34 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
         C = np.array(c_vecs)          # (K, D)
         NC = np.array(c_norms)        # (K,)
         K, D = C.shape
+        IDS = np.array(c_ids)
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["v"].to_numpy())          # (n, D)
             nv = pdf["nv"].to_numpy()                  # (n,)
-            cosc = np.empty((len(V), K))
-            for j in range(K):
-                acc = V[:, 0] * C[j, 0]
-                for i in range(1, D):
-                    acc = acc + V[:, i] * C[j, i]      # left-fold order
-                den = nv * NC[j]
+            n = len(V)
+            best = np.empty(n, dtype=np.int64)
+            # DIMENSION-major accumulation over row blocks (round 13 —
+            # d17's _prune recipe): one (block, K) add per dimension in
+            # ascending d, so every (row, centroid) cell folds in the
+            # identical left-to-right sequence as before (and as the
+            # JVM/DuckDB fold), but the Python-level loop is D long
+            # instead of K*D — at auto-provisioned K ~ N/256 the old
+            # per-centroid loop was the 100x-spot bottleneck (62s of
+            # 84s). Blocking bounds the temp at block*K doubles.
+            block = 2048
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                Vb = V[lo:hi]
+                acc = np.multiply.outer(Vb[:, 0], C[:, 0])      # (b, K)
+                for d in range(1, D):
+                    acc = acc + np.multiply.outer(Vb[:, d], C[:, d])
+                den = np.multiply.outer(nv[lo:hi], NC)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cosc[:, j] = np.where(den == 0.0, -np.inf, acc / den)
-            best = np.argmax(cosc, axis=1)             # ties -> lowest j
-            yield pdf.assign(cid=np.array(c_ids)[best])
+                    cosc = np.where(den == 0.0, -np.inf, acc / den)
+                best[lo:hi] = np.argmax(cosc, axis=1)  # ties -> lowest j
+            yield pdf.assign(cid=IDS[best])
 
     return emb.mapInPandas(
         _assign, "vec_id bigint, v array<double>, nv double, cid bigint"
@@ -316,6 +329,71 @@ def ivf_probe(
     )
 
 
+def ivf_probe_topn(emb_q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` coarse-centroid probe WITHOUT a query-side
+    crossJoin (round 13 — ivf_assign's Arrow recipe extended from
+    argmax to arg-top-n, for eval sets that SCALE with the corpus).
+    ml23's eval set is ``N / eval_mod`` queries; scoring it against an
+    auto-provisioned K ~ N/256 codebook via crossJoin + window is
+    O(N^2/(eval_mod*256)) rows through the interpreted HOF fold,
+    whereas this kernel is one numpy pass per Arrow batch in the scan's
+    own partitions. Bit-exactness is the ivf_assign argument: cosc
+    accumulates DIMENSION-SEQUENTIALLY (the DuckDB/JVM left-fold
+    order), zero denominators become -inf (== SQL NULL under DuckDB's
+    default NULLS LAST), and ties resolve by ascending cid via a STABLE
+    argsort over the cid-sorted centroid axis — exactly ``row_number()
+    OVER (ORDER BY cosc DESC, cid)`` <= nprobe. Emits (q_id, qv, qcid),
+    one row per (query, probed list)."""
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    c_ids = [int(r["cid"]) for r in cent_rows]
+    c_vecs = [list(r["cv"]) for r in cent_rows]
+    c_norms = [float(r["nc"]) for r in cent_rows]
+
+    def _probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(c_vecs)          # (K, D)
+        NC = np.array(c_norms)        # (K,)
+        IDS = np.array(c_ids)
+        K, D = C.shape
+        n_keep = min(nprobe, K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())          # (n, D)
+            nv = pdf["nv"].to_numpy()                  # (n,)
+            n = len(V)
+            top = np.empty((n, n_keep), dtype=np.int64)
+            # dimension-major blocked accumulation — see ivf_assign.
+            block = 2048
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                Vb = V[lo:hi]
+                acc = np.multiply.outer(Vb[:, 0], C[:, 0])      # (b, K)
+                for d in range(1, D):
+                    acc = acc + np.multiply.outer(Vb[:, d], C[:, d])
+                den = np.multiply.outer(nv[lo:hi], NC)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosc = np.where(den == 0.0, -np.inf, acc / den)
+                # stable sort over the ascending-cid axis == ties ->
+                # lowest cid
+                top[lo:hi] = np.argsort(-cosc, axis=1, kind="stable")[
+                    :, :n_keep
+                ]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf["vec_id"].to_numpy(), n_keep),
+                    "qv": np.repeat(pdf["v"].to_numpy(), n_keep),
+                    "qcid": IDS[top].ravel(),
+                }
+            )
+
+    return emb_q.mapInPandas(
+        _probe, "q_id bigint, qv array<double>, qcid bigint"
+    )
+
+
 def _ivf_lloyd_step(train: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
     """One spherical-k-means Lloyd iteration over FULL vectors (the
     coarse quantizer's training, round 9): assign each training vector
@@ -325,19 +403,17 @@ def _ivf_lloyd_step(train: DataFrame, cb: DataFrame, dims: int = 64) -> DataFram
     (by vec_id) so Spark and DuckDB sum the identical sequence. Empty
     clusters keep their previous centroid. One tiny shuffle per
     iteration (|clusters| x dims groups); the sample is bounded, so
-    training cost is CONSTANT in corpus size."""
-    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
-        F.col("nv") * F.col("nc"), F.lit(0.0)
-    )
-    scored = train.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "v", "cid", cosc.alias("cosc")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc_nulls_last("cosc"), "cid")
-    asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    training cost is CONSTANT in corpus size.
+
+    The assignment leg rides the ivf_assign Arrow kernel (round 13):
+    the original crossJoin + window folded train_limit x K pairs
+    through the interpreted HOF dot — fine at fixed K=4, but ~35s of
+    ml23's 84s 100x wall once K auto-provisions to ~N/256. The kernel
+    computes the identical left-fold cosc, maps zero denominators to
+    -inf (== NULLS LAST under the old desc_nulls_last ORDER BY), and
+    breaks ties toward the lowest cid (argmax-first over the
+    cid-sorted axis) — assignments are bit-identical."""
+    asg = ivf_assign(train, cb).select("vec_id", "v", "cid")
     grouped = asg.groupBy("cid").agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("lst"),
         F.count(F.lit(1)).alias("n"),
@@ -910,14 +986,13 @@ def ml13_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ML23_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
-    ), c AS (
-      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (5, 17, 29, 41)
-    ), sc AS (
-      SELECT e.vec_id, e.v, e.label, c.cid,
-             list_dot_product(e.v, c.cv)
+    ){train}
+    , sc AS (
+      SELECT e.vec_id, e.v, e.label, cb.cid,
+             list_dot_product(e.v, cb.cv)
                / NULLIF(sqrt(list_dot_product(e.v, e.v))
-                        * sqrt(list_dot_product(c.cv, c.cv)), 0) AS cosc
-      FROM e CROSS JOIN c
+                        * sqrt(list_dot_product(cb.cv, cb.cv)), 0) AS cosc
+      FROM e CROSS JOIN icb2 cb
     ), assigned AS (
       SELECT vec_id, v, cid
       FROM (SELECT vec_id, v, cid,
@@ -977,59 +1052,81 @@ _ML23_SQL = """
 
 @register(
     "ml23_knn_classify_ann",
-    # ml12 with the brute-force cross join swapped for sim04's IVF
-    # shortlist (round 12) — the PRODUCTION eval loop once the ANN stack
-    # ships, with ml12 kept as the documented brute-force audit. Every
-    # 20th vector is an eval query; its candidates come from probing the
-    # 2 nearest inverted lists (fixed coarse codebook, the sim04
-    # contract), a 16-dim partial dot caps each probed list at 64, and
-    # only the capped ids pay the exact cosine re-rank before the same
-    # majority vote ml12 runs. Per-query cost is O(nprobe * cap)
-    # REGARDLESS of corpus size — the audit's per-query cost is O(N).
-    # Physical shape mirrors sim04: Arrow-kernel coarse assignment with
-    # zero corpus shuffle, eval set broadcast (fixed-size sample by
-    # construction — ml12's documented contract), late materialization
-    # of vectors and labels for capped ids only.
+    # ml12 with the brute-force cross join swapped for the IVF
+    # shortlist — the PRODUCTION eval loop once the ANN stack ships,
+    # with ml12 kept as the documented brute-force audit. Every
+    # `eval_mod`-th vector is an eval query, so the eval set SCALES
+    # with the corpus (ml12's contract) — which is why every knob and
+    # join here must scale on the corpus axis too (round 13; round 12's
+    # fixed 4-centroid codebook made candidate volume
+    # O(N^2/(eval_mod*K)) and the 100x corpus spot leg was killed at
+    # 35 minutes):
+    #   * the coarse quantizer auto-provisions K = max(4, ceil(N/256))
+    #     (the d06/sim13/d17 integer contract — ~256-vector inverted
+    #     lists at any corpus) and is TRAINED via ivf_train_centroids
+    #     (bounded sample, bit-exact DuckDB mirror CTE), so per-query
+    #     candidate volume is O(nprobe * N/K) ~= nprobe * 256 and
+    #     TOTAL candidate volume is O(N * nprobe * 256 / eval_mod) —
+    #     linear in the corpus;
+    #   * the probe stage is the Arrow arg-top-n kernel ivf_probe_topn
+    #     in the scan's own partitions — no query-side crossJoin
+    #     against a codebook whose K now scales;
+    #   * NO side carries a broadcast hint: queries, candidates, and
+    #     capped ids all grow O(N), so the probe join and the late-
+    #     materialization joins shuffle on their keys (cid / vec_id /
+    #     q_id — cid cardinality scales with K, lists stay ~256, so the
+    #     shuffle is skew-free by construction); only 16-dim slices
+    #     shuffle before the cap, full vectors only for capped ids.
+    # A 16-dim partial dot caps each probed list at `per_probe_cap`;
+    # only capped ids pay the exact cosine re-rank before the same
+    # majority vote ml12 runs.
     oracle=_ML23_SQL,
 )
 def ml23_knn_classify_ann(
     spark: SparkSession,
     sf_dir: str,
     eval_mod: int = 20,
-    centroid_ids: tuple = (5, 17, 29, 41),
     nprobe: int = 2,
     per_probe_cap: int = 64,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     emb = _ivf_emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id").isin(*centroid_ids)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-        F.col("nv").alias("nc"),
-    )
+    if n_centroids is None:
+        # ceil(N/256) in pure integer arithmetic (the d06 auto-bits
+        # contract, dedup.py) — one cheap count job provisions
+        # ~256-vector inverted lists at every corpus scale; floor 4
+        # keeps tiny fixtures meaningful.
+        n_centroids = max(4, (emb.count() + 255) // 256)
+    cent = ivf_train_centroids(
+        emb, n_centroids=n_centroids, iters=2
+    ).localCheckpoint(eager=False)
     assigned = ivf_assign(emb, cent)
-    # Probe stage over the eval sample (ivf_probe's shape with the
-    # eval_mod predicate instead of the first-n one).
-    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
-        F.col("nv") * F.col("nc"), F.lit(0.0)
+    qprobe = ivf_probe_topn(
+        emb.filter(F.col("vec_id") % eval_mod == 0), cent, nprobe
     )
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cosc"), "cid")
-    qprobe = (
-        emb.filter(F.col("vec_id") % eval_mod == 0)
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", cosc.alias("cosc"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-            F.col("cid").alias("qcid"),
-        )
+    # Only the 16-dim prefix crosses the cid shuffle; the partial-dot
+    # chain folds it left-to-right == list_slice + list_dot_product.
+    a16 = assigned.select(
+        "vec_id", "cid", F.slice("v", 1, 16).alias("v16")
     )
-    part = F.element_at(F.col("qv"), 1) * F.element_at(F.col("v"), 1)
+    q16 = qprobe.select(
+        "q_id", "qcid", F.slice("qv", 1, 16).alias("qv16")
+    )
+    part = F.element_at(F.col("qv16"), 1) * F.element_at(F.col("v16"), 1)
     for i in range(2, 17):
-        part = part + F.element_at(F.col("qv"), i) * F.element_at(F.col("v"), i)
+        part = part + F.element_at(F.col("qv16"), i) * F.element_at(
+            F.col("v16"), i
+        )
+    # shuffle_hash hints pin ONE physical shape at every scale: without
+    # them the planner broadcasts the (smaller but O(N)) probe side at
+    # test SFs and flips to shuffle at 100x — exactly the plan cliff the
+    # spot's exchange gate exists to catch. SHJ on cid is the at-scale
+    # plan by construction (lists ~256 rows, skew-free), and AQE can
+    # still locally re-optimize at runtime without changing the plan.
     cand0 = (
-        F.broadcast(qprobe)
+        q16.hint("shuffle_hash")
         .join(
-            assigned,
+            a16,
             (F.col("qcid") == F.col("cid"))
             & (F.col("vec_id") != F.col("q_id")),
         )
@@ -1053,9 +1150,9 @@ def ml23_knn_classify_ann(
         F.lit(0.0),
     )
     cand = (
-        F.broadcast(capped)
+        capped.hint("shuffle_hash")
         .join(base, "vec_id")
-        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
+        .join(qvec.hint("shuffle_hash"), F.col("q_id") == F.col("qq_id"))
         .select("q_id", "true_label", "vec_id", "label", cos.alias("cos"))
     )
     wnn = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -1077,6 +1174,25 @@ def ml23_knn_classify_ann(
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+def _ml23_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r2
+
+    # Auto-K mirror (the d17 recipe): the SQL derives the identical
+    # K = max(4, ceil(N/256)) from the corpus count with DuckDB's
+    # integer division, then trains the same 2-iteration ordered-fold
+    # k-means, so codebook, assignment, and probe are bit-exact
+    # cross-engine at every scale factor.
+    return _r2.all_oracles()["ml23_knn_classify_ann"].replace(
+        "{train}",
+        _ivf_train_sql("(SELECT GREATEST(4, (count(*) + 255) // 256) FROM e)"),
+    )
+
+
+from equity_volatility_lakehouse_platform_spark.plans import registry as _reg_m  # noqa: E402
+
+_reg_m.set_oracle("ml23_knn_classify_ann", _ml23_oracle())
 
 
 @register(

@@ -104,19 +104,16 @@ QUERIES = [
     # Hamming banding) and the ANN-backed eval loop.
     "d22_perceptual_image_neardup",
     "d23_perceptual_audio_neardup",
-    # ml23 is EXCLUDED from the corpus axis (kept on the query axis):
-    # its eval set scales with the corpus (vec_id % eval_mod) while its
-    # coarse quantizer is 4 FIXED sample centroids, so probe candidates
-    # grow O(N^2 / (eval_mod * K)) — the 100x leg was killed at 35 min
-    # (2 straggler tasks, 6B candidate pairs). The named fix is the
-    # d17/d03 recipe applied to its last knob: auto-K centroids via
-    # ivf_train_centroids with the oracle's centroid CTE in lockstep
-    # (SCALE.md round-12 addendum 4).
     # d24 rides the 100x-replicated embeddings (train AND benchmark
     # splits both scale). sql06 is NOT spotted on this axis: its input
     # (customer) is a symlinked dim here, and its cost is O(N_cust)
     # over log10(key-range) equi-join rounds by construction.
     "d24_semantic_decontamination",
+    # round-13: ml23 REJOINS the corpus axis (r12 excluded it — fixed
+    # 4-centroid codebook made candidates O(N^2/(eval_mod*K)); the
+    # coarse quantizer now auto-provisions K = max(4, ceil(N/256)) and
+    # trains via ivf_train_centroids, so candidate volume is linear).
+    "ml23_knn_classify_ann",
 ]
 
 
@@ -227,6 +224,10 @@ REBUILD = {
     # per label-propagation round).
     "snk20_incremental_view_maintenance",
     "d10_cosine_dup_clusters",
+    # ml23 counts the corpus and trains its auto-K coarse quantizer at
+    # build time (lazily checkpointed) — rebuild so every timed run
+    # pays count + training + serve.
+    "ml23_knn_classify_ann",
 }
 
 

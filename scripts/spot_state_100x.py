@@ -120,6 +120,18 @@ def run_cell(name: str, sf_dir: str, provider: str | None) -> dict:
     # the f1 cells measure ~10 s of cold-start and the wall ratios
     # deflate to meaninglessness.
     all_queries()[name](spark, build_events(1)).count()
+    # Pre-touch the TIMED dataset too (round-13 ADVICE): the f1 warmup
+    # leaves the f1 input page-cached while an f100 cell would first-
+    # touch its 112 MB input inside the timed region — wall_ratio was
+    # systematically inflated by cold-read I/O on a host already
+    # documented as I/O-noisy. A raw byte read guarantees page-cache
+    # residency regardless of parquet pruning, so both factors time
+    # equally-cached inputs.
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     t0 = time.time()
     out = all_queries()[name](spark, sf_dir)
     n = out.count()

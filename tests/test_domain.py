@@ -1276,3 +1276,28 @@ def test_sql06_terminates_with_zero_key_and_orphans(spark, tmp_path):
         (1, 2): (1, 8.0),   # 105 under 10
         # 205 orphaned (parent 20 absent) -> not reachable, not emitted
     }, got
+
+
+def test_sql06_survives_recursion_row_limit(spark, sf_dir):
+    # Round-13 ADVICE: the chain emits one row per customer, so Spark
+    # 4's default cteRecursionRowLimit=1,000,000 fails the query past
+    # ~1M customers while the oracle succeeds. The builder must lift
+    # the ROW limit for its own execution (and restore the session
+    # default) — pinned by setting a session limit BELOW the sf0.001
+    # customer count (150) and checking the query still completes AND
+    # the eager materialization happened inside the lifted window (a
+    # lazy plan re-reads the restored conf at action time and fails —
+    # measured before the fix).
+    from equity_volatility_lakehouse_platform_spark.plans.relational import (
+        sql06_recursive_hierarchy,
+    )
+
+    key = "spark.sql.cteRecursionRowLimit"
+    prev = spark.conf.get(key, "1000000")
+    spark.conf.set(key, "50")
+    try:
+        df = sql06_recursive_hierarchy(spark, sf_dir)
+        assert spark.conf.get(key) == "50", "builder must restore the conf"
+        assert df.count() > 0
+    finally:
+        spark.conf.set(key, prev)

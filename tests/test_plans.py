@@ -81,6 +81,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "j17_asof_nearest": 2,         # quotes groupBy + one shared union-window sort
         "a21_funnel_conversion": 2,    # user window + single-row stage-count agg
         "a33_funnel": 2,               # same recipe: user window + single-row count agg
+        "a34_retention_cohorts": 3,    # user groupBy (event volume) + 2 cell-volume aggs
         "d22_perceptual_image_neardup": 3,  # band join (2 sides) + pair groupBy; synth/dHash are map-only
         "d23_perceptual_audio_neardup": 3,  # same _hamming_band_neardup tail over the audio fingerprint
         "a22_cohort_retention": 3,     # cohort agg + join + distinct-cell count
@@ -496,7 +497,18 @@ def test_round12_new_query_plans(spark, sf_dir):
     assert got <= 6, f"d24: {got} exchanges > budget 6"
     # sql06: the recursion must stay an equi-join per level — a
     # cartesian inside the loop multiplies by the customer table per
-    # iteration.
-    plan6 = _plan(spark, sf_dir, "sql06_recursive_hierarchy")
+    # iteration. The registered builder eagerly checkpoints (its plan
+    # is an opaque scan), so explain the literal statement it executes.
+    from equity_volatility_lakehouse_platform_spark.plans.relational import _SQL06
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ["customer"])
+    df6 = spark.sql(_SQL06)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan6 = df6._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan6
     assert "BroadcastNestedLoopJoin" not in plan6
