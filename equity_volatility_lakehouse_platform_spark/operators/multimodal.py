@@ -744,3 +744,163 @@ def audio_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFra
     return df.select("doc_id", payload_col).mapInPandas(
         kern, DHASH_BANDS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair-planted VIDEO family (round 13 — the last modality leg of the
+# perceptual dedup story, next to d22's images and d23's audio).
+# A clip is VIDEO_N_FRAMES genuine PNG frames (the d22 image family
+# keyed additionally by frame index) inside a real ISO-BMFF-shaped
+# container: ftyp + a variable-length free box + mdat holding
+# length-prefixed frames, so any fixed-offset shortcut fails and the
+# engine pays a real top-level box walk (the mm12 discipline).
+# Siblings (2k, 2k+1) share a base clip; the odd sibling perturbs
+# ~1/53 of pixels in EVERY frame (a re-encode/watermark stand-in),
+# site-keyed by (frame, idx) so different frames perturb different
+# pixels.
+# ---------------------------------------------------------------------------
+
+VIDEO_N_FRAMES = 6
+VIDEO_EVERY_N = 2  # mm04's sampling contract: keep frames f % every_n == 0
+VIDEO_N_SAMPLED = len(range(0, VIDEO_N_FRAMES, VIDEO_EVERY_N))  # = 3
+
+
+def _video_pair_rule(doc_id: int, frame: int):
+    """value(idx, channel) for frame ``frame`` of the pair-planted
+    video family. Pixel (y, x) is byte x of md5(f"{base}:{frame}:{y}")
+    — the _gray_pair_rule device with the frame index in the digest
+    key, decimal-string keyed so DuckDB's md5() recomputes it exactly.
+    The odd sibling's perturbation site hash folds the frame in
+    ((frame * 10007 + idx) * 2654435761 % 2147483647) % 53 == 0 so the
+    ~1/53 perturbed pixels differ per frame."""
+    base = doc_id // 2
+    odd = doc_id % 2 == 1
+    w, _h = _pair_dims(doc_id)
+    import hashlib
+
+    row_hex: dict[int, str] = {}
+
+    def pix(idx: int, c: int) -> int:  # noqa: ARG001 — channels equal
+        y, x = idx // w, idx % w
+        hx = row_hex.get(y)
+        if hx is None:
+            hx = hashlib.md5(f"{base}:{frame}:{y}".encode()).hexdigest()
+            row_hex[y] = hx
+        v = int(hx[2 * x : 2 * x + 2], 16)
+        if odd and ((frame * 10007 + idx) * 2654435761 % 2147483647) % 53 == 0:
+            v = (v + 128) % 256
+        return v
+
+    return pix
+
+
+def _bmff_box(tag: bytes, data: bytes) -> bytes:
+    return (8 + len(data)).to_bytes(4, "big") + tag + data
+
+
+def encode_video_clip(doc_id: int) -> bytes:
+    """Genuine container bytes for one clip: ftyp + free(doc_id % 7
+    filler bytes — variable, forces a real walk) + mdat of
+    VIDEO_N_FRAMES [4-byte BE length][PNG] records. Frames share the
+    clip's (w, h) — real clips have constant frame geometry."""
+    w, h = _pair_dims(doc_id)
+    frames = []
+    for f in range(VIDEO_N_FRAMES):
+        png = encode_png_rgb(w, h, _video_pair_rule(doc_id, f))
+        frames.append(len(png).to_bytes(4, "big") + png)
+    ftyp = _bmff_box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    free = _bmff_box(b"free", b"\x00" * (doc_id % 7))
+    mdat = _bmff_box(b"mdat", b"".join(frames))
+    return ftyp + free + mdat
+
+
+def synth_video_pair_payloads(df: DataFrame) -> DataFrame:
+    """Genuine clip payloads under the pair-planting rule (same Arrow
+    map shape as synth_png_pair_payloads)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_video_clip(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return df.select("doc_id").mapInPandas(synth, schema=schema)
+
+
+VIDEO_BANDS_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [
+        T.StructField(f"k{m}", T.LongType())
+        for m in range(4 * VIDEO_N_SAMPLED)
+    ]
+)
+
+
+def video_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Frame-sampled 192-bit clip fingerprint as TWELVE 16-bit band
+    keys: walk the container's top-level boxes to mdat (real byte
+    walk — the free box's variable length makes offsets data-
+    dependent), split the length-prefixed frames, keep every
+    VIDEO_EVERY_N-th frame (mm04's sampling rule), dHash each sampled
+    frame exactly as dhash_bands_frame does (floor-resample to 9x8,
+    bit j = grid[y][x+1] > grid[y][x]), and concatenate the sampled
+    frames' four 16-bit words in frame order. Twelve keys = the
+    Hamming-LSH blocking unit over the CLIP fingerprint: a near-dup
+    clip (sparse per-frame perturbation) keeps most words unchanged
+    and collides; unrelated clips differ in ~96/192 bits and do not.
+    Map-only Arrow kernel — payload bytes never shuffle."""
+
+    n_words = 4 * VIDEO_N_SAMPLED
+    cols = ["doc_id"] + [f"k{m}" for m in range(n_words)]
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                pos, mdat = 0, None
+                while pos + 8 <= len(buf):
+                    size = int.from_bytes(buf[pos : pos + 4], "big")
+                    if buf[pos + 4 : pos + 8] == b"mdat":
+                        mdat = buf[pos + 8 : pos + size]
+                        break
+                    pos += size
+                assert mdat is not None, "clip has no mdat box"
+                frames, p = [], 0
+                while p + 4 <= len(mdat):
+                    ln = int.from_bytes(mdat[p : p + 4], "big")
+                    frames.append(mdat[p + 4 : p + 4 + ln])
+                    p += 4 + ln
+                words = []
+                for fi in range(0, len(frames), VIDEO_EVERY_N):
+                    w, h, px = _rgb_pixels(frames[fi])
+                    g = [
+                        px[((y * h // 8) * w + (x * w // 9)) * 3]
+                        for y in range(8)
+                        for x in range(9)
+                    ]
+                    for m in range(4):
+                        k = 0
+                        for t in range(16):
+                            j = m * 16 + t
+                            y, x = j // 8, j % 8
+                            if g[y * 9 + x + 1] > g[y * 9 + x]:
+                                k |= 1 << t
+                        words.append(k)
+                out["doc_id"].append(int(doc_id))
+                for m in range(n_words):
+                    out[f"k{m}"].append(words[m])
+            yield pd.DataFrame(
+                {c: pd.array(v, dtype="int64") for c, v in out.items()}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kern, VIDEO_BANDS_SCHEMA
+    )

@@ -1114,27 +1114,32 @@ def mm13_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hamming_band_neardup(hashes: DataFrame, threshold: int = 10) -> DataFrame:
+def _hamming_band_neardup(
+    hashes: DataFrame, threshold: int = 10, n_bands: int = 4
+) -> DataFrame:
     """Shared Hamming-LSH tail for every perceptual fingerprint family
-    (d22 images, d23 audio): explode four 16-bit band keys, self-join on
-    (band, key) — ONE hint-pinned shuffle_hash exchange, scale-stable —
-    then verify candidates with the exact Hamming distance (xor +
-    bit_count, pure integer arithmetic)."""
+    (d22 images, d23 audio, d25 video clips — the latter with twelve
+    bands over its frame-concatenated 192-bit fingerprint): explode the
+    16-bit band keys, self-join on (band, key) — ONE hint-pinned
+    shuffle_hash exchange, scale-stable — then verify candidates with
+    the exact Hamming distance (xor + bit_count, pure integer
+    arithmetic)."""
+    kcols = [f"k{m}" for m in range(n_bands)]
     band_structs = F.array(
         *[
             F.struct(F.lit(m).alias("band"), F.col(f"k{m}").alias("key"))
-            for m in range(4)
+            for m in range(n_bands)
         ]
     )
     bands = hashes.select(
-        "doc_id", "k0", "k1", "k2", "k3",
+        "doc_id", *kcols,
         F.explode(band_structs).alias("_b"),
-    ).select("doc_id", "k0", "k1", "k2", "k3", "_b.band", "_b.key")
+    ).select("doc_id", *kcols, "_b.band", "_b.key")
     a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
     hd = sum(
         F.bit_count(F.col(f"a_k{m}").bitwiseXOR(F.col(f"b_k{m}")))
-        for m in range(4)
+        for m in range(n_bands)
     )
     return (
         a.hint("shuffle_hash")
@@ -1315,4 +1320,113 @@ def d23_perceptual_audio_neardup(
     docs = load_table(spark, sf_dir, "documents")
     return _hamming_band_neardup(
         audio_fp_bands_frame(synth_wav_pair_payloads(docs))
+    )
+
+
+_D25_HD = """bit_count(xor(ha.ks[1], hb.ks[1]))
+              + bit_count(xor(ha.ks[2], hb.ks[2]))
+              + bit_count(xor(ha.ks[3], hb.ks[3]))
+              + bit_count(xor(ha.ks[4], hb.ks[4]))
+              + bit_count(xor(ha.ks[5], hb.ks[5]))
+              + bit_count(xor(ha.ks[6], hb.ks[6]))
+              + bit_count(xor(ha.ks[7], hb.ks[7]))
+              + bit_count(xor(ha.ks[8], hb.ks[8]))
+              + bit_count(xor(ha.ks[9], hb.ks[9]))
+              + bit_count(xor(ha.ks[10], hb.ks[10]))
+              + bit_count(xor(ha.ks[11], hb.ks[11]))
+              + bit_count(xor(ha.ks[12], hb.ks[12]))"""
+
+
+@register(
+    "d25_perceptual_video_neardup",
+    # Perceptual near-dup for VIDEO (round 13) — the last modality leg
+    # of the dedup ladder (BASELINE multimodal story): d22's dHash
+    # applied to SAMPLED FRAMES of a real container. Every document
+    # carries a genuine ISO-BMFF-shaped clip (ftyp + variable free +
+    # mdat of length-prefixed REAL PNG frames) under the pair-planted
+    # rule (operators.multimodal._video_pair_rule: siblings (2k, 2k+1)
+    # share a base clip; the odd sibling perturbs ~1/53 of pixels in
+    # EVERY frame, site-keyed per frame). The engine WALKS the top-
+    # level boxes to mdat (variable free box defeats fixed offsets),
+    # splits the frames, keeps every 2nd frame (mm04's sampling
+    # contract: 6 frames -> frames 0/2/4), dHashes each through the
+    # real zlib decode + floor resample, and concatenates the three
+    # 64-bit frame hashes into a 192-bit clip fingerprint banded as
+    # TWELVE 16-bit Hamming-LSH keys — sparse per-frame perturbation
+    # leaves most words unchanged (sibling hamming <= ~12/192), so
+    # near-dup clips collide on an unchanged band while unrelated
+    # clips (~96/192 bits apart) almost never do; candidates pay the
+    # exact 192-bit Hamming verify (threshold 30 = d22's 10 per 64
+    # bits). The oracle recomputes every bit of every sampled frame
+    # from the pixel rule arithmetically: any error in the box walk,
+    # frame split, PNG decode, resample, frame ORDER, or band packing
+    # breaks the hash match. 100 TB shape: two map-only Arrow stages
+    # (clip synth + walk/decode/fingerprint), ONE hint-pinned
+    # shuffle_hash exchange on the 16-bit band key, verify on
+    # colliding pairs only — linear in collisions at any corpus;
+    # un-sampled frames are never decoded.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + (doc_id // 2) % 9 AS w,
+             8 + ((doc_id // 2) // 9) % 9 AS h
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, w, h, unnest([0, 2, 4]) AS f FROM dims
+    ), sidx AS (
+      SELECT doc_id, w, f,
+             list_transform(generate_series(0, 71),
+               k -> ((k // 9) * h // 8) * w + ((k % 9) * w // 9)) AS si
+      FROM fr
+    ), gray AS (
+      SELECT doc_id, f,
+             list_transform(si, i ->
+               CASE WHEN doc_id % 2 = 1
+                         AND ((f * 10007 + i) * 2654435761
+                              % 2147483647) % 53 = 0
+                    THEN (CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(i // w AS VARCHAR)), (i % w) * 2 + 1, 2)) AS INT)
+                          + 128) % 256
+                    ELSE CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':' || CAST(i // w AS VARCHAR)), (i % w) * 2 + 1, 2)) AS INT)
+               END) AS gv
+      FROM sidx
+    ), fhash AS (
+      SELECT doc_id, f,
+             list_transform(range(0, 4), m ->
+               list_sum(list_transform(range(0, 16), t ->
+                 CASE WHEN gv[((m*16 + t) // 8) * 9 + ((m*16 + t) % 8) + 2]
+                           > gv[((m*16 + t) // 8) * 9 + ((m*16 + t) % 8) + 1]
+                      THEN 1 << t ELSE 0 END))) AS w4
+      FROM gray
+    ), hashes AS (
+      SELECT doc_id, flatten(list(w4 ORDER BY f)) AS ks
+      FROM fhash GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, ks, unnest(range(0, 12)) AS band FROM hashes
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band
+       AND a.ks[a.band + 1] = b.ks[b.band + 1]
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(""" + _D25_HD + """ AS BIGINT) AS hamming,
+           """ + _D25_HD + """ <= 30 AS is_near_dup
+    FROM cand c JOIN hashes ha ON c.doc_a = ha.doc_id
+                JOIN hashes hb ON c.doc_b = hb.doc_id
+    """,
+)
+def d25_perceptual_video_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
+        synth_video_pair_payloads,
+        video_fp_bands_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _hamming_band_neardup(
+        video_fp_bands_frame(synth_video_pair_payloads(docs)),
+        threshold=30,
+        n_bands=12,
     )

@@ -114,6 +114,9 @@ QUERIES = [
     # coarse quantizer now auto-provisions K = max(4, ceil(N/256)) and
     # trains via ivf_train_centroids, so candidate volume is linear).
     "ml23_knn_classify_ann",
+    # round-13: perceptual VIDEO near-dup (frame-sampled dHash over the
+    # real container walk) completes the d22/d23 modality triad.
+    "d25_perceptual_video_neardup",
 ]
 
 

@@ -1109,6 +1109,84 @@ def test_d22_planted_image_pairs_recovered(spark, sf_dir):
     assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"
 
 
+def test_d25_planted_video_pairs_recovered(spark, sf_dir):
+    # The pair-planting rule makes (2k, 2k+1) siblings perceptual
+    # near-dup CLIPS (~1/53 of pixels perturbed in every frame -> a few
+    # dHash bits flip per sampled frame); d25's band join + exact
+    # 192-bit Hamming verify must recover nearly all of them through
+    # the REAL container walk + frame split + PNG decode round trip,
+    # and no unrelated pair may pass the <= 30 threshold.
+    from equity_volatility_lakehouse_platform_spark.plans.multimodal import (
+        d25_perceptual_video_neardup,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {(k, k + 1) for k in ids if k % 2 == 0 and k + 1 in ids}
+    rows = d25_perceptual_video_neardup(spark, sf_dir).collect()
+    near = {(r.doc_a, r.doc_b) for r in rows if r.is_near_dup}
+    assert planted, "fixture must contain sibling pairs"
+    recall = len(planted & near) / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall:.3f} < 0.95"
+    assert near <= planted, f"false near-dups: {sorted(near - planted)[:5]}"
+
+
+def test_d25_unsampled_frame_changes_are_invisible(spark, sf_dir):
+    # The fingerprint must depend ONLY on the sampled frames (0/2/4):
+    # perturbing an un-sampled frame's pixels must not change any band
+    # key — pins the mm04 every_n=2 sampling contract inside the kernel
+    # (a sampling regression to "all frames" would silently pass the
+    # near-dup tests while 2x-ing decode cost at 100 TB).
+    from equity_volatility_lakehouse_platform_spark.operators import (
+        multimodal as om,
+    )
+
+    doc = 40
+    clip = om.encode_video_clip(doc)
+
+    # Rebuild the clip with frame 1 (un-sampled) replaced by frame 3's
+    # content (any different real PNG of the same dims).
+    def frames_of(buf):
+        pos = 0
+        while pos + 8 <= len(buf):
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            if buf[pos + 4 : pos + 8] == b"mdat":
+                mdat = buf[pos + 8 : pos + size]
+                out, p = [], 0
+                while p + 4 <= len(mdat):
+                    ln = int.from_bytes(mdat[p : p + 4], "big")
+                    out.append(mdat[p + 4 : p + 4 + ln])
+                    p += 4 + ln
+                return buf[:pos], out
+            pos += size
+        raise AssertionError("no mdat")
+
+    head, frames = frames_of(clip)
+    mutated = list(frames)
+    mutated[1] = frames[3]
+    mdat = b"".join(len(f).to_bytes(4, "big") + f for f in mutated)
+    clip2 = head + (8 + len(mdat)).to_bytes(4, "big") + b"mdat" + mdat
+
+    df = spark.createDataFrame(
+        [(doc, bytearray(clip)), (doc + 1000, bytearray(clip2))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: [r[f"k{m}"] for m in range(12)]
+        for r in om.video_fp_bands_frame(df).collect()
+    }
+    assert rows[doc] == rows[doc + 1000], (
+        "fingerprint changed when only an un-sampled frame changed"
+    )
+
+
 def test_session_window_emission_boundary(spark, tmp_path):
     # Pins st22's two boundary semantics empirically (the round-7 probe
     # method): (a) append-mode emission is NON-strict — a session whose
