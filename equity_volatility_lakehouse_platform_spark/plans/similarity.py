@@ -442,18 +442,25 @@ def ivf_train_centroids(
     emb: DataFrame,
     n_centroids: int = 4,
     iters: int = 2,
-    train_limit: int = 2048,
+    train_limit: int | None = None,
 ) -> DataFrame:
     """Distributed spherical k-means for the IVF COARSE quantizer
     (round 9; the fine/PQ analogue is ``pq_train_codebook``). Seed =
     the ``n_centroids`` lowest vec_ids' vectors; training reads only
     the ``train_limit`` lowest-id vectors (the bounded-sample recipe —
-    codebooks need ~100-1000x n_centroids vectors, not the corpus).
-    Returns (cid, cv, nc) — the same shape the seed quantizer produced,
-    so ``ivf_assign``/``ivf_probe`` compose unchanged. Round-8's
-    4-vector SEED quantizer put sim09's composed recall@3 at 0.56
-    (SCALE.md); training is the standard fix (FAISS trains the coarse
-    quantizer before building inverted lists)."""
+    codebooks need a multiple of n_centroids vectors, not the corpus).
+    ``train_limit`` defaults to max(2048, 8 * n_centroids) (round 13):
+    the old fixed 2048 silently starved auto-provisioned codebooks —
+    past K=2048 most seeds had NO training members and the "trained"
+    quantizer degenerated back to round-8's seed quantizer (whose
+    composed recall@3 was 0.56, the very thing training fixed); 8x
+    keeps every centroid coverable while staying corpus-independent.
+    The SQL mirror (``_ivf_train_sql``) derives the identical bound
+    from the same K expression, so engines stay in lockstep at every
+    scale. Returns (cid, cv, nc) — the same shape the seed quantizer
+    produced, so ``ivf_assign``/``ivf_probe`` compose unchanged."""
+    if train_limit is None:
+        train_limit = max(2048, 8 * n_centroids)
     cb = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("nv").alias("nc"),
@@ -504,7 +511,9 @@ def _ivf_train_sql(k: str = "4") -> str:
         """
     , itr AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
-      FROM e WHERE vec_id < 2048
+      FROM e WHERE vec_id < GREATEST(2048, 8 * ("""
+        + k
+        + """))
     ), icb0 AS (
       SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < """
         + k

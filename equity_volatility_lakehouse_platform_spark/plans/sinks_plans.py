@@ -984,3 +984,54 @@ def snk20_incremental_view_maintenance(
         F.col("price_cents").cast("double").alias("price_sum"),
         F.lit(2).cast("long").alias("n_delta_commits"),
     )
+
+
+@register(
+    "snk21_minhash_signature_index",
+    # Materialized MinHash signature INDEX (round 13) — the 100 TB
+    # dedup shape measured in LSH_RECALL_500K_r13.json: the widened
+    # signature costs real hash work (39.6s compute+write at 500k
+    # docs), so production materializes it ONCE per corpus snapshot
+    # and every banding consumer serves from the index scan instead of
+    # re-shingling (d03 per-run 53.5s -> 26.9s). This registers the
+    # full cycle as an engine surface: provision the width from the
+    # corpus count (lsh_n_perm — the index carries the corpus's
+    # provisioned signature), write the index under the session
+    # scratch (wiped per process, sweep-hygienic), and serve d03
+    # through sig_path. The oracle is d03's own: the index must be
+    # result-invisible. tests/test_plans.py pins that a sig_path serve
+    # plan scans the signature table and never touches documents.
+)
+def snk21_minhash_signature_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.operators import (
+        textops as tx,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d03_minhash_lsh_pairs,
+        lsh_n_perm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_perm = lsh_n_perm(docs.count())
+    path = session_scratch("snk21", sf_dir) + "/sig_index"
+    tx.minhash_signature(docs, n_perm=n_perm).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return d03_minhash_lsh_pairs(spark, sf_dir, sig_path=path)
+
+
+def _snk21_oracle() -> None:
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        dedup as _d,  # noqa: F401 — ensures d03's oracle is registered
+    )
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r
+
+    _r.set_oracle(
+        "snk21_minhash_signature_index",
+        _r.all_oracles()["d03_minhash_lsh_pairs"],
+    )
+
+
+_snk21_oracle()

@@ -115,8 +115,10 @@ QUERIES = [
     # trains via ivf_train_centroids, so candidate volume is linear).
     "ml23_knn_classify_ann",
     # round-13: perceptual VIDEO near-dup (frame-sampled dHash over the
-    # real container walk) completes the d22/d23 modality triad.
+    # real container walk) completes the d22/d23 modality triad, and
+    # the materialized-signature index cycle (build + serve).
     "d25_perceptual_video_neardup",
+    "snk21_minhash_signature_index",
 ]
 
 
@@ -229,8 +231,10 @@ REBUILD = {
     "d10_cosine_dup_clusters",
     # ml23 counts the corpus and trains its auto-K coarse quantizer at
     # build time (lazily checkpointed) — rebuild so every timed run
-    # pays count + training + serve.
+    # pays count + training + serve. snk21 writes its signature index
+    # eagerly at build time — same rule.
     "ml23_knn_classify_ann",
+    "snk21_minhash_signature_index",
 }
 
 

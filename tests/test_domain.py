@@ -742,6 +742,70 @@ def test_d17_blockwise_kernel_matches_naive_pairwise(spark, sf_dir):
                 assert got == round(best, 6) or abs(got - best) < 1e-6
 
 
+def test_ivf_train_limit_scales_with_k_cross_engine(spark, tmp_path):
+    # Round 13: the training sample follows max(2048, 8*K). Past
+    # K=256 the old fixed 2048-row sample gave codebooks fewer than 8
+    # training vectors per centroid (and past K=2048, seeds outside
+    # the sample entirely) — a silent quality degeneration back toward
+    # the seed quantizer the training exists to fix. Pin BOTH halves:
+    # (a) the widened default actually changes the codebook vs the old
+    # fixed bound, and (b) Spark and the DuckDB mirror CTE stay
+    # bit-exact under the widened bound — the lockstep that keeps
+    # every consumer's oracle honest at 100 TB codebook sizes.
+    import math
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ivf_emb,
+        _ivf_train_sql,
+        ivf_train_centroids,
+    )
+
+    n, dims, k = 2304, 64, 288  # 8*k = 2304 > the old 2048 cap
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": [
+                [math.sin(float(i * dims + d)) for d in range(dims)]
+                for i in range(n)
+            ],
+            "label": pd.array([i % 10 for i in range(n)], dtype="int32"),
+        }
+    )
+    sf_dir = str(tmp_path / "sf_emb")
+    os.makedirs(sf_dir)
+    pdf.to_parquet(os.path.join(sf_dir, "embeddings.parquet"), index=False)
+
+    emb = _ivf_emb(spark, sf_dir)
+    got = {
+        int(r["cid"]): list(r["cv"])
+        for r in ivf_train_centroids(emb, n_centroids=k, iters=2).collect()
+    }
+    assert len(got) == k
+    # (a) the widened default (8*288 = 2304 here) must differ from the
+    # old fixed 2048-row sample — i.e. the extra sample actually
+    # reaches the codebook.
+    old = {
+        int(r["cid"]): list(r["cv"])
+        for r in ivf_train_centroids(
+            emb, n_centroids=k, iters=2, train_limit=2048
+        ).collect()
+    }
+    assert got != old, "widened train sample did not change the codebook"
+
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet'))"
+        + _ivf_train_sql(str(k))
+        + " SELECT cid, cv FROM icb2"
+    )
+    want = {int(cid): list(cv) for cid, cv in duckdb.sql(sql).fetchall()}
+    assert got == want, "Spark and DuckDB trained codebooks diverge"
+
+
 def test_d17_cluster_guard_fails_loud(spark, sf_dir):
     import pytest as _pytest
 

@@ -163,6 +163,17 @@ def test_lsh_reads_persisted_signatures_when_given(spark, sf_dir, tmp_path):
     ), "persisted-signature path must be result-identical"
 
 
+def test_snk21_serves_from_the_signature_index(spark, sf_dir):
+    # snk21 builds the signature index eagerly at plan-build time; the
+    # RETURNED plan must serve entirely from the index scan — no
+    # document rescan, no hash recompute (the whole point of
+    # materializing the index once per corpus snapshot).
+    plan = _plan(spark, sf_dir, "snk21_minhash_signature_index")
+    assert "sig_index" in plan, "plan must scan the materialized index"
+    assert "documents" not in plan, "serve plan must not rescan documents"
+    assert "md5" not in plan, "serve plan must not recompute hashes"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     side_effectful = {
         "snk01_partitioned_overwrite_roundtrip",
