@@ -1408,9 +1408,9 @@ _reg.set_oracle("d16_curation_dag", _d16_oracle())
     # k-means-cluster the embedding space, then prune epsilon-balls
     # WITHIN each cluster so the all-pairs cosine never runs globally —
     # the clustering is exactly what makes semantic dedup tractable at
-    # 100 TB (pairwise work is sum n_c^2, bounded by choosing K ~
-    # sqrt(corpus) so clusters stay memory-sized; here K=4 on the test
-    # corpus). Stage 1 reuses the engine's trained coarse quantizer
+    # 100 TB (pairwise work is sum n_c^2, bounded by provisioning
+    # K = ceil(N/256) so clusters stay ~256 vectors at ANY corpus and
+    # the prune is LINEAR in N; here K=4 on the test corpus). Stage 1 reuses the engine's trained coarse quantizer
     # (similarity.ivf_train_centroids — spherical k-means, ordered-fold
     # means, bit-exact DuckDB mirror) and the Arrow assignment scorer
     # (ivf_assign, zero corpus shuffle). Stage 2 is a grouped Arrow
@@ -1466,15 +1466,20 @@ def d17_semantic_dedup(
 
     emb = _ivf_emb(spark, sf_dir)
     if n_centroids is None:
-        # Auto-provision K ~ sqrt(N) (SemDeDup's tractability contract,
-        # round 10): one cheap parquet count sizes the clustering so the
-        # per-cluster O(n^2) prune stays memory-bounded at any corpus
-        # scale without the caller knowing the contract. floor 4 keeps
-        # tiny fixtures meaningful; the max_cluster guard below stays as
-        # the fail-loud backstop for pathological skew.
-        import math
-
-        n_centroids = max(4, math.isqrt(emb.count()))
+        # Auto-provision K = max(4, ceil(N/256)) (round 13 — the
+        # d06/sim13/ml23 integer contract). Round 10's K ~ sqrt(N) let
+        # the EXPECTED cluster size grow as sqrt(N): total pairwise
+        # prune work was N^1.5 (the worst corpus-spot row on the board,
+        # 16.1x wall at 100x), and past N ~ 2.7e8 the sqrt-sized
+        # clusters would trip the 16384 fail-loud guard below — the
+        # provisioning violated its own memory-bound claim exactly
+        # where 100 TB corpora live. Constant ~256-vector clusters make
+        # the prune LINEAR in the corpus and keep 64x headroom under
+        # the guard at every N; this also matches SemDeDup's published
+        # deployment shape (cluster count proportional to the corpus,
+        # not its square root). One cheap parquet count provisions it;
+        # the guard stays as the backstop for pathological skew.
+        n_centroids = max(4, (emb.count() + 255) // 256)
     cent = ivf_train_centroids(
         emb, n_centroids=n_centroids, iters=2
     ).localCheckpoint(eager=False)
@@ -1498,7 +1503,7 @@ def d17_semantic_dedup(
             raise ValueError(
                 f"d17_semantic_dedup: cluster of {n} vectors exceeds the "
                 f"{max_cluster} pairwise-prune bound; raise n_centroids "
-                "(SemDeDup scales K ~ sqrt(corpus)) so clusters stay "
+                "(the engine provisions K = ceil(N/256)) so clusters stay "
                 "memory-sized"
             )
         # Dimension-sequential accumulation: G[i,j] folds sum_d v_i[d] *
@@ -1548,15 +1553,12 @@ def _d17_oracle() -> str:
         _ivf_train_sql,
     )
 
-    # Auto-K mirror: the SQL derives the same K = max(4, floor(sqrt(N)))
-    # from the corpus count (floor(sqrt) == isqrt for any feasible N),
-    # so the oracle tracks d17's provisioning at every scale factor.
+    # Auto-K mirror: the SQL derives the same K = max(4, ceil(N/256))
+    # with DuckDB's integer division, so the oracle tracks d17's
+    # provisioning at every scale factor.
     return _r2.all_oracles()["d17_semantic_dedup"].replace(
         "{train}",
-        _ivf_train_sql(
-            "(SELECT GREATEST(4, CAST(floor(sqrt(count(*))) AS BIGINT)) "
-            "FROM e)"
-        ),
+        _ivf_train_sql("(SELECT GREATEST(4, (count(*) + 255) // 256) FROM e)"),
     )
 
 

@@ -51,11 +51,10 @@ QUERIES = [
     "sim06_pq_ann_topk",
     "sim08_ivfadc_topk",
     "d16_curation_dag",
-    # round-9 additions. d17_semantic_dedup joined in round 10: its K
-    # is now auto-provisioned (K = max(4, isqrt(N)), the SemDeDup
-    # K ~ sqrt(corpus) contract), so 100x embeddings get ~sqrt-sized
-    # clusters instead of tripping the 16384 pairwise-prune guard that
-    # kept it out of the round-9 table.
+    # round-9 additions. d17_semantic_dedup joined in round 10 under
+    # auto-K; round 13 moved the provisioning to K = max(4,
+    # ceil(N/256)) (constant ~256-vector clusters, linear prune — the
+    # sqrt contract trips the 16384 guard past N ~ 2.7e8).
     "w36_bipower_jump",
     "f25_cross_sectional_zrank",
     "sim10_mmr_diversify",

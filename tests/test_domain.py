@@ -711,10 +711,9 @@ def test_d17_blockwise_kernel_matches_naive_pairwise(spark, sf_dir):
         for r in all_queries()["d17_semantic_dedup"](spark, sf_dir).collect()
     }
     emb = _ivf_emb(spark, sf_dir)
-    # Mirror d17's round-10 auto-K provisioning (K = max(4, isqrt(N))).
-    import math
-
-    k = max(4, math.isqrt(emb.count()))
+    # Mirror d17's auto-K provisioning (round 13: K = max(4,
+    # ceil(N/256)) — constant ~256-vector clusters, linear prune).
+    k = max(4, (emb.count() + 255) // 256)
     cent = ivf_train_centroids(emb, n_centroids=k, iters=2)
     rows = ivf_assign(emb, cent).collect()
     by_cid = {}
