@@ -695,7 +695,7 @@ def synth_wav_pair_payloads(df: DataFrame) -> DataFrame:
 def audio_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """64-bit audio energy fingerprint as FOUR 16-bit band keys.
 
-    The WAV container is genuinely PARSED (RIFF/WAVE magic asserted,
+    The WAV container is genuinely PARSED (RIFF/WAVE magic checked,
     chunks walked to the data chunk — an extra metadata chunk would be
     skipped correctly), samples decoded as int16 LE, then: 65 windows
     of 16 samples, integer energy = sum of squares per window (exact in
@@ -714,7 +714,8 @@ def audio_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFra
             out = {"doc_id": [], "k0": [], "k1": [], "k2": [], "k3": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload)
-                assert b[0:4] == b"RIFF" and b[8:12] == b"WAVE", "not a WAV"
+                if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV")
                 off, samples = 12, None
                 while off + 8 <= len(b):
                     cid = b[off : off + 4]
@@ -725,7 +726,8 @@ def audio_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFra
                         )
                         break
                     off += 8 + ln + (ln % 2)
-                assert samples is not None, "WAV has no data chunk"
+                if samples is None:
+                    raise ValueError("WAV has no data chunk")
                 e = (
                     samples.astype(np.int64) ** 2
                 ).reshape(-1, 16).sum(axis=1)
@@ -871,8 +873,17 @@ def video_fp_bands_frame(df: DataFrame, payload_col: str = "payload") -> DataFra
                     if buf[pos + 4 : pos + 8] == b"mdat":
                         mdat = buf[pos + 8 : pos + size]
                         break
+                    # Payloads are arbitrary column bytes, not only
+                    # engine-synthesized clips: a zero/short box size
+                    # would stall or rewind the walk, so fail loud
+                    # (ValueError, not assert — survives python -O).
+                    if size < 8:
+                        raise ValueError(
+                            f"malformed box at {pos}: size {size} < 8"
+                        )
                     pos += size
-                assert mdat is not None, "clip has no mdat box"
+                if mdat is None:
+                    raise ValueError("clip has no mdat box")
                 frames, p = [], 0
                 while p + 4 <= len(mdat):
                     ln = int.from_bytes(mdat[p : p + 4], "big")

@@ -4163,12 +4163,22 @@ def sql06_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the recursion must materialize inside the lifted window — the
     # grouped output is O(roots x depths) ~ 50 rows at any SF, so the
     # eager localCheckpoint is metadata-cheap (the sql05 convention).
-    row_limit = spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    # Session-global conf override, scoped by try/finally. Plan builds
+    # are single-threaded in this engine (the registry builds plans
+    # sequentially); a concurrent build on the SAME session could
+    # observe the lifted value for the duration of this checkpoint.
+    # Restore faithfully: unset when no explicit value existed before
+    # (so a later session default change isn't masked by a stale pin).
+    key = "spark.sql.cteRecursionRowLimit"
+    row_limit = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
     try:
         return spark.sql(_SQL06).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", row_limit)
+        if row_limit is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, row_limit)
 
 
 @register(

@@ -1005,6 +1005,13 @@ def snk20_incremental_view_maintenance(
 def snk21_minhash_signature_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # NOTE (round-14, r13 ADVICE): this builder EXECUTES work at plan-
+    # BUILD time — one documents count and the full signature
+    # compute+write — because the returned plan must scan the already-
+    # materialized index (that IS the surface under test). Explain-only
+    # consumers and plan-shape tests pay that build; registry consumers
+    # that want the lazy half should call d03 with sig_path directly.
+    # The corpus count is computed ONCE here and threaded into d03.
     from equity_volatility_lakehouse_platform_spark.operators import (
         textops as tx,
     )
@@ -1014,12 +1021,15 @@ def snk21_minhash_signature_index(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    n_perm = lsh_n_perm(docs.count())
+    n_docs = docs.count()
+    n_perm = lsh_n_perm(n_docs)
     path = session_scratch("snk21", sf_dir) + "/sig_index"
     tx.minhash_signature(docs, n_perm=n_perm).write.mode(
         "overwrite"
     ).parquet(path)
-    return d03_minhash_lsh_pairs(spark, sf_dir, sig_path=path)
+    return d03_minhash_lsh_pairs(
+        spark, sf_dir, sig_path=path, n_docs=n_docs
+    )
 
 
 def _snk21_oracle() -> None:

@@ -27,7 +27,13 @@ import os
 import statistics
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Repo root (for the engine package) AND the scripts dir itself (for
+# spot_state_100x) — the latter so the import also resolves when this
+# module is run via -m or imported from elsewhere, not only when
+# sys.path[0] happens to be scripts/ (round-13 ADVICE).
+_SCRIPTS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_SCRIPTS_DIR))
+sys.path.insert(0, _SCRIPTS_DIR)
 
 from spot_state_100x import build_events, spawn_cell  # noqa: E402
 
