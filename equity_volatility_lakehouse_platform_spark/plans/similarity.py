@@ -258,15 +258,36 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the per-row ADD SEQUENCE is identical to the JVM/DuckDB left fold,
     so cosc and the argmax are bit-exact (ties -> first index = lowest
     cid, mirroring ORDER BY cosc DESC, cid). The map stage runs in the
-    scan's own partitions. Shared by sim04 and sim08."""
+    scan's own partitions. Shared by sim04 and sim08.
+
+    SCALING CONTRACT (round 14, r13 ADVICE): the codebook is collected
+    once on the driver (K rows) and shipped via spark BROADCAST — one
+    torrent transfer per executor, NOT a per-task closure pickle. Cost
+    is stated, not hidden: the assignment leg is O(N*K*D) multiply-adds
+    and the codebook is O(K*D) doubles driver- and executor-side. With
+    the engine's auto-provisioned K = ceil(N/256) (d17/ml23) that
+    assignment is ASYMPTOTICALLY O(N^2*D/256) and the codebook grows
+    linearly with the corpus — the practical ceiling for this
+    single-level trained quantizer is K ~ 2^16 (N ~ 2^24 vectors:
+    32 MB codebook at D=64, ~10^14 flops/pass). Past that, production
+    needs a TWO-LEVEL (hierarchical) coarse assignment — sqrt(K)
+    super-centroids prune to a candidate centroid subset before the
+    exact argmax — which changes no semantics but is not implemented
+    here; the prune/candidate volume downstream of assignment remains
+    linear in N either way."""
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    c_ids = [int(r["cid"]) for r in cent_rows]
-    c_vecs = [list(r["cv"]) for r in cent_rows]
-    c_norms = [float(r["nc"]) for r in cent_rows]
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (
+            [int(r["cid"]) for r in cent_rows],
+            [list(r["cv"]) for r in cent_rows],
+            [float(r["nc"]) for r in cent_rows],
+        )
+    )
 
     def _assign(batches):
         import numpy as np
 
+        c_ids, c_vecs, c_norms = bc.value
         C = np.array(c_vecs)          # (K, D)
         NC = np.array(c_norms)        # (K,)
         K, D = C.shape
@@ -343,16 +364,24 @@ def ivf_probe_topn(emb_q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     default NULLS LAST), and ties resolve by ascending cid via a STABLE
     argsort over the cid-sorted centroid axis — exactly ``row_number()
     OVER (ORDER BY cosc DESC, cid)`` <= nprobe. Emits (q_id, qv, qcid),
-    one row per (query, probed list)."""
+    one row per (query, probed list). The codebook ships as a spark
+    BROADCAST (ivf_assign's round-14 contract — one transfer per
+    executor, not a per-task closure pickle); the same O(N*K*D) /
+    single-level-quantizer ceiling note applies."""
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    c_ids = [int(r["cid"]) for r in cent_rows]
-    c_vecs = [list(r["cv"]) for r in cent_rows]
-    c_norms = [float(r["nc"]) for r in cent_rows]
+    bc = emb_q.sparkSession.sparkContext.broadcast(
+        (
+            [int(r["cid"]) for r in cent_rows],
+            [list(r["cv"]) for r in cent_rows],
+            [float(r["nc"]) for r in cent_rows],
+        )
+    )
 
     def _probe(batches):
         import numpy as np
         import pandas as pd
 
+        c_ids, c_vecs, c_norms = bc.value
         C = np.array(c_vecs)          # (K, D)
         NC = np.array(c_norms)        # (K,)
         IDS = np.array(c_ids)
@@ -1076,7 +1105,9 @@ _ML23_SQL = """
     #     (bounded sample, bit-exact DuckDB mirror CTE), so per-query
     #     candidate volume is O(nprobe * N/K) ~= nprobe * 256 and
     #     TOTAL candidate volume is O(N * nprobe * 256 / eval_mod) —
-    #     linear in the corpus;
+    #     linear in the corpus (the coarse ASSIGNMENT leg itself is
+    #     O(N*K*D) against the broadcast codebook — see ivf_assign's
+    #     round-14 scaling contract for the single-level ceiling);
     #   * the probe stage is the Arrow arg-top-n kernel ivf_probe_topn
     #     in the scan's own partitions — no query-side crossJoin
     #     against a codebook whose K now scales;
