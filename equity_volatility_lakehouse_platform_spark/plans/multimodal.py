@@ -1417,16 +1417,23 @@ _D25_HD = """bit_count(xor(ha.ks[1], hb.ks[1]))
     """,
 )
 def d25_perceptual_video_neardup(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, fp_path: str | None = None
 ) -> DataFrame:
+    # ``fp_path`` (round 14 — snk21's materialize-once/serve-many
+    # contract applied to the registry's most decode-heavy query): the
+    # 192-bit clip fingerprints MATERIALIZED once per corpus snapshot
+    # and scanned from parquet, so every serve pays only the banding
+    # join — the container walk + per-frame PNG decode (the dominant
+    # cost) never recomputes. The index is result-invisible: snk22
+    # registers the full build+serve cycle under d25's own oracle.
     from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
         synth_video_pair_payloads,
         video_fp_bands_frame,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return _hamming_band_neardup(
-        video_fp_bands_frame(synth_video_pair_payloads(docs)),
-        threshold=30,
-        n_bands=12,
-    )
+    if fp_path is not None:
+        fp = spark.read.parquet(fp_path)
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        fp = video_fp_bands_frame(synth_video_pair_payloads(docs))
+    return _hamming_band_neardup(fp, threshold=30, n_bands=12)

@@ -118,6 +118,12 @@ QUERIES = [
     # the materialized-signature index cycle (build + serve).
     "d25_perceptual_video_neardup",
     "snk21_minhash_signature_index",
+    # round-14: exact-dedup-first + capped LSH (the hot-bucket
+    # hardening) — its scale story IS this axis: candidate volume must
+    # track DISTINCT texts, with template mass accounted, never joined.
+    "d26_dedup_first_lsh",
+    # round-14: materialized video-fingerprint index (build + serve).
+    "snk22_video_fingerprint_index",
 ]
 
 
@@ -234,6 +240,10 @@ REBUILD = {
     # eagerly at build time — same rule.
     "ml23_knn_classify_ann",
     "snk21_minhash_signature_index",
+    # d26 counts the corpus at build time to provision (n_perm, b, r);
+    # snk22 writes its fingerprint index eagerly at build time.
+    "d26_dedup_first_lsh",
+    "snk22_video_fingerprint_index",
 }
 
 

@@ -1442,3 +1442,131 @@ def test_sql06_survives_recursion_row_limit(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set(key, prev)
+
+
+def _d26_corpus_dir(tmp_path, sf_dir, rows, name):
+    # Planted documents table next to symlinked fixture tables (the
+    # test_lsh_banding_r4_branch_cross_engine harness).
+    import os
+
+    from tests.oracle_compare import TABLES
+
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(
+                os.path.join(sf_dir, f"{t}.parquet"),
+                os.path.join(d, f"{t}.parquet"),
+            )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([i for i, _ in rows], dtype="int64"),
+            "text": [t for _, t in rows],
+            "lang": "en",
+            "source": "s0",
+            "n_chars": pd.array([len(t) for _, t in rows], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(d + "/documents.parquet", index=False)
+    return d
+
+
+def test_d26_hot_bucket_template_mass_1e5(spark, tmp_path, sf_dir):
+    # The round-13 verdict's top item, planted: ~1e5 EXACT copies of one
+    # boilerplate template — the input class where an uncapped band
+    # join goes quadratic (ALL copies collide in EVERY band; the naive
+    # candidate join would emit ~C(1e5,2) * b ~ 2e10 join rows). d26's
+    # exact-dedup-first composition must (a) complete with candidate
+    # volume proportional to DISTINCT texts, (b) account the collapsed
+    # exact mass as C(n,2) without enumerating it, and (c) stay
+    # bit-exact against the DuckDB mirror on the same corpus.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        D26_BUCKET_CAP,
+        d26_dedup_first_lsh,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.registry import (
+        all_oracles,
+    )
+    from tests.oracle_compare import run_compare
+
+    n_copies = 100_000
+    template = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, template) for i in range(n_copies)]
+    # distinct background docs + a few planted near-pairs among KEEPERS
+    for i in range(2_000):
+        rows.append((200_000 + i, f"b{i}a b{i}b b{i}c b{i}d b{i}e"))
+    planted = []
+    for i in range(20):
+        toks = [f"q{i}w{j}" for j in range(20)]
+        a_id, b_id = 400_000 + i, 500_000 + i
+        rows.append((a_id, " ".join(toks)))
+        toks[9] = f"q{i}x"
+        rows.append((b_id, " ".join(toks)))
+        planted.append((a_id, b_id))
+    d = _d26_corpus_dir(tmp_path, sf_dir, rows, "d26_1e5")
+
+    run_compare(
+        spark, d, "d26_dedup_first_lsh@1e5",
+        d26_dedup_first_lsh, all_oracles()["d26_dedup_first_lsh"],
+    )
+
+    out = d26_dedup_first_lsh(spark, d).collect()
+    exact = {r["doc_a"]: r["mass"] for r in out if r["kind"] == "exact_group"}
+    # keeper of the template group is doc_id 0; mass = C(1e5, 2).
+    assert exact == {0: n_copies * (n_copies - 1) // 2}
+    near = {
+        (r["doc_a"], r["doc_b"]) for r in out if r["kind"] == "near_pair"
+    }
+    # 102k docs -> the widened 36-perm b=9 r=4 regime: a 0.714-Jaccard
+    # pair collides with P ~ 0.92, so assert recall, not every pair
+    # (the hashes are deterministic — this is a fixed outcome, asserted
+    # with the regime's expected margin).
+    recall = sum(1 for p in planted if p in near) / len(planted)
+    assert recall >= 0.8, f"planted keeper near-pair recall {recall}"
+    # Candidate volume is bounded by the DISTINCT corpus (~2k keepers),
+    # never the 1e5 template mass: with background docs sharing zero
+    # shingles, the near set stays ~the planted pairs.
+    assert len(near) < 1_000, f"near-pair volume exploded: {len(near)}"
+    # No hot bucket binds at the default cap on this corpus (keepers
+    # are ~2k distinct texts spread across buckets).
+    assert D26_BUCKET_CAP == 1024
+
+
+def test_d26_hot_bucket_cap_binds_loudly(spark, tmp_path, sf_dir):
+    # Residual-hot-bucket leg: a dense cluster of DISTINCT near-dup
+    # texts (J ~ 0.8 pairwise — exact dedup cannot collapse them)
+    # collides in shared (band, key) buckets past a low cap. The capped
+    # plan must EXCLUDE those buckets from the pair join and surface
+    # the avoided candidate mass as per-band hot_bucket rows — and the
+    # DuckDB mirror with the same cap must agree bit-exactly.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        _d26_oracle,
+        d26_dedup_first_lsh,
+    )
+    from tests.oracle_compare import run_compare
+
+    cap = 8
+    rows = []
+    for i in range(60):  # the hot cluster: 20 tokens, last one distinct
+        toks = [f"c{j}" for j in range(19)] + [f"v{i}"]
+        rows.append((i, " ".join(toks)))
+    for i in range(500):  # background distinct docs
+        rows.append((1_000 + i, f"g{i}a g{i}b g{i}c g{i}d g{i}e"))
+    d = _d26_corpus_dir(tmp_path, sf_dir, rows, "d26_hot")
+
+    run_compare(
+        spark, d, "d26_dedup_first_lsh@cap8",
+        lambda s, sd: d26_dedup_first_lsh(s, sd, bucket_cap=cap),
+        _d26_oracle(cap),
+    )
+
+    out = d26_dedup_first_lsh(spark, d, bucket_cap=cap).collect()
+    hot = [r for r in out if r["kind"] == "hot_bucket"]
+    assert hot, "cluster must trip the bucket cap"
+    avoided = sum(r["mass"] for r in hot)
+    assert avoided > cap * (cap - 1) // 2, f"avoided mass {avoided} too small"
+    n_near = sum(1 for r in out if r["kind"] == "near_pair")
+    # Residual near pairs only from sub-cap buckets: bounded by
+    # b * C(cap, 2) + background collisions, far below C(60, 2) * b.
+    assert n_near <= 4 * cap * (cap - 1) // 2 + 50, f"near volume {n_near}"

@@ -174,6 +174,17 @@ def test_snk21_serves_from_the_signature_index(spark, sf_dir):
     assert "md5" not in plan, "serve plan must not recompute hashes"
 
 
+def test_snk22_serves_from_the_video_fp_index(spark, sf_dir):
+    # snk22 builds the video-fingerprint index eagerly at plan-build
+    # time; the RETURNED plan must serve entirely from the index scan —
+    # no clip synth, no container walk, no PNG decode (d25's dominant
+    # cost, materialized once per corpus snapshot).
+    plan = _plan(spark, sf_dir, "snk22_video_fingerprint_index")
+    assert "video_fp_index" in plan, "plan must scan the materialized index"
+    assert "documents" not in plan, "serve plan must not rescan documents"
+    assert "mapInPandas" not in plan.lower(), "serve plan must not re-decode"
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     side_effectful = {
         "snk01_partitioned_overwrite_roundtrip",
