@@ -2275,3 +2275,142 @@ def d26_dedup_first_lsh(
         )
     )
     return near.unionByName(exact).unionByName(hot)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup at the published training-data grain (round 14 —
+# the r13 verdict's capability item 5). d14 (fixed 16-token chunks) and
+# d18 (content-defined chunks) approximate substring-level dedup but are
+# chunk-BOUNDARY-dependent: a repeat straddling a boundary is invisible.
+# The LLM-corpus standard (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499) is minimal-length
+# EXACT substring dedup — any >= k-token sequence that occurs more than
+# once in the corpus, at every position. The suffix-array formulation is
+# inherently single-machine; the distributed formulation here is the
+# rolling-anchor equivalent, LINEAR in the corpus:
+#
+#   * every k-token window (all starts, no chunk grid) hashes to a
+#     60-bit cross-engine anchor (md5-prefix of the joined window — the
+#     textops contract, collision-safe past 2^30 windows; swap in the
+#     full 128-bit digest pair at extreme corpus scale);
+#   * ONE groupBy over anchors (8-byte shuffle keys, map-side partial
+#     counts) finds every anchor occurring >= 2 times anywhere in the
+#     corpus — within- AND cross-document repeats, the suffix-array
+#     semantics;
+#   * per document, the duplicated WINDOW STARTS merge into covered-
+#     token mass via an ordered lag window (union of [pos, pos+k-1] =
+#     sum of min(k, gap)) — no k-fold explode, no interval list.
+#
+# Output is the per-document duplicated-token mass — n_tokens,
+# dup_tokens, dup_fraction — the quantity a curation pipeline thresholds
+# on to drop or trim documents (the published recipe removes the
+# duplicated spans themselves; the mass is the decision statistic).
+# ---------------------------------------------------------------------------
+
+D27_K = 8  # minimal repeat length in tokens (Lee et al. use 50 BPE
+#            tokens; the fixture corpus' docs are ~30-90 whitespace
+#            tokens, so k=8 exercises the same machinery at test SF)
+
+
+@register(
+    "d27_exact_substring_mass",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens, t FROM toks
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+      FROM base, LATERAL unnest(range(1, n_tokens - 6)) AS u(i)
+      WHERE n_tokens >= 8
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+    ), ds AS (
+      SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.h = d.h
+    ), cov AS (
+      SELECT doc_id,
+             SUM(CASE WHEN prev IS NULL THEN 8
+                      ELSE LEAST(8, pos - prev) END) AS dup_tokens
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM ds)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           (ROUND(COALESCE(c.dup_tokens, 0)
+                  / NULLIF(b.n_tokens + 0.0, 0.0), 6) + 0.0) AS dup_fraction
+    FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+    """,
+)
+def d27_exact_substring_mass(
+    spark: SparkSession, sf_dir: str, k: int = D27_K
+) -> DataFrame:
+    # See the block comment above. Physical shape: the window explode is
+    # map-only in the scan's partitions; the anchor groupBy is the ONE
+    # corpus shuffle (8-byte keys, combiner-friendly); the dup semi-join
+    # re-shuffles (doc_id, pos) pairs only for anchors that actually
+    # repeat; the lag window partitions by doc_id. Raw text never
+    # shuffles. (The registered oracle pins k=8; ad-hoc k needs its own
+    # mirror.)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    sh = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        tx.token_hash(
+                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        sh.join(dup, "h")
+        .withColumn("prev", F.lag("pos").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.lit(k))
+            .otherwise(F.least(F.lit(k), F.col("pos") - F.col("prev")))
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("dup_tokens"))
+    )
+    frac = F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.nullif(
+        F.col("n_tokens").cast("double"), F.lit(0.0)
+    )
+    return (
+        base.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            frac.alias("_f"),
+        )
+        .select(
+            "doc_id", "n_tokens", "dup_tokens", r6(F.col("_f")).alias("dup_fraction")
+        )
+    )

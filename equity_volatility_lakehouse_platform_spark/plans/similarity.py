@@ -2281,56 +2281,43 @@ def mmr_rerank(
     (q_id, vec_id, rel, v) — extracted round 10 so the production path
     (sim11: ANN shortlist -> MMR) shares the exact kernel with the
     brute-force baseline (sim10)."""
-    # Candidate-pairwise cosines: shortlist^2 rows per query, computed
-    # by the same JVM fold — the MMR input is tiny by construction.
-    a = cand.select(
-        "q_id", F.col("vec_id").alias("a_id"), F.col("rel").alias("rel_a"),
-        F.col("v").alias("va"),
-    )
-    b = cand.select(
-        F.col("q_id").alias("qb"), F.col("vec_id").alias("b_id"),
-        F.col("v").alias("vb"),
-    )
-    s_ab = dot(F.col("va"), F.col("vb")) / F.nullif(
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb"))),
-        F.lit(0.0),
-    )
-    # LEFT join so a query whose shortlist degenerates to a single
-    # candidate (no pair rows) still reaches the kernel and emits its
-    # rank-1 pick — the oracle's recursive base case always does
-    # (round-10 fix; the inner join silently dropped such queries).
-    #
-    # shuffle_hash, NOT broadcast (round-11 fix): the candidate set
-    # scales with the QUERY workload (#queries x shortlist rows, each
-    # carrying a vector) — 1M queries x shortlist 100 = 100M rows is
-    # not broadcastable. Pinning the q_id shuffle-hash join makes the
-    # plan identical at every query volume: both sides partition once
-    # on q_id and per-query pair state stays shortlist^2-bounded. The
-    # hint goes on the RIGHT side (the build side Spark accepts for a
-    # LEFT OUTER shuffled hash join).
-    pairs = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("qb") == F.col("q_id")) & (F.col("b_id") != F.col("a_id")),
-            "left",
-        )
-        .select("q_id", "a_id", "rel_a", "b_id", s_ab.alias("s_ab"))
-    )
+    # FUSED pair stage (round 14 — the r13 verdict's item 4): the old
+    # shape materialized candidate-pairwise cosines through an a x b
+    # self-join (two q_id exchanges for the two sides) before a THIRD
+    # q_id exchange fed the selection kernel — three shuffles of the
+    # same query-scale data. The candidate set is shortlist-bounded per
+    # query BY CONTRACT (sim10 caps at top-``shortlist``; sim11's
+    # IVFADC shortlist likewise), so the pairwise cosines fit in one
+    # Arrow group trivially (shortlist^2 <= 10^4 doubles): group ONCE
+    # on q_id and compute the pair matrix INSIDE the kernel with the
+    # dimension-major left-fold accumulation (the ivf_assign recipe) —
+    # G folds sum_d v_a[d]*v_b[d] in ascending d, the exact add
+    # sequence of the JVM/DuckDB list_dot_product, so every s_ab (and
+    # therefore every MMR score) is bit-identical to the joined form.
+    # One q_id exchange total; the degenerate single-candidate query
+    # needs no LEFT-join special case (the kernel sees its row).
 
     def _mmr(pdf):
+        import numpy as np
         import pandas as pd
 
-        out = []
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         q_id = int(pdf["q_id"].iloc[0])
-        rel_by = {}
-        sim = {}
-        for r in pdf.itertuples(index=False):
-            rel_by[int(r.a_id)] = float(r.rel_a)
-            if pd.isna(r.b_id):
-                continue  # degenerate shortlist: no cluster-mates
-            sim[(int(r.a_id), int(r.b_id))] = float(r.s_ab)
-        ids = sorted(rel_by)
+        ids = [int(x) for x in pdf["vec_id"]]
+        rel_by = dict(zip(ids, (float(x) for x in pdf["rel"])))
+        V = np.stack(pdf["v"].to_numpy())          # (n, D)
+        n, D = V.shape
+        # dimension-major left-fold Gram — see ivf_assign. The diagonal
+        # is the same fold of dot(v, v) the JVM norm uses.
+        G = np.multiply.outer(V[:, 0], V[:, 0])
+        for d in range(1, D):
+            G = G + np.multiply.outer(V[:, d], V[:, d])
+        nv = np.sqrt(G.diagonal())
+        den = np.multiply.outer(nv, nv)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(den == 0.0, np.nan, G / den)
+        pos = {d: i for i, d in enumerate(ids)}
+        out = []
         # Step 1: pure relevance (ties -> lowest id via ascending scan
         # with strict >).
         best, best_sc = None, None
@@ -2344,7 +2331,7 @@ def mmr_rerank(
             for d in ids:
                 if d in sel:
                     continue
-                mx = max(sim[(d, s)] for s in sel)
+                mx = max(float(S[pos[d], pos[s]]) for s in sel)
                 sc = lam * rel_by[d] - mu * mx  # same op order as SQL
                 if best is None or sc > best_sc:
                     best, best_sc = d, sc
@@ -2354,7 +2341,9 @@ def mmr_rerank(
             out, columns=["q_id", "rank", "vec_id", "score"]
         )
 
-    picked = pairs.groupBy("q_id").applyInPandas(
+    picked = cand.select("q_id", "vec_id", "rel", "v").groupBy(
+        "q_id"
+    ).applyInPandas(
         _mmr, "q_id bigint, rank bigint, vec_id bigint, score double"
     )
     return picked.select(

@@ -124,6 +124,9 @@ QUERIES = [
     "d26_dedup_first_lsh",
     # round-14: materialized video-fingerprint index (build + serve).
     "snk22_video_fingerprint_index",
+    # round-14: exact-substring dedup — every k-token window anchors
+    # through ONE corpus groupBy; must stay linear on this axis.
+    "d27_exact_substring_mass",
 ]
 
 

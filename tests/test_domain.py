@@ -1570,3 +1570,52 @@ def test_d26_hot_bucket_cap_binds_loudly(spark, tmp_path, sf_dir):
     # Residual near pairs only from sub-cap buckets: bounded by
     # b * C(cap, 2) + background collisions, far below C(60, 2) * b.
     assert n_near <= 4 * cap * (cap - 1) // 2 + 50, f"near volume {n_near}"
+
+
+def test_d27_planted_substring_repeats(spark, tmp_path, sf_dir):
+    # Exact-substring semantics, planted: a 10-token span S shared
+    # cross-document at DIFFERENT positions (the case chunk-grid dedup
+    # d14 misses when S straddles a boundary), plus a within-document
+    # repeat (suffix-array semantics count all occurrences). With k=8,
+    # a 10-token duplicated span covers exactly 10 tokens (3 merged
+    # windows). Expected masses are computed by hand and asserted
+    # exactly; parity vs the DuckDB mirror runs on the same corpus.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d27_exact_substring_mass,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.registry import (
+        all_oracles,
+    )
+    from tests.oracle_compare import run_compare
+
+    S = [f"s{j}" for j in range(10)]
+    rows = [
+        # doc 0: S at positions 6..15 of 20 tokens
+        (0, " ".join([f"a{j}" for j in range(5)] + S + [f"b{j}" for j in range(5)])),
+        # doc 1: S at positions 1..10 of 15 tokens
+        (1, " ".join(S + [f"c{j}" for j in range(5)])),
+        # doc 2: internal repeat S z0 S (21 tokens, two covered spans)
+        (2, " ".join(S + ["z0"] + S)),
+        # doc 3: all unique, no repeats
+        (3, " ".join(f"u{j}" for j in range(12))),
+        # doc 4: too short for any k=8 window
+        (4, "w0 w1 w2"),
+    ]
+    d = _d26_corpus_dir(tmp_path, sf_dir, rows, "d27_planted")
+
+    run_compare(
+        spark, d, "d27_exact_substring_mass@planted",
+        d27_exact_substring_mass, all_oracles()["d27_exact_substring_mass"],
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in d27_exact_substring_mass(spark, d).collect()
+    }
+    assert got == {
+        0: (20, 10),  # union of the 3 windows inside S
+        1: (15, 10),
+        2: (21, 20),  # both S copies covered; z0 not (straddles differ)
+        3: (12, 0),
+        4: (3, 0),
+    }, got

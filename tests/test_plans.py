@@ -444,19 +444,25 @@ def test_sim11_ann_mmr_zero_corpus_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # Round-11: the MMR pairwise join must be a q_id shuffled-hash join,
-    # NOT a broadcast — the candidate set scales with the QUERY workload
-    # (#queries x shortlist), so broadcasting it is the d19 anti-pattern
-    # on the query axis. Both sides partition once on q_id.
-    assert "ShuffledHashJoin" in plan, "MMR pairs join must shuffle on q_id"
+    # Round-14 fusion: the MMR pair stage lives INSIDE the grouped
+    # Arrow kernel (no a x b self-join, no per-side q_id exchanges) —
+    # the whole plan carries at most 5 shuffle exchanges (was 7 with
+    # the joined pair stage). The candidate set stays shortlist-bounded
+    # per query by contract, so the in-kernel pair matrix is <= 10^4
+    # cells.
+    assert _exchanges(plan) <= 5, (
+        f"sim11 exchange budget exceeded: {_exchanges(plan)}"
+    )
 
 
-def test_sim10_mmr_pairs_join_not_broadcast(spark, sf_dir):
-    # Same kernel, brute-force baseline: the pairs join shuffles on
-    # q_id; the only broadcasts are the (tiny, fixture-bounded) probe
-    # set feeding the candidate scan.
+def test_sim10_mmr_single_qid_exchange(spark, sf_dir):
+    # Same kernel, brute-force baseline: the top-shortlist window and
+    # the grouped MMR kernel share ONE q_id partitioning; the fused
+    # pair stage adds no join. Budget: 1 shuffle exchange total.
     plan = _plan(spark, sf_dir, "sim10_mmr_diversify")
-    assert "ShuffledHashJoin" in plan, "MMR pairs join must shuffle on q_id"
+    assert _exchanges(plan) <= 1, (
+        f"sim10 exchange budget exceeded: {_exchanges(plan)}"
+    )
     assert "CartesianProduct" not in plan
 
 
