@@ -1900,11 +1900,14 @@ def sim08_ivfadc_topk(
     shortlist: int = 100,
     k: int = 3,
     n_queries: int = 3,
+    cent_path: str | None = None,
+    cb_path: str | None = None,
 ) -> DataFrame:
     rer = _ivfadc_rerank(
         spark, sf_dir, n_coarse=n_coarse, coarse_iters=coarse_iters,
         nprobe=nprobe, n_centroids=n_centroids, n_sub=n_sub, iters=iters,
         shortlist=shortlist, n_queries=n_queries,
+        cent_path=cent_path, cb_path=cb_path,
     )
     w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
     return (
@@ -1929,19 +1932,31 @@ def _ivfadc_rerank(
     iters: int = 2,
     shortlist: int = 100,
     n_queries: int = 3,
+    cent_path: str | None = None,
+    cb_path: str | None = None,
 ) -> DataFrame:
     """The composed IVFADC retrieval chain up to and including the
     exact re-rank of the ADC shortlist — (q_id, vec_id, approx, cos)
     with UNROUNDED doubles (extracted round 10 so sim11 can feed the
-    shortlist into MMR without double-rounding)."""
+    shortlist into MMR without double-rounding).
+
+    ``cent_path`` / ``cb_path`` (round 14 — snk21's materialize-once/
+    serve-many contract for the TRAINED QUANTIZERS): codebooks are a
+    per-corpus-snapshot artifact, so production trains them once
+    (snk23 registers the cycle) and every retrieval run scans them
+    from parquet — the Lloyd iterations (the dominant per-run cost
+    once the K-scaled training sample is honest) never recompute."""
     emb = _ivf_emb(spark, sf_dir)
     # Coarse quantizer is TRAINED (round 9): spherical k-means over the
     # bounded sample, same seed/fold discipline as the PQ codebook. The
     # tiny result is checkpointed once — ivf_assign/ivf_probe both
     # collect it (metadata-scale).
-    cent = ivf_train_centroids(
-        emb, n_centroids=n_coarse, iters=coarse_iters
-    ).localCheckpoint(eager=False)
+    if cent_path is not None:
+        cent = spark.read.parquet(cent_path)
+    else:
+        cent = ivf_train_centroids(
+            emb, n_centroids=n_coarse, iters=coarse_iters
+        ).localCheckpoint(eager=False)
     # Coarse stage: lists + probes (ids only past this point).
     assigned = ivf_assign(emb, cent).select("vec_id", "cid")
     qprobe = ivf_probe(emb, cent, nprobe, n_queries=n_queries).select(
@@ -1957,9 +1972,12 @@ def _ivfadc_rerank(
     )
     # Fine stage: trained PQ codes rank the candidates by ADC lookup.
     sub = _pq_subspaces(_emb(spark, sf_dir), n_sub)
-    cb = pq_train_codebook(
-        sub, n_centroids=n_centroids, iters=iters
-    ).localCheckpoint(eager=False)
+    if cb_path is not None:
+        cb = spark.read.parquet(cb_path)
+    else:
+        cb = pq_train_codebook(
+            sub, n_centroids=n_centroids, iters=iters
+        ).localCheckpoint(eager=False)
     codes = pq_encode(_emb(spark, sf_dir), cb, n_sub)
     adc = (
         sub.filter(F.col("vec_id") < n_queries)

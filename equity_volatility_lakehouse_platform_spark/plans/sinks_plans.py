@@ -1094,3 +1094,58 @@ def _snk22_oracle() -> None:
 
 
 _snk22_oracle()
+
+
+@register(
+    "snk23_ann_codebook_index",
+    # Materialized TRAINED-QUANTIZER index (round 14) — snk21's
+    # materialize-once/serve-many cycle for the ANN training leg.
+    # Codebooks are a per-corpus-snapshot artifact: the K-scaled
+    # training sample (max(2048, 8*K), round 13) made in-query training
+    # strictly heavier to buy correctness past K=256, and that cost is
+    # a BUILD cost, not a serve cost. The builder trains the coarse
+    # quantizer (spherical k-means) and the PQ codebook ONCE, persists
+    # both as parquet under the session scratch, and serves sim08
+    # through cent_path/cb_path — every serve is then probe + ADC +
+    # re-rank against codebook SCANS, zero Lloyd iterations. The oracle
+    # is sim08's own: the persisted codebooks must be result-invisible
+    # (the snk21 contract). Like snk21/snk22, the builder EXECUTES
+    # training+write at plan-BUILD time by design.
+)
+def snk23_ann_codebook_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _emb,
+        _ivf_emb,
+        _pq_subspaces,
+        ivf_train_centroids,
+        pq_train_codebook,
+        sim08_ivfadc_topk,
+    )
+
+    root = session_scratch("snk23", sf_dir)
+    cent_path = root + "/coarse_centroids"
+    cb_path = root + "/pq_codebook"
+    ivf_train_centroids(
+        _ivf_emb(spark, sf_dir), n_centroids=4, iters=2
+    ).write.mode("overwrite").parquet(cent_path)
+    pq_train_codebook(
+        _pq_subspaces(_emb(spark, sf_dir), 16), n_centroids=16, iters=2
+    ).write.mode("overwrite").parquet(cb_path)
+    return sim08_ivfadc_topk(
+        spark, sf_dir, cent_path=cent_path, cb_path=cb_path
+    )
+
+
+def _snk23_oracle() -> None:
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        similarity as _sim,  # noqa: F401 — ensures sim08's oracle is registered
+    )
+    from equity_volatility_lakehouse_platform_spark.plans import registry as _r
+
+    _r.set_oracle(
+        "snk23_ann_codebook_index",
+        _r.all_oracles()["sim08_ivfadc_topk"],
+    )
+
+
+_snk23_oracle()

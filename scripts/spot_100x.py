@@ -127,6 +127,8 @@ QUERIES = [
     # round-14: exact-substring dedup — every k-token window anchors
     # through ONE corpus groupBy; must stay linear on this axis.
     "d27_exact_substring_mass",
+    # round-14: trained-quantizer index (build + serve).
+    "snk23_ann_codebook_index",
 ]
 
 
@@ -247,6 +249,8 @@ REBUILD = {
     # snk22 writes its fingerprint index eagerly at build time.
     "d26_dedup_first_lsh",
     "snk22_video_fingerprint_index",
+    # snk23 trains + writes its codebooks eagerly at build time.
+    "snk23_ann_codebook_index",
 }
 
 

@@ -185,6 +185,24 @@ def test_snk22_serves_from_the_video_fp_index(spark, sf_dir):
     assert "mapInPandas" not in plan.lower(), "serve plan must not re-decode"
 
 
+def test_snk23_serves_from_the_codebook_index(spark, sf_dir):
+    # snk23 trains + persists the coarse quantizer and PQ codebook at
+    # plan-build time; the RETURNED plan must serve from the codebook
+    # scans — no Lloyd iteration subtree (whose signature is the
+    # per-cid collect_list re-mean) may appear in the serve plan.
+    plan = _plan(spark, sf_dir, "snk23_ann_codebook_index")
+    assert "coarse_centroids" in plan, "plan must scan the coarse index"
+    assert "pq_codebook" in plan, "plan must scan the PQ codebook index"
+    # Training's Lloyd step re-means per-centroid member lists over the
+    # bounded sample; served plans carry only the ADC chain, so they
+    # must shuffle strictly less than the self-training plan.
+    trained = _plan(spark, sf_dir, "sim08_ivfadc_topk")
+    assert _exchanges(plan) < _exchanges(trained), (
+        f"serve plan must shuffle less than in-query training: "
+        f"{_exchanges(plan)} vs {_exchanges(trained)}"
+    )
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     side_effectful = {
         "snk01_partitioned_overwrite_roundtrip",
