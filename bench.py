@@ -7,6 +7,19 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect — the same way you'd measure on a cluster).
+
+NOISE RULE (round 14 — BENCH_r13's j01/j05/q1 rows drifted +29-38% on
+untouched code while the same-code refresh measured 0.96x): the printed
+line now carries per-query relative spread ("spread_pct": stddev/best
+as integer percent, arrays aligned with the key order of "queries" /
+"extended_queries"; full stats stay in the BENCH_FULL sidecar). A
+round-over-round per-query regression is REAL iff
+  new_best > old_best * (1 + (2 * max(spread_old, spread_new) + 5) / 100)
+— i.e. it must clear twice the larger measured noise band plus 5
+points; anything inside the band is host drift, not code. Deltas past
+~20% should additionally be confirmed by the interleaved A/B
+(scripts/ab_extended.py) before being acted on — the same-hour paired
+protocol that exonerated the r12 scare.
 """
 
 from __future__ import annotations
@@ -72,6 +85,9 @@ EXTENDED = [
     "st21_stream_cdc_apply",
     # round 10: the production ANN-fed MMR composition.
     "sim11_ann_mmr",
+    # round 14: exact-dedup-first capped LSH and exact-substring mass.
+    "d26_dedup_first_lsh",
+    "d27_exact_substring_mass",
 ]
 
 
@@ -156,6 +172,13 @@ def main() -> None:
     # parsed=null because query_stats pushed the line past the window.
     # So: per-run variance stats go to a sidecar file, and the printed
     # line carries only the driver contract fields (measured ~1 kB).
+    def _spread_pct(ts: list[float]) -> int:
+        s = sorted(ts)
+        n = len(s)
+        mean = sum(s) / n
+        var = sum((x - mean) ** 2 for x in s) / (n - 1) if n > 1 else 0.0
+        return round(100 * (var ** 0.5) / s[0]) if s[0] > 0 else 0
+
     record = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -166,6 +189,13 @@ def main() -> None:
         "queries": timings,
         "extended_queries": ext_timings,
         "extended_total": round(sum(ext_timings.values()), 3),
+        # Per-query relative spread (stddev/best, integer percent),
+        # aligned with the key order of queries / extended_queries —
+        # the noise band the module docstring's regression rule uses.
+        "spread_pct": {
+            "headline": [_spread_pct(runs[n]) for n in timings],
+            "extended": [_spread_pct(ext_runs[n]) for n in ext_timings],
+        },
         "sf": sf,
     }
     full = dict(record)
@@ -181,6 +211,9 @@ def main() -> None:
         fh.write("\n")
     line = json.dumps(record)
     if len(line) > 1800:  # never outgrow the capture window again
+        record.pop("spread_pct", None)
+        line = json.dumps(record)
+    if len(line) > 1800:
         record.pop("extended_queries", None)
         line = json.dumps(record)
     print(line)
