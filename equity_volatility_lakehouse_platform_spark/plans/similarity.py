@@ -272,9 +272,12 @@ def ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     32 MB codebook at D=64, ~10^14 flops/pass). Past that, production
     needs a TWO-LEVEL (hierarchical) coarse assignment — sqrt(K)
     super-centroids prune to a candidate centroid subset before the
-    exact argmax — which changes no semantics but is not implemented
-    here; the prune/candidate volume downstream of assignment remains
-    linear in N either way."""
+    exact argmax. That shape IS implemented as its own registered
+    surface (sim15_two_level_ivf_topk, round 14) with a CTE-for-CTE
+    DuckDB mirror; flat ivf_assign remains the exact-argmax primitive
+    the trainer and the at-or-below-ceiling queries use. The prune/
+    candidate volume downstream of assignment remains linear in N
+    either way."""
     cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
     bc = emb.sparkSession.sparkContext.broadcast(
         (
@@ -2800,3 +2803,313 @@ def sim14_radius_search(
             (F.col("cos") >= F.lit(inner_tau)).alias("in_radius"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) coarse quantization — round 14, closing the
+# cliff SCALE.md round-13 addendum 8 NAMED: single-level ivf_assign
+# scores all K centroids per vector, so with the engine's auto-
+# provisioned K = ceil(N/256) the assignment leg is O(N*K*D) =
+# O(N^2*D/256) FLOPs and the broadcast codebook grows O(K*D) — real
+# past N ~ 1e8 (the ADVICE-medium ceiling). The classical fix is
+# FAISS's IVF-in-IVF shape: train K2 ~ ceil(sqrt(K)) SUPER-centroids
+# OVER the centroids (K rows — metadata-scale training), assign each
+# centroid to its super once, and assign each vector by scanning the
+# K2 supers then ONLY the chosen super-cell's ~sqrt(K) member
+# centroids — O(N*sqrt(K)*D) total, with the per-executor codebook
+# surface O(sqrt(K)*D). Assignment is a PRUNING rule (a vector whose
+# true-best centroid lives outside its chosen super-cell assigns
+# differently than flat argmax), so this is a DISTINCT registered
+# surface with its own bit-exact DuckDB mirror — every stage (both
+# training levels, both argmax rules, the live-cell filter, the probe,
+# the cap, the re-rank) is mirrored CTE-for-CTE.
+# ---------------------------------------------------------------------------
+
+_SUP_TRAIN_ITER = """
+    , sia{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT s.vec_id, s.v, cb.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 list_dot_product(s.v, cb.cv)
+                   / NULLIF(s.nv * sqrt(list_dot_product(cb.cv, cb.cv)), 0)
+                   DESC, cb.cid) AS rn
+        FROM sitr s CROSS JOIN sicb{p} cb
+      ) WHERE rn = 1
+    ), sisum{t} AS (
+      SELECT cid, i,
+             list_reduce(list(v[i] ORDER BY vec_id),
+                         (acc, val) -> acc + val) / count(*) AS ci
+      FROM sia{t} CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+      GROUP BY cid, i
+    ), sic{t} AS (
+      SELECT cid, list(ci ORDER BY i) AS cv FROM sisum{t} GROUP BY cid
+    ), sicb{t} AS (
+      SELECT prev.cid, COALESCE(sic{t}.cv, prev.cv) AS cv
+      FROM sicb{p} prev LEFT JOIN sic{t} ON sic{t}.cid = prev.cid
+    )
+"""
+
+_SIM15_K = "(SELECT GREATEST(4, (count(*) + 255) // 256) FROM e)"
+_SIM15_K2 = (
+    "(SELECT GREATEST(2, CAST(ceil(sqrt(GREATEST(4, (count(*) + 255)"
+    " // 256))) AS BIGINT)) FROM e)"
+)
+
+
+def _sim15_oracle() -> str:
+    return (
+        """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+        + _ivf_train_sql(_SIM15_K)
+        + f"""
+    , sitr AS (
+      SELECT cid AS vec_id, cv AS v, sqrt(list_dot_product(cv, cv)) AS nv
+      FROM icb2 WHERE cid < GREATEST(2048, 8 * {_SIM15_K2})
+    ), sicb0 AS (
+      SELECT cid, cv FROM icb2 WHERE cid < {_SIM15_K2}
+    )"""
+        + _SUP_TRAIN_ITER.format(t=1, p=0)
+        + _SUP_TRAIN_ITER.format(t=2, p=1)
+        + """
+    , callc AS (
+      SELECT cid AS mcid, cv AS mcv,
+             sqrt(list_dot_product(cv, cv)) AS mnc
+      FROM icb2
+    ), c2s AS (
+      SELECT mcid, mcv, mnc, scid FROM (
+        SELECT c.mcid, c.mcv, c.mnc, sb.cid AS scid,
+               row_number() OVER (PARTITION BY c.mcid ORDER BY
+                 list_dot_product(c.mcv, sb.cv)
+                   / NULLIF(c.mnc * sqrt(list_dot_product(sb.cv, sb.cv)), 0)
+                   DESC, sb.cid) AS rn
+        FROM callc c CROSS JOIN sicb2 sb
+      ) WHERE rn = 1
+    ), live AS (
+      SELECT DISTINCT scid FROM c2s
+    ), slive AS (
+      SELECT cb.cid, cb.cv FROM sicb2 cb JOIN live l ON l.scid = cb.cid
+    ), ee AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e
+    ), v2s AS (
+      SELECT vec_id, v, nv, scid FROM (
+        SELECT t.vec_id, t.v, t.nv, sb.cid AS scid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_dot_product(t.v, sb.cv)
+                   / NULLIF(t.nv * sqrt(list_dot_product(sb.cv, sb.cv)), 0)
+                   DESC, sb.cid) AS rn
+        FROM ee t CROSS JOIN slive sb
+      ) WHERE rn = 1
+    ), asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT t.vec_id, t.v, m.mcid AS cid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_dot_product(t.v, m.mcv) / NULLIF(t.nv * m.mnc, 0)
+                   DESC, m.mcid) AS rn
+        FROM v2s t JOIN c2s m ON m.scid = t.scid
+        WHERE (list_dot_product(t.v, m.mcv) / NULLIF(t.nv * m.mnc, 0))
+              IS NOT NULL
+      ) WHERE rn = 1
+    ), qsup AS (
+      SELECT q_id, qv, nq, scid FROM (
+        SELECT t.vec_id AS q_id, t.v AS qv, t.nv AS nq, sb.cid AS scid,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 list_dot_product(t.v, sb.cv)
+                   / NULLIF(t.nv * sqrt(list_dot_product(sb.cv, sb.cv)), 0)
+                   DESC, sb.cid) AS rn
+        FROM ee t CROSS JOIN slive sb WHERE t.vec_id < 3
+      ) WHERE rn <= 2
+    ), qprobe AS (
+      SELECT q_id, qv, mcid AS qcid FROM (
+        SELECT q.q_id, q.qv, m.mcid,
+               row_number() OVER (PARTITION BY q.q_id, q.scid ORDER BY
+                 list_dot_product(q.qv, m.mcv) / NULLIF(q.nq * m.mnc, 0)
+                   DESC, m.mcid) AS rn
+        FROM qsup q JOIN c2s m ON m.scid = q.scid
+      ) WHERE rn <= 2
+    ), cand0 AS (
+      SELECT p.q_id, p.qcid, a.vec_id,
+             list_dot_product(list_slice(p.qv, 1, 16),
+                              list_slice(a.v, 1, 16)) AS part
+      FROM qprobe p JOIN asg a ON a.cid = p.qcid AND a.vec_id <> p.q_id
+    ), capped AS (
+      SELECT q_id, vec_id
+      FROM (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id, qcid
+                                      ORDER BY part DESC, vec_id) AS prn
+            FROM cand0)
+      WHERE prn <= 64
+    ), cand AS (
+      SELECT c.q_id, c.vec_id,
+             list_dot_product(q.v, x.v)
+               / NULLIF(sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(x.v, x.v)), 0) AS cos
+      FROM (SELECT DISTINCT q_id, vec_id FROM capped) c
+      JOIN e q ON q.vec_id = c.q_id
+      JOIN e x ON x.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, (ROUND(cos, 6) + 0.0) AS cosine
+    FROM (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rn
+          FROM cand)
+    WHERE rn <= 3
+    """
+    )
+
+
+@register("sim15_two_level_ivf_topk", oracle=None)  # set below
+def sim15_two_level_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 2,
+    nprobe_super: int = 2,
+    k: int = 3,
+    per_probe_cap: int = 64,
+    n_queries: int = 3,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    # See the block comment above. Physical shape at 100 TB: BOTH
+    # training levels read bounded samples (level 2 trains over the K
+    # centroids themselves — metadata-scale); the vector->super kernel
+    # scans K2 ~ sqrt(K) supers in the scan's own partitions; the
+    # within-cell argmax is a BROADCAST hash join (members = K rows,
+    # metadata-scale) + a map-side-partial min_by groupBy, so raw
+    # vectors never shuffle for assignment; the probe/cap/re-rank tail
+    # is sim04's (late materialization, O(Q * nprobe * cap) re-rank).
+    import math
+
+    emb = _ivf_emb(spark, sf_dir)
+    if n_centroids is None:
+        n_centroids = max(4, (emb.count() + 255) // 256)
+    k2 = max(2, math.ceil(math.sqrt(n_centroids)))
+
+    cent = ivf_train_centroids(
+        emb, n_centroids=n_centroids, iters=2
+    ).localCheckpoint(eager=False)
+    cfr = cent.select(
+        F.col("cid").alias("vec_id"), F.col("cv").alias("v"),
+        F.col("nc").alias("nv"),
+    )
+    sup = ivf_train_centroids(
+        cfr, n_centroids=k2, iters=2
+    ).localCheckpoint(eager=False)
+
+    # centroid -> super (K x K2 metadata work; ties -> lowest super id)
+    members = ivf_assign(cfr, sup).select(
+        F.col("vec_id").alias("mcid"), F.col("v").alias("mcv"),
+        F.col("nv").alias("mnc"), F.col("cid").alias("scid"),
+    ).localCheckpoint(eager=False)
+    live = members.select("scid").distinct()
+    sup_live = sup.join(
+        F.broadcast(live), sup["cid"] == live["scid"]
+    ).select("cid", "cv", "nc")
+
+    # vector -> super: the Arrow kernel scans K2 supers per vector.
+    v2s = ivf_assign(emb, sup_live).select(
+        "vec_id", "v", "nv", F.col("cid").alias("scid")
+    )
+    # vector -> centroid WITHIN the super-cell: broadcast members join
+    # (metadata-scale), map-side-partial argmax via min_by on
+    # (-cos, mcid) == ORDER BY cos DESC, mcid LIMIT 1.
+    cosm = dot(F.col("v"), F.col("mcv")) / F.nullif(
+        F.col("nv") * F.col("mnc"), F.lit(0.0)
+    )
+    scored = (
+        v2s.join(F.broadcast(members), "scid")
+        .select("vec_id", "v", "mcid", cosm.alias("cosm"))
+        .filter(F.col("cosm").isNotNull())
+    )
+    asg = scored.groupBy("vec_id").agg(
+        F.min_by(
+            "mcid",
+            F.struct(
+                (F.lit(0.0) - F.col("cosm")).alias("o1"),
+                F.col("mcid").alias("o2"),
+            ),
+        ).alias("cid"),
+        F.first("v").alias("v"),
+    )
+
+    # Queries probe TWO levels (round-14 recall fix: a single probed
+    # super-cell leaves true neighbors in sibling cells — at sf0.1 the
+    # one-cell probe measured recall@3 = 0.33; top-2 supers x top-2
+    # member centroids restores sim04-grade coverage): top-nprobe_super
+    # supers per query, then top-nprobe member centroids per probed
+    # super. Both stages are query-side metadata work.
+    coss = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
+    wqs = Window.partitionBy("q_id").orderBy(F.desc("coss"), "scid")
+    qsup = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
+        .crossJoin(F.broadcast(sup_live))
+        .select(
+            "q_id", "qv", "nq", F.col("cid").alias("scid"),
+            coss.alias("coss"),
+        )
+        .withColumn("rn", F.row_number().over(wqs))
+        .filter(F.col("rn") <= nprobe_super)
+        .select("q_id", "qv", "nq", "scid")
+    )
+    cosq = dot(F.col("qv"), F.col("mcv")) / F.nullif(
+        F.col("nq") * F.col("mnc"), F.lit(0.0)
+    )
+    wq = Window.partitionBy("q_id", "scid").orderBy(F.desc("cosq"), "mcid")
+    qprobe = (
+        qsup.join(F.broadcast(members), "scid")
+        .select("q_id", "scid", "qv", "mcid", cosq.alias("cosq"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", F.col("mcid").alias("qcid"))
+    )
+
+    # sim04's serve tail: 16-dim partial cap, late materialization.
+    part = F.element_at(F.col("qv"), 1) * F.element_at(F.col("v"), 1)
+    for i in range(2, 17):
+        part = part + F.element_at(F.col("qv"), i) * F.element_at(
+            F.col("v"), i
+        )
+    cand0 = (
+        F.broadcast(qprobe)
+        .join(
+            asg,
+            (F.col("qcid") == F.col("cid"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "qcid", "vec_id", part.alias("part"))
+    )
+    wc = Window.partitionBy("q_id", "qcid").orderBy(F.desc("part"), "vec_id")
+    capped = (
+        cand0.withColumn("prn", F.row_number().over(wc))
+        .filter(F.col("prn") <= per_probe_cap)
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    qvec = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.sqrt(dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(dot(F.col("v"), F.col("v"))),
+        F.lit(0.0),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        F.broadcast(capped)
+        .join(base, "vec_id")
+        .join(F.broadcast(qvec), F.col("q_id") == F.col("qq_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", r6("cos").alias("cosine"))
+    )
+
+
+_simreg.set_oracle("sim15_two_level_ivf_topk", _sim15_oracle())

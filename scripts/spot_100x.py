@@ -129,6 +129,10 @@ QUERIES = [
     "d27_exact_substring_mass",
     # round-14: trained-quantizer index (build + serve).
     "snk23_ann_codebook_index",
+    # round-14: two-level hierarchical coarse quantization — the
+    # O(N*K*D) single-level assignment cliff closed; must track the
+    # corpus linearly with K2 ~ sqrt(K) scans per vector.
+    "sim15_two_level_ivf_topk",
 ]
 
 
@@ -251,6 +255,9 @@ REBUILD = {
     "snk22_video_fingerprint_index",
     # snk23 trains + writes its codebooks eagerly at build time.
     "snk23_ann_codebook_index",
+    # sim15 counts the corpus and trains BOTH quantizer levels at
+    # build time (lazily checkpointed).
+    "sim15_two_level_ivf_topk",
 }
 
 

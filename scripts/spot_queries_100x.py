@@ -45,6 +45,9 @@ CASES = [
     # same 20x eval-set growth, but per-query work is O(nprobe * cap)
     # instead of O(N), so the wall must amortize where ml12's is linear.
     ("ml23_knn_classify_ann", {"eval_mod": 20}, {"eval_mod": 1}, 20),
+    # round 14: the hierarchical coarse path — per-query work is
+    # O(nprobe * cell + cap) like sim04's, so queries must amortize.
+    ("sim15_two_level_ivf_topk", {"n_queries": 3}, {"n_queries": 300}, 100),
 ]
 
 # Same rebuild discipline as the corpus-axis spot: these train/write

@@ -1619,3 +1619,56 @@ def test_d27_planted_substring_repeats(spark, tmp_path, sf_dir):
         3: (12, 0),
         4: (3, 0),
     }, got
+
+
+def test_sim15_two_level_recall_audit(spark, sf_dir):
+    # The hierarchical coarse path ships with its recall audit (the
+    # sim05/sim07/sim09 discipline). Two claims: (a) the two-level
+    # pruning at defaults is no worse than the flat fixed-codebook
+    # baseline (sim04) — the hierarchy buys O(N*sqrt(K)*D) assignment
+    # without paying recall vs the flat scan it replaces; (b) the loss
+    # that remains is the 16-dim partial-dot CAP, not the hierarchy:
+    # probing every super and lifting the cap recovers exact recall.
+    from pyspark.sql import Window
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ivf_emb,
+        dot,
+        sim15_two_level_ivf_topk,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+        .collect()
+    }
+
+    def recall(df) -> float:
+        got = {(r["q_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r15 = recall(sim15_two_level_ivf_topk(spark, sf_dir))
+    r04 = recall(all_queries()["sim04_ivf_ann_topk"](spark, sf_dir))
+    assert r15 >= r04, f"hierarchy {r15} worse than flat baseline {r04}"
+    full = recall(
+        sim15_two_level_ivf_topk(
+            spark, sf_dir, nprobe=64, nprobe_super=64, per_probe_cap=100_000
+        )
+    )
+    assert full == 1.0, f"un-capped full probe must be exact, got {full}"
