@@ -2414,3 +2414,118 @@ def d27_exact_substring_mass(
             "doc_id", "n_tokens", "dup_tokens", r6(F.col("_f")).alias("dup_fraction")
         )
     )
+
+
+@register(
+    "d28_substring_trim",
+    # The REMOVAL half of the exact-substring recipe (d27 computes the
+    # decision statistic; Lee et al. 2022's deployed pipeline removes
+    # the duplicated spans themselves). Reuses d27's anchor stages —
+    # every k-token window hashes to a 60-bit anchor, ONE corpus
+    # groupBy finds anchors occurring >= 2 times anywhere — then per
+    # document: collect the duplicated window STARTS (few per doc by
+    # construction once d01/d26 ran upstream), and emit the token
+    # stream with every covered token dropped (token j is covered iff
+    # a duplicated window starts in [j-k+1, j]). Output is the
+    # TOKENIZED clean text (lower/trim/single-space — the corpus-dedup
+    # grain), plus counts. The kept-token filter is a nested HOF
+    # (O(n_tokens x n_starts) per doc, both small), evaluated once in
+    # a single projection; the corpus-scale stages are d27's (8-byte
+    # anchor shuffle, (doc_id, pos) semi-join).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(t) AS n_tokens, t FROM toks
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(t, i, i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+      FROM base, LATERAL unnest(range(1, n_tokens - 6)) AS u(i)
+      WHERE n_tokens >= 8
+    ), dup AS (
+      SELECT h FROM sh GROUP BY h HAVING count(*) >= 2
+    ), ds AS (
+      SELECT s.doc_id, list(s.pos) AS ps
+      FROM sh s JOIN dup d ON s.h = d.h
+      GROUP BY s.doc_id
+    ), kept AS (
+      SELECT b.doc_id, b.n_tokens,
+             list_filter(b.t, (x, j) ->
+               len(list_filter(COALESCE(ds.ps, []),
+                               p -> p <= j AND p >= j - 7)) = 0) AS kt
+      FROM base b LEFT JOIN ds ON ds.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(kt) AS BIGINT) AS kept_tokens,
+           -- a fully-trimmed doc is the EMPTY string on both engines
+           -- (DuckDB's array_to_string of [] is NULL; Spark's
+           -- concat_ws is '')
+           COALESCE(array_to_string(kt, ' '), '') AS clean_text
+    FROM kept
+    """,
+)
+def d28_substring_trim(
+    spark: SparkSession, sf_dir: str, k: int = D27_K
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    sh = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        tx.token_hash(
+                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    ds = (
+        sh.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+    )
+    # Token j (1-based) is covered iff some duplicated window starts in
+    # [j-k+1, j]. Spark's filter/exists index lambda is 0-BASED, so the
+    # 1-based token position is j+1; DuckDB's list_filter index is
+    # 1-based — the mirror uses j directly.
+    ps = F.coalesce(F.col("ps"), F.array().cast("array<int>"))
+    kt = F.filter(
+        F.col("t"),
+        lambda x, j: ~F.exists(
+            ps,
+            lambda p: (p <= j + 1) & (p >= j + 1 - (k - 1)),
+        ),
+    )
+    return (
+        base.join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            kt.alias("_kt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("_kt").cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", F.col("_kt")).alias("clean_text"),
+        )
+    )

@@ -125,8 +125,10 @@ QUERIES = [
     # round-14: materialized video-fingerprint index (build + serve).
     "snk22_video_fingerprint_index",
     # round-14: exact-substring dedup — every k-token window anchors
-    # through ONE corpus groupBy; must stay linear on this axis.
+    # through ONE corpus groupBy; must stay linear on this axis. d28
+    # is the removal half on the same anchor stages.
     "d27_exact_substring_mass",
+    "d28_substring_trim",
     # round-14: trained-quantizer index (build + serve).
     "snk23_ann_codebook_index",
     # round-14: two-level hierarchical coarse quantization — the

@@ -1672,3 +1672,44 @@ def test_sim15_two_level_recall_audit(spark, sf_dir):
         )
     )
     assert full == 1.0, f"un-capped full probe must be exact, got {full}"
+
+
+def test_d28_planted_substring_trim(spark, tmp_path, sf_dir):
+    # The removal half, on the d27 planted corpus: the shared 10-token
+    # span S must vanish from every occurrence (cross-doc at different
+    # offsets, both copies of a within-doc repeat), non-duplicated
+    # tokens survive verbatim, short docs pass through untouched.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d28_substring_trim,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.registry import (
+        all_oracles,
+    )
+    from tests.oracle_compare import run_compare
+
+    S = [f"s{j}" for j in range(10)]
+    rows = [
+        (0, " ".join([f"a{j}" for j in range(5)] + S + [f"b{j}" for j in range(5)])),
+        (1, " ".join(S + [f"c{j}" for j in range(5)])),
+        (2, " ".join(S + ["z0"] + S)),
+        (3, " ".join(f"u{j}" for j in range(12))),
+        (4, "w0 w1 w2"),
+    ]
+    d = _d26_corpus_dir(tmp_path, sf_dir, rows, "d28_planted")
+
+    run_compare(
+        spark, d, "d28_substring_trim@planted",
+        d28_substring_trim, all_oracles()["d28_substring_trim"],
+    )
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in d28_substring_trim(spark, d).collect()
+    }
+    assert got == {
+        0: "a0 a1 a2 a3 a4 b0 b1 b2 b3 b4",
+        1: "c0 c1 c2 c3 c4",
+        2: "z0",
+        3: " ".join(f"u{j}" for j in range(12)),
+        4: "w0 w1 w2",
+    }, got
