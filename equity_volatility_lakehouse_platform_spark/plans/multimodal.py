@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.operators.multimodal import (
@@ -1114,16 +1114,33 @@ def mm13_png_chunk_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hamming_band_neardup(
-    hashes: DataFrame, threshold: int = 10, n_bands: int = 4
+def hamming_hot_buckets(
+    hashes: DataFrame, n_bands: int = 4, bucket_cap: int = 1024
 ) -> DataFrame:
-    """Shared Hamming-LSH tail for every perceptual fingerprint family
-    (d22 images, d23 audio, d25 video clips — the latter with twelve
-    bands over its frame-concatenated 192-bit fingerprint): explode the
-    16-bit band keys, self-join on (band, key) — ONE hint-pinned
-    shuffle_hash exchange, scale-stable — then verify candidates with
-    the exact Hamming distance (xor + bit_count, pure integer
-    arithmetic)."""
+    """Per-band accounting of Hamming-LSH buckets over ``bucket_cap``
+    fingerprints (round 14 — d26's loud-cap discipline for the
+    perceptual family): returns (band, n_hot_buckets, avoided_pairs).
+    EXACT-duplicate payloads produce identical fingerprints and pile
+    into one (band, key) bucket in every band — the same quadratic
+    true-duplicate mass d26 documents for text; the production
+    composition is likewise exact-dedup first (payload digest groupBy),
+    then this accounting over the residue."""
+    bands = _hamming_bands(hashes, n_bands).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        bands.filter(F.col("sz") > bucket_cap)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hot_buckets"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("long")
+            .alias("avoided_pairs"),
+        )
+    )
+
+
+def _hamming_bands(hashes: DataFrame, n_bands: int) -> DataFrame:
     kcols = [f"k{m}" for m in range(n_bands)]
     band_structs = F.array(
         *[
@@ -1131,10 +1148,41 @@ def _hamming_band_neardup(
             for m in range(n_bands)
         ]
     )
-    bands = hashes.select(
+    return hashes.select(
         "doc_id", *kcols,
         F.explode(band_structs).alias("_b"),
     ).select("doc_id", *kcols, "_b.band", "_b.key")
+
+
+def _hamming_band_neardup(
+    hashes: DataFrame,
+    threshold: int = 10,
+    n_bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Shared Hamming-LSH tail for every perceptual fingerprint family
+    (d22 images, d23 audio, d25 video clips — the latter with twelve
+    bands over its frame-concatenated 192-bit fingerprint): explode the
+    16-bit band keys, self-join on (band, key) — ONE hint-pinned
+    shuffle_hash exchange, scale-stable — then verify candidates with
+    the exact Hamming distance (xor + bit_count, pure integer
+    arithmetic).
+
+    ``bucket_cap`` (round 14, default None == the registered queries'
+    uncapped enumerate-all contract): when set, buckets holding more
+    than ``bucket_cap`` fingerprints are EXCLUDED from the pair join —
+    the d26 hot-bucket discipline for boilerplate-heavy payload
+    corpora; pair it with ``hamming_hot_buckets`` for the loud per-band
+    accounting."""
+    bands = _hamming_bands(hashes, n_bands)
+    if bucket_cap is not None:
+        wsz = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("sz") <= bucket_cap)
+            .drop("sz")
+        )
+    kcols = [f"k{m}" for m in range(n_bands)]
     a = bands.select([F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select([F.col(c).alias(f"b_{c}") for c in bands.columns])
     hd = sum(

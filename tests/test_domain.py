@@ -1713,3 +1713,29 @@ def test_d28_planted_substring_trim(spark, tmp_path, sf_dir):
         3: " ".join(f"u{j}" for j in range(12)),
         4: "w0 w1 w2",
     }, got
+
+
+def test_hamming_band_bucket_cap_and_accounting(spark):
+    # d26's hot-bucket discipline on the perceptual family: 2000
+    # IDENTICAL fingerprints (exact-duplicate payloads) plus two
+    # near-dup singletons. Uncapped, the template contributes
+    # C(2000,2) pairs through every band; with a cap the template
+    # buckets are excluded from the join while the singleton pair
+    # survives, and hamming_hot_buckets accounts the avoided mass
+    # per band.
+    from equity_volatility_lakehouse_platform_spark.plans.multimodal import (
+        _hamming_band_neardup,
+        hamming_hot_buckets,
+    )
+
+    rows = [(i, 7, 7, 7, 7) for i in range(2000)]
+    rows += [(10_000, 1, 2, 3, 4), (10_001, 1, 2, 3, 12)]
+    hashes = spark.createDataFrame(
+        rows, "doc_id long, k0 long, k1 long, k2 long, k3 long"
+    )
+    capped = _hamming_band_neardup(hashes, bucket_cap=64).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert pairs == {(10_000, 10_001)}, pairs
+    hot = {r["band"]: (r["n_hot_buckets"], r["avoided_pairs"])
+           for r in hamming_hot_buckets(hashes, bucket_cap=64).collect()}
+    assert hot == {m: (1, 2000 * 1999 // 2) for m in range(4)}, hot
