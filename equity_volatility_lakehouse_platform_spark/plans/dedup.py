@@ -2207,9 +2207,15 @@ def d26_dedup_first_lsh(
     ).select("doc_id", "n_copies", *mh_cols)
 
     bands = lsh_band_frame(ksig, n_docs, carry=("n_copies", *mh_cols))
-    wsz = Window.partitionBy("band", "key")
-    sized = bands.withColumn("sz", F.count(F.lit(1)).over(wsz))
-    ok = sized.filter(F.col("sz") <= bucket_cap).drop("sz")
+    # Bucket sizes on the NARROW (band, key) projection — the wide
+    # signature-carrying frame never shuffles for sizing; hot keys are
+    # few by construction (<= b*keepers/cap), so the exclusion is a
+    # left-anti join Catalyst/AQE broadcasts when small.
+    bsz = bands.select("band", "key").groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    hot_keys = bsz.filter(F.col("sz") > bucket_cap).select("band", "key")
+    ok = bands.join(hot_keys, ["band", "key"], "left_anti")
 
     a = ok.select([F.col(c).alias(f"a_{c}") for c in ok.columns])
     b = ok.select([F.col(c).alias(f"b_{c}") for c in ok.columns])
@@ -2253,10 +2259,7 @@ def d26_dedup_first_lsh(
         F.lit(None).cast("long").alias("n_hot_buckets"),
     )
     hot = (
-        sized.select("band", "key", "sz")
-        .groupBy("band", "key")
-        .agg(F.first("sz").alias("sz"))
-        .filter(F.col("sz") > bucket_cap)
+        bsz.filter(F.col("sz") > bucket_cap)
         .groupBy("band")
         .agg(
             F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
