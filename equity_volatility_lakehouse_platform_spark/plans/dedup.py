@@ -2315,6 +2315,48 @@ D27_K = 8  # minimal repeat length in tokens (Lee et al. use 50 BPE
 #            tokens, so k=8 exercises the same machinery at test SF)
 
 
+def _substring_anchor_stages(
+    docs: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared d27/d28 anchor pipeline: (base, dup_starts).
+
+    base = (doc_id, n_tokens, t); dup_starts = (doc_id, pos) of every
+    k-token window whose 60-bit anchor occurs >= 2 times anywhere in
+    the corpus (within- and cross-document — the suffix-array
+    semantics). The window explode is map-only; the anchor groupBy is
+    the ONE corpus shuffle (8-byte keys, combiner-friendly); the dup
+    semi-join re-shuffles (doc_id, pos) pairs only for anchors that
+    actually repeat. Raw text never shuffles."""
+    base = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    sh = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        tx.token_hash(
+                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    return base, sh.join(dup, "h").select("doc_id", "pos")
+
+
 @register(
     "d27_exact_substring_mass",
     oracle=r"""
@@ -2361,36 +2403,10 @@ def d27_exact_substring_mass(
     # shuffles. (The registered oracle pins k=8; ad-hoc k needs its own
     # mirror.)
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", tx.tokens(F.col("text")).alias("t")
-    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
-    sh = (
-        base.filter(F.col("n_tokens") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        tx.token_hash(
-                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.pos", "s.h")
-    )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("h")
-    )
+    base, dup_starts = _substring_anchor_stages(docs, k)
     w = Window.partitionBy("doc_id").orderBy("pos")
     cov = (
-        sh.join(dup, "h")
+        dup_starts
         .withColumn("prev", F.lag("pos").over(w))
         .select(
             "doc_id",
@@ -2474,37 +2490,9 @@ def d28_substring_trim(
     spark: SparkSession, sf_dir: str, k: int = D27_K
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", tx.tokens(F.col("text")).alias("t")
-    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
-    sh = (
-        base.filter(F.col("n_tokens") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        tx.token_hash(
-                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.pos", "s.h")
-    )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("h")
-    )
-    ds = (
-        sh.join(dup, "h")
-        .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("ps"))
+    base, dup_starts = _substring_anchor_stages(docs, k)
+    ds = dup_starts.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("ps")
     )
     # Token j (1-based) is covered iff some duplicated window starts in
     # [j-k+1, j]. Spark's filter/exists index lambda is 0-BASED, so the
