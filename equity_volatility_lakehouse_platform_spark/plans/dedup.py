@@ -2177,6 +2177,7 @@ def d26_dedup_first_lsh(
     spark: SparkSession,
     sf_dir: str,
     bucket_cap: int = D26_BUCKET_CAP,
+    sig_path: str | None = None,
 ) -> DataFrame:
     # Production near-dup front door: exact-dedup-first composition +
     # loudly-capped LSH (see the block comment above). Output is ONE
@@ -2200,7 +2201,13 @@ def d26_dedup_first_lsh(
         F.min("doc_id").alias("keeper"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
-    sig = tx.minhash_signature(docs, n_perm=n_perm)
+    # ``sig_path``: serve signatures from a materialized index (the
+    # snk21 surface — one index feeds d03 AND d26); the default stays
+    # the UNCACHED map pass (consumed once, alongside the digest hash).
+    if sig_path is not None:
+        sig = spark.read.parquet(sig_path)
+    else:
+        sig = tx.minhash_signature(docs, n_perm=n_perm)
     keepers = grp.select("keeper", "n_copies")
     ksig = sig.join(
         keepers, sig["doc_id"] == keepers["keeper"]

@@ -558,3 +558,30 @@ def test_round12_new_query_plans(spark, sf_dir):
     plan6 = df6._jdf.queryExecution().explainString(mode)
     assert "CartesianProduct" not in plan6
     assert "BroadcastNestedLoopJoin" not in plan6
+
+
+def test_d26_serves_from_persisted_signatures(spark, sf_dir, tmp_path):
+    # d26 shares snk21's index surface: given sig_path, the plan scans
+    # the materialized signature table for the LSH leg (documents are
+    # still read ONCE for the digest groupBy — that's the exact-dedup
+    # stage, not a signature recompute) and yields identical results.
+    from equity_volatility_lakehouse_platform_spark.plans.dedup import (
+        d02_minhash_signatures,
+        d26_dedup_first_lsh,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    sig_path = str(tmp_path / "signatures")
+    write_partitioned(d02_minhash_signatures(spark, sf_dir), sig_path, [])
+    served = d26_dedup_first_lsh(spark, sf_dir, sig_path=sig_path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = served._jdf.queryExecution().explainString(mode)
+    assert "signatures" in plan, "plan must scan the materialized table"
+    recomputed = QS["d26_dedup_first_lsh"](spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    ), "persisted-signature path must be result-identical"
