@@ -52,7 +52,8 @@ CASES = [
 
 # Same rebuild discipline as the corpus-axis spot: these train/write
 # per call, so each timed run must pay the whole pipeline.
-REBUILD = {"sim08_ivfadc_topk", "sim11_ann_mmr", "sim12_persisted_ivf_index"}
+REBUILD = {"sim08_ivfadc_topk", "sim11_ann_mmr", "sim12_persisted_ivf_index",
+           "sim15_two_level_ivf_topk"}
 
 # Brute-force baselines whose WORK is Q x N by definition (sim01/ml12
 # score every corpus vector per query; sim10's candidate stage is
