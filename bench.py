@@ -202,6 +202,60 @@ def main() -> None:
     full["query_stats"] = {
         name: _stats(ts) for name, ts in {**runs, **ext_runs}.items()
     }
+    # Self-enforcing noise rule (round 14): compare against the newest
+    # committed BENCH_r{N}.json and list the per-query deltas that
+    # clear the band — the sidecar carries the verdict so a regression
+    # never has to be re-derived by hand. Old spread is used when the
+    # prior artifact carries spread_pct; otherwise the current run's.
+    def _flag_regressions() -> list:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        arts = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+        )
+        if not arts:
+            return []
+        try:
+            prior = json.load(open(arts[-1]))
+            prior = prior.get("parsed") or prior
+        except Exception:  # noqa: BLE001 — malformed artifact: no compare
+            return []
+        if prior.get("sf") != record.get("sf"):
+            return []  # cross-SF walls are not comparable
+        out = []
+        for tier, key in (("headline", "queries"), ("extended", "extended_queries")):
+            olds = prior.get(key) or {}
+            news = record.get(key) or {}
+            sp_old = dict(
+                zip(olds, (prior.get("spread_pct") or {}).get(tier, []))
+            )
+            sp_new = dict(
+                zip(news, (record.get("spread_pct") or {}).get(tier, []))
+            )
+            for q, v in news.items():
+                o = olds.get(q)
+                if not o:
+                    continue
+                band = (
+                    2 * max(sp_old.get(q, 0), sp_new.get(q, 0)) + 5
+                ) / 100
+                if v > o * (1 + band):
+                    out.append(
+                        {
+                            "query": q,
+                            "prior_best": o,
+                            "best": v,
+                            "ratio": round(v / o, 2),
+                            "band_pct": round(100 * band),
+                            "vs": os.path.basename(arts[-1]),
+                        }
+                    )
+        return out
+
+    full["regressions_vs_prior"] = _flag_regressions()
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
