@@ -135,6 +135,11 @@ QUERIES = [
     # O(N*K*D) single-level assignment cliff closed; must track the
     # corpus linearly with K2 ~ sqrt(K) scans per vector.
     "sim15_two_level_ivf_topk",
+    # round-14: Delta-format export — the ACID history replay is
+    # O(files) metadata (hard links + log JSON); the data-scale legs
+    # are the ACID overwrite/append/COW-delete feeding it. Must track
+    # the fact table linearly with flat exchanges.
+    "snk24_delta_format_export",
 ]
 
 
@@ -260,6 +265,9 @@ REBUILD = {
     # sim15 counts the corpus and trains BOTH quantizer levels at
     # build time (lazily checkpointed).
     "sim15_two_level_ivf_topk",
+    # snk24 runs its ACID writes + export + checkpoint eagerly at
+    # build time; only the replayed read-back is lazy.
+    "snk24_delta_format_export",
 }
 
 
