@@ -1474,3 +1474,189 @@ def t18_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         red.alias("redacted_text"),
     )
+
+
+# Knuth multiplicative hash (a13's cross-engine uniform recipe): reduce
+# mod p BEFORE the multiply so the product stays under 2^63 for ANY id
+# under ANSI arithmetic.
+_KNUTH_P = 1_000_000_007
+_KNUTH_A = 2_654_435_761
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_SHARD_DOCS = 4096  # target docs per packing shard
+
+
+def _knuth_u(col):
+    return ((col % _KNUTH_P) * F.lit(_KNUTH_A)) % _KNUTH_P
+
+
+_KNUTH_U_SQL = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+
+
+@register(
+    "t19_sequence_packing",
+    # Fixed-token-budget SEQUENCE PACKING (round 14) — the step between
+    # t13's chunker and the training loop: greedy first-fit-next-bin
+    # packing of whole documents into 256-token training sequences, the
+    # standard fill-the-context recipe (T5/GPT-style "packing") that
+    # turns a corpus of ragged documents into near-full fixed-length
+    # rows. The scan is a per-shard RECURRENCE (every bin decision
+    # depends on the running fill), i.e. the f19 family: the engine
+    # runs it as a grouped Arrow kernel, the oracle steps the identical
+    # state one row per shard per iteration through a recursive CTE.
+    # Shards are deterministic Knuth-hash buckets provisioned at ~4096
+    # docs each (count at plan build, floor 8 — identical arithmetic in
+    # the oracle's params CTE), so the sequential leg stays CONSTANT
+    # per shard as the corpus grows: 100 TB = more shards, not longer
+    # scans, and packing quality is unaffected because bins never cross
+    # shards. Plan: map-side tokenize -> ONE exchange (shard groupBy)
+    # -> Arrow kernel; output is per-document (shard, bin, offset), the
+    # join key a downstream writer needs to assemble physical rows.
+    oracle=rf"""
+    WITH RECURSIVE params AS (
+      SELECT greatest(8, CAST(ceil(count(*) / {_PACK_SHARD_DOCS}.0) AS BIGINT))
+               AS nshard
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS n_tok,
+             {_KNUTH_U_SQL} % (SELECT nshard FROM params) AS shard
+      FROM documents
+    ), r AS (
+      SELECT shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d
+    ), pack AS (
+      SELECT shard, rn, doc_id, n_tok,
+             n_tok AS fill,
+             CAST(0 AS BIGINT) AS bin,
+             CAST(0 AS BIGINT) AS pos
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+             CASE WHEN p.fill + r.n_tok > {_PACK_BUDGET}
+                  THEN r.n_tok ELSE p.fill + r.n_tok END,
+             CASE WHEN p.fill + r.n_tok > {_PACK_BUDGET}
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + r.n_tok > {_PACK_BUDGET}
+                  THEN CAST(0 AS BIGINT) ELSE p.fill END
+      FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin AS bin_idx,
+           n_tok, pos AS bin_offset
+    FROM pack
+    """,
+)
+def t19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    nshard = max(
+        8, math.ceil(docs.count() / _PACK_SHARD_DOCS)
+    )  # mirrors the oracle's params CTE
+    d = docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).withColumn("shard", _knuth_u(F.col("doc_id")) % nshard)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        fill, b = 0, 0
+        for i, n in enumerate(pdf["n_tok"]):
+            n = int(n)
+            if i == 0:
+                fill, b = n, 0
+                offs.append(0)
+            elif fill + n > _PACK_BUDGET:
+                b += 1
+                offs.append(0)
+                fill = n
+            else:
+                offs.append(fill)
+                fill += n
+            bins.append(b)
+        out = pdf[["doc_id", "shard", "n_tok"]].copy()
+        out["bin_idx"] = bins
+        out["bin_offset"] = offs
+        return out
+
+    return d.groupBy("shard").applyInPandas(
+        _pack,
+        schema="doc_id long, shard long, n_tok long, bin_idx long, "
+        "bin_offset long",
+    )
+
+
+@register(
+    "t20_source_mixing",
+    # Temperature-rebalanced SOURCE MIXING (round 14) — deterministic
+    # downsampling that moves the per-source TOKEN shares toward the
+    # tau=2 temperature mixture (p_s ^ (1/tau), renormalized — the
+    # public multilingual-pretraining recipe from the mBERT/XLM-R
+    # line). Sampling can only downweight, so the acceptance rates are
+    # scaled until the rarest source keeps everything; the algebra then
+    # collapses to rate_s = sqrt(min_t T_t / T_s) — a closed form with
+    # NO cross-row double folds (token sums and their min are exact
+    # BIGINTs; one division + sqrt per source), so cross-engine
+    # bit-exactness is structural. Keep/drop is the a13 Knuth-hash
+    # uniform against floor(rate * p) — integer compare, reproducible
+    # across engines, retries and cluster sizes (a 100 TB re-run keeps
+    # the same documents). Plan: map-side tokenize, one 20-row agg, the
+    # rate table broadcast back onto the scan — the filter never
+    # shuffles the corpus.
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ), s AS (
+      SELECT source, SUM(n_tok) AS toks FROM d GROUP BY source
+    ), r AS (
+      SELECT source,
+             (ROUND(sqrt(CAST((SELECT min(toks) FROM s) AS DOUBLE)
+                         / CAST(toks AS DOUBLE)) - 0.000000001, 6) + 0.0)
+               AS keep_rate
+      FROM s
+    )
+    SELECT d.doc_id, d.source, d.n_tok, r.keep_rate
+    FROM d JOIN r USING (source)
+    WHERE {_KNUTH_U_SQL}
+          < CAST(floor(r.keep_rate * 1000000007) AS BIGINT)
+    """,
+)
+def t20_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    s = d.groupBy("source").agg(F.sum("n_tok").alias("toks"))
+    min_t = s.agg(F.min("toks").alias("min_toks"))
+    rates = (
+        s.crossJoin(F.broadcast(min_t))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.sqrt(
+                    F.col("min_toks").cast("double")
+                    / F.col("toks").cast("double")
+                )
+                - F.lit(1e-9),  # q10 nudge: rates are positive
+                6,
+            ),
+        )
+        .select("source", "keep_rate")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            _knuth_u(F.col("doc_id"))
+            < F.floor(F.col("keep_rate") * _KNUTH_P).cast("long")
+        )
+        .select("doc_id", "source", "n_tok", "keep_rate")
+    )

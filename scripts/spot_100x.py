@@ -140,6 +140,12 @@ QUERIES = [
     # are the ACID overwrite/append/COW-delete feeding it. Must track
     # the fact table linearly with flat exchanges.
     "snk24_delta_format_export",
+    # round-14: sequence packing (shards provision at ~4096 docs so the
+    # sequential kernel leg stays constant per shard) and source mixing
+    # (map + 20-row agg + broadcast filter — must stay a flat map
+    # shape on this axis).
+    "t19_sequence_packing",
+    "t20_source_mixing",
 ]
 
 
@@ -268,6 +274,8 @@ REBUILD = {
     # snk24 runs its ACID writes + export + checkpoint eagerly at
     # build time; only the replayed read-back is lazy.
     "snk24_delta_format_export",
+    # t19 counts the corpus at build time to provision nshard.
+    "t19_sequence_packing",
 }
 
 

@@ -1739,3 +1739,91 @@ def test_hamming_band_bucket_cap_and_accounting(spark):
     hot = {r["band"]: (r["n_hot_buckets"], r["avoided_pairs"])
            for r in hamming_hot_buckets(hashes, bucket_cap=64).collect()}
     assert hot == {m: (1, 2000 * 1999 // 2) for m in range(4)}, hot
+
+
+def test_t19_packing_invariants(spark, sf_dir):
+    # Greedy first-fit-next-bin guarantees, checked per (shard, bin):
+    # no bin exceeds the budget unless it holds a single oversized doc;
+    # bins are contiguous from 0 within each shard; offsets tile each
+    # bin exactly (offset_i = sum of earlier docs' tokens); and the
+    # greedy tightness property — the first doc of bin i+1 would NOT
+    # have fit in bin i.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans.text import (
+        _PACK_BUDGET,
+    )
+
+    load_all()
+    rows = all_queries()["t19_sequence_packing"](spark, sf_dir).collect()
+    assert rows
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r.shard, r.bin_idx), []).append(r)
+    for (shard, bin_idx), docs in by_bin.items():
+        docs.sort(key=lambda r: r.bin_offset)
+        fill = 0
+        for r in docs:
+            assert r.bin_offset == fill, (shard, bin_idx, r.doc_id)
+            fill += r.n_tok
+        assert fill <= _PACK_BUDGET or len(docs) == 1, (shard, bin_idx)
+    shards: dict = {}
+    for r in rows:
+        shards.setdefault(r.shard, set()).add(r.bin_idx)
+    for shard, bins in shards.items():
+        assert bins == set(range(len(bins))), shard  # contiguous from 0
+        for b in range(1, len(bins)):
+            prev_fill = sum(
+                r.n_tok for r in by_bin[(shard, b - 1)]
+            )
+            first_next = min(
+                by_bin[(shard, b)], key=lambda r: r.bin_offset
+            )
+            assert prev_fill + first_next.n_tok > _PACK_BUDGET, (shard, b)
+
+
+def test_t20_mixing_invariants(spark, sf_dir):
+    # The rarest source (fewest tokens) keeps EVERY document (rate 1);
+    # rates decrease as source token mass increases; the kept set is a
+    # deterministic subset (same result on a re-run); and every rate is
+    # in (0, 1].
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.operators import (
+        textops as tx,
+    )
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    load_all()
+    q = all_queries()["t20_source_mixing"]
+    out = q(spark, sf_dir).collect()
+    assert out and all(0.0 < r.keep_rate <= 1.0 for r in out)
+    toks = {
+        r.source: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source", F.size(tx.tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("toks"))
+        .collect()
+    }
+    rates = {r.source: r.keep_rate for r in out}
+    rarest = min(toks, key=lambda s: (toks[s], s))
+    assert rates[rarest] == 1.0
+    kept_rarest = sum(1 for r in out if r.source == rarest)
+    total_rarest = load_table(spark, sf_dir, "documents").filter(
+        F.col("source") == rarest
+    ).count()
+    assert kept_rarest == total_rarest
+    for a in rates:
+        for b in rates:
+            if toks[a] < toks[b]:
+                assert rates[a] >= rates[b], (a, b)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, q(spark, sf_dir).collect()))

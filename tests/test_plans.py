@@ -108,6 +108,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim06_pq_ann_topk": 5,        # encode agg + ADC-sum agg + 2 query windows + rer join (training is checkpointed: 2 corpus aggs + 2 codebook-size aggs, once)
         "w33_variance_ratio": 2,       # bar rollup + one shared lag window
         "w34_return_acf": 2,           # bar rollup + one shared lag window
+        "t19_sequence_packing": 1,     # ONE shard groupBy feeds the Arrow pack kernel
+        "t20_source_mixing": 3,        # source agg + 2 metadata-scale aggs; rate table broadcast back (corpus never re-shuffles)
+        "snk24_delta_format_export": 1,  # replayed-read groupBy; export itself is metadata-only
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
