@@ -735,3 +735,29 @@ def st22_session_window_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_session_window_stream(spark, sf_dir)
+
+
+@register(
+    "st23_delta_txn_ingest_stream",
+    # The OPEN-FORMAT exactly-once ingestion loop (round 14, the
+    # delta_compat twin of st12): every micro-batch lands as a blind
+    # append into the Delta-format table stamped with the protocol's
+    # txn {appId, version=batch_id}; a replayed batch (the foreachBatch
+    # retry race — sink committed, stream checkpoint didn't advance) is
+    # skipped by the table's txn watermark, asserted inside the runner.
+    # No content keys, no sink-side state: the idempotence lives in the
+    # open log, survives checkpoints, and is visible to any foreign
+    # Delta engine resuming the stream. Exactly-once lands whatever the
+    # retry pattern, so the oracle is simply the source — each event
+    # once, byte-exact.
+    oracle="""
+    SELECT event_id, user_id, ts, (ROUND(value, 6) + 0.0) AS value
+    FROM events
+    """,
+)
+def st23_delta_txn_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        run_delta_txn_ingest_stream,
+    )
+
+    return run_delta_txn_ingest_stream(spark, sf_dir)

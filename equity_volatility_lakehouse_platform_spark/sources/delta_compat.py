@@ -181,6 +181,7 @@ class DeltaCompatTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         stats: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``df`` as a new Delta version; returns the version.
 
@@ -190,7 +191,10 @@ class DeltaCompatTable:
         adds files only. Partitioned writes use the hive directory
         layout (what Spark's own Delta writer produces), with the
         partition columns carried in ``partitionValues`` and stripped
-        from the data files per the spec.
+        from the data files per the spec. ``txn=(app_id, version)``
+        stamps the commit with the protocol's transaction-identifier
+        action — the idempotence token streaming writers use (see
+        ``append_txn``).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -198,7 +202,7 @@ class DeltaCompatTable:
         latest = self.latest_version()
         prior_live: dict[str, dict] = {}
         if latest is not None:
-            prior_live, _meta = self._replay(latest)
+            prior_live, _meta, _txns = self._replay(latest)
             if mode == "append" and partition_by != _meta["partitionColumns"]:
                 raise DeltaFormatError(
                     "append partitioning "
@@ -246,6 +250,10 @@ class DeltaCompatTable:
                 }
             }
         ]
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1])}}
+            )
         if version == 0:
             actions.append({"protocol": dict(_PROTOCOL)})
         if (
@@ -341,6 +349,75 @@ class DeltaCompatTable:
             prev_files = files
         return src_latest
 
+    # ------------------------------------------------- idempotent txns --
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest committed transaction version for ``app_id`` (the
+        protocol's per-writer idempotence watermark), or None if the
+        app never wrote."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        _live, _meta, txns = self._replay(latest)
+        return txns.get(app_id)
+
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        version: int,
+        stats: bool = True,
+    ) -> int | None:
+        """Exactly-once streaming append: the Delta protocol's
+        transaction-identifier recipe (PROTOCOL.md "Transaction
+        Identifiers" — what delta-spark's streaming sink does per
+        micro-batch). The commit carries ``txn {appId, version}``; a
+        REPLAYED batch (same app, version ≤ the table's watermark) is
+        skipped entirely, so blind appends stay exactly-once under
+        foreachBatch retries without content keys or sink-side state —
+        the idempotence lives in the table's log, survives checkpoints
+        (txn rows are checkpointed), and is visible to any foreign
+        Delta engine resuming the same stream. Returns the committed
+        delta version, or None when the batch was already applied."""
+        last = self.txn_version(app_id)
+        if last is not None and version <= last:
+            return None
+        return self.write(
+            df, mode="append", stats=stats, txn=(app_id, version)
+        )
+
+    # ---------------------------------------------------------- vacuum --
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Physically delete data files referenced ONLY by versions
+        older than the newest ``retain_last`` — Delta's ``VACUUM``,
+        version-based like ``AcidTable.vacuum`` (the sandbox clock is
+        not part of the data). The log stays for audit; time travel to
+        a vacuumed version fails at read (its files are gone), exactly
+        the documented Delta behavior. Returns deleted relative paths.
+        """
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_last + 1), latest + 1):
+            live, _meta, _txns = self._replay(v)
+            keep.update(
+                urllib.parse.unquote(q) for q in live
+            )
+        deleted: list[str] = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            if _LOG in os.path.relpath(dirpath, self.root).split(os.sep):
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), self.root)
+                if rel not in keep:
+                    os.unlink(os.path.join(dirpath, f))
+                    deleted.append(rel)
+        return sorted(deleted)
+
     # ------------------------------------------------------ checkpoint --
     def checkpoint(self) -> int:
         """Write the protocol's parquet checkpoint for the latest
@@ -354,14 +431,20 @@ class DeltaCompatTable:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
-        live, meta = self._replay(latest)
+        live, meta, txns = self._replay(latest)
         rows: list[dict] = [
-            {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
-            {"protocol": None, "metaData": meta, "add": None},
+            {"protocol": dict(_PROTOCOL), "metaData": None, "add": None,
+             "txn": None},
+            {"protocol": None, "metaData": meta, "add": None, "txn": None},
         ]
+        for app_id in sorted(txns):
+            # txn state survives the checkpoint (the spec requires it:
+            # idempotent writers rely on it after log cleanup)
+            rows.append({"protocol": None, "metaData": None, "add": None,
+                         "txn": {"appId": app_id, "version": txns[app_id]}})
         for quoted in sorted(live):
             rows.append({"protocol": None, "metaData": None,
-                         "add": live[quoted]})
+                         "add": live[quoted], "txn": None})
         schema = pa.schema(
             [
                 ("protocol", pa.struct(
@@ -380,6 +463,9 @@ class DeltaCompatTable:
                      ("modificationTime", pa.int64()),
                      ("dataChange", pa.bool_()),
                      ("stats", pa.string())])),
+                ("txn", pa.struct(
+                    [("appId", pa.string()),
+                     ("version", pa.int64())])),
             ]
         )
 
@@ -400,7 +486,8 @@ class DeltaCompatTable:
                     "partitionColumns": meta_r["partitionColumns"],
                     "createdTime": meta_r.get("createdTime"),
                 }
-            return {"protocol": r["protocol"], "metaData": meta_r, "add": add}
+            return {"protocol": r["protocol"], "metaData": meta_r,
+                    "add": add, "txn": r["txn"]}
 
         table = pa.Table.from_pylist([_as_row(r) for r in rows], schema=schema)
         final = os.path.join(
@@ -431,12 +518,15 @@ class DeltaCompatTable:
         return max(versions) if versions else None
 
     # ----------------------------------------------------------- reads --
-    def _replay(self, version: int) -> tuple[dict[str, dict], dict]:
+    def _replay(
+        self, version: int
+    ) -> tuple[dict[str, dict], dict, dict[str, int]]:
         """Replay the log up to ``version`` inclusive; returns
-        ({quoted_path: add_action}, metaData). State size is O(live
-        files) — never row-scale."""
+        ({quoted_path: add_action}, metaData, {txn appId: version}).
+        State size is O(live files + writer apps) — never row-scale."""
         live: dict[str, dict] = {}
         meta: dict | None = None
+        txns: dict[str, int] = {}
         start = 0
         cp = self._checkpoint_version(version)
         if cp is not None:
@@ -460,6 +550,11 @@ class DeltaCompatTable:
                     live[add["path"]] = add
                 elif row.get("protocol"):
                     self._check_protocol(row["protocol"])
+                elif row.get("txn"):
+                    t = row["txn"]
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], t["version"]), t["version"]
+                    )
             start = cp + 1
         for v in range(start, version + 1):
             path = os.path.join(self._log_dir(), _log_name(v))
@@ -481,7 +576,12 @@ class DeltaCompatTable:
                         live.pop(action["remove"]["path"], None)
                     elif "protocol" in action:
                         self._check_protocol(action["protocol"])
-                    elif "commitInfo" in action or "txn" in action:
+                    elif "txn" in action:
+                        t = action["txn"]
+                        txns[t["appId"]] = max(
+                            txns.get(t["appId"], t["version"]), t["version"]
+                        )
+                    elif "commitInfo" in action:
                         continue
                     else:
                         raise DeltaFormatError(
@@ -492,7 +592,7 @@ class DeltaCompatTable:
             raise DeltaFormatError(
                 f"no metaData action by version {version} in {self.root}"
             )
-        return live, meta
+        return live, meta, txns
 
     @staticmethod
     def _check_protocol(protocol: dict) -> None:
@@ -511,7 +611,9 @@ class DeltaCompatTable:
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
-        live, _ = self._replay(latest if version is None else version)
+        live, _meta, _txns = self._replay(
+            latest if version is None else version
+        )
         return sorted(
             os.path.join(self.root, urllib.parse.unquote(q)) for q in live
         )
@@ -532,7 +634,7 @@ class DeltaCompatTable:
             raise FileNotFoundError(f"no committed version in {self.root}")
         if version is None:
             version = latest
-        live, meta = self._replay(version)
+        live, meta, _txns = self._replay(version)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = meta["partitionColumns"]
         if not live:

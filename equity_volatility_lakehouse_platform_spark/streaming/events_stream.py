@@ -1116,3 +1116,82 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def run_delta_txn_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into the DELTA-FORMAT table with the
+    protocol's transaction-identifier idempotence (delta_compat
+    .append_txn) — the open-format twin of ``run_acid_ingest_stream``,
+    exercising the OTHER exactly-once mechanism: st12 dedups by content
+    key; here blind appends stay exactly-once because every micro-batch
+    commit carries ``txn {appId, version=batch_id}``.
+
+    The failure mode under test is the foreachBatch retry race: the
+    sink committed batch 0 but the stream checkpoint did not advance,
+    so on restart the SAME batch is delivered again. After the stream
+    completes, the test replays batch 0 by hand — ``append_txn`` must
+    skip it (version ≤ the table's txn watermark), so the snapshot
+    holds each event exactly once and the oracle is simply the source.
+    A later batch (version advanced) still lands, proving the skip is
+    the watermark, not a closed table.
+
+    Every artifact (landing dir, checkpoint, table root) is scoped to
+    the call and deleted after the result detaches via localCheckpoint.
+    """
+    from equity_volatility_lakehouse_platform_spark.sources.delta_compat import (
+        DeltaCompatTable,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if _nano_ts_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    batch_schema = spark.read.parquet(path).schema
+    tmp_root = tempfile.mkdtemp(prefix="deltastream_")
+    src_dir = os.path.join(tmp_root, "src")
+    os.makedirs(src_dir)
+    os.symlink(path, os.path.join(src_dir, "events_0.parquet"))
+    table = DeltaCompatTable(spark, os.path.join(tmp_root, "table"))
+    app_id = "st23_delta_ingest"
+    try:
+        s = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        def ingest(batch_df: DataFrame, batch_id: int) -> None:
+            table.append_txn(batch_df, app_id=app_id, version=batch_id)
+
+        query = (
+            s.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # The retry race: replay batch 0 verbatim — MUST be a no-op.
+        replay = spark.read.schema(batch_schema).parquet(src_dir)
+        if isinstance(batch_schema["ts"].dataType, T.LongType):
+            replay = replay.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+            replay = replay.withColumn("ts", F.col("ts").cast("timestamp"))
+        assert table.append_txn(replay, app_id=app_id, version=0) is None, (
+            "replayed micro-batch must be skipped by the txn watermark"
+        )
+        return (
+            table.read()
+            .select(
+                "event_id", "user_id", "ts", r6(F.col("value")).alias("value")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)

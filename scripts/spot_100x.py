@@ -146,6 +146,10 @@ QUERIES = [
     # shape on this axis).
     "t19_sequence_packing",
     "t20_source_mixing",
+    # round-14: exactly-once Delta-format stream ingest — blind appends
+    # + txn watermark; must track the event volume linearly (no state
+    # operator, no content-key join; idempotence is a log lookup).
+    "st23_delta_txn_ingest_stream",
 ]
 
 
@@ -276,6 +280,9 @@ REBUILD = {
     "snk24_delta_format_export",
     # t19 counts the corpus at build time to provision nshard.
     "t19_sequence_packing",
+    # st23 runs its whole stream (landing dir -> foreachBatch appends)
+    # when the plan is built; only the final snapshot read is lazy.
+    "st23_delta_txn_ingest_stream",
 }
 
 

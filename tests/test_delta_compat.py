@@ -124,7 +124,7 @@ def test_partitioned_write_hive_layout_and_values(spark, nation, tmp_path):
     root = str(tmp_path / "delta")
     table = DeltaCompatTable(spark, root)
     table.write(nation, partition_by=["n_regionkey"])
-    live, meta = table._replay(0)
+    live, meta, _txns = table._replay(0)
     assert meta["partitionColumns"] == ["n_regionkey"]
     assert all(
         set(add["partitionValues"]) == {"n_regionkey"}
@@ -147,7 +147,7 @@ def test_partitioned_read_fallback_without_hive_paths(spark, nation, tmp_path):
     root = str(tmp_path / "delta")
     table = DeltaCompatTable(spark, root)
     table.write(nation, partition_by=["n_regionkey"])
-    live, _ = table._replay(0)
+    live, _meta, _txns = table._replay(0)
     # flatten: move every file to the root, rewrite the log's add paths
     log = os.path.join(root, "_delta_log", "0" * 20 + ".json")
     with open(log) as fh:
@@ -259,3 +259,43 @@ def test_append_schema_evolution_refreshes_metadata(spark, nation, tmp_path):
         (True, n_old),
         (False, n_old),
     }
+
+
+def test_txn_watermark_idempotence_and_checkpoint_survival(
+    spark, nation, tmp_path
+):
+    table = DeltaCompatTable(spark, str(tmp_path / "delta"))
+    part0 = nation.filter(F.col("n_regionkey") == 0)
+    part1 = nation.filter(F.col("n_regionkey") == 1)
+    assert table.append_txn(part0, "app", 0) == 0
+    # the foreachBatch retry race: same (app, version) is a no-op
+    assert table.append_txn(part0, "app", 0) is None
+    assert table.append_txn(part1, "app", 1) == 1
+    assert table.txn_version("app") == 1
+    assert table.txn_version("other") is None
+    want = _rows(nation.filter(F.col("n_regionkey") <= 1), "n_nationkey")
+    assert _rows(table.read(), "n_nationkey") == want
+    # the watermark survives a checkpoint: corrupt every pre-checkpoint
+    # json — a replay that still needed them would fail loudly
+    cp = table.checkpoint()
+    log_dir = os.path.join(str(tmp_path / "delta"), "_delta_log")
+    for v in range(cp + 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write("{not json\n")
+    assert table.txn_version("app") == 1
+    assert table.append_txn(part1, "app", 1) is None
+    assert table.append_txn(part1, "app", 2) == cp + 1
+
+
+def test_vacuum_version_retention(spark, nation, tmp_path):
+    root = str(tmp_path / "delta")
+    table = DeltaCompatTable(spark, root)
+    table.write(nation.filter(F.col("n_regionkey") <= 1))
+    table.write(nation.filter(F.col("n_regionkey") == 2))  # overwrite
+    v0_files = {os.path.relpath(p, root) for p in table.live_files(0)}
+    deleted = set(table.vacuum(retain_last=1))
+    assert deleted == v0_files  # v0's files are referenced nowhere live
+    want = _rows(nation.filter(F.col("n_regionkey") == 2), "n_nationkey")
+    assert _rows(table.read(), "n_nationkey") == want  # current unharmed
+    with pytest.raises(Exception):
+        table.read(version=0).collect()  # expired snapshot fails loudly
