@@ -1161,3 +1161,94 @@ def ml22_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_pos", "n_neg", r6s(ap).alias("average_precision")
     )
+
+
+@register(
+    "ml24_calibration_bins",
+    # Reliability diagram + per-bin Brier mass (round 14) — the
+    # probability-calibration eval ml13/ml14/ml22 stop short of: bin
+    # the predicted probability into deciles and compare mean predicted
+    # vs observed positive rate per bin (the reliability curve), plus
+    # each bin's Brier contribution. Scores min-max-normalize to [0,1]
+    # (identical double arithmetic both engines — no exp/logistic,
+    # whose libm implementations are not bit-portable); per-row terms
+    # are rounded to 6dp and summed as DECIMALs so every cross-row fold
+    # is EXACT and order-independent (the _money recipe at probability
+    # scale) — the only doubles that cross the wire are per-row
+    # deterministic expressions and final exact-decimal casts. One
+    # metadata-scale min/max agg broadcast back + one 10-row bin agg:
+    # the corpus shuffles 10 groups, nothing else.
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, v[1] AS score, CAST(label >= 5 AS INTEGER) AS y
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings)
+    ), mm AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM s
+    ), p AS (
+      SELECT y,
+             (ROUND((score - lo) / NULLIF(hi - lo, 0)
+                    - sign((score - lo) / NULLIF(hi - lo, 0))
+                      * 0.000000001, 6) + 0.0) AS p6
+      FROM s, mm
+    ), b AS (
+      SELECT least(9, CAST(floor(p6 * 10) AS BIGINT)) AS bin, y, p6 FROM p
+    ), agg AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_bin,
+             CAST(SUM(CAST(p6 AS DECIMAL(18,8))) AS DOUBLE) / count(*)
+               AS mp,
+             CAST(SUM(y) AS DOUBLE) / count(*) AS fp,
+             CAST(SUM(CAST(ROUND((p6 - y) * (p6 - y), 6)
+                           AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS br
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n_bin,
+           (ROUND(mp - sign(mp) * 0.000000001, 6) + 0.0) AS mean_pred,
+           (ROUND(fp - sign(fp) * 0.000000001, 6) + 0.0) AS frac_pos,
+           (ROUND(br - sign(br) * 0.000000001, 6) + 0.0) AS brier
+    FROM agg
+    """,
+)
+def ml24_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        "vec_id",
+        F.get(F.col("v"), 0).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = s.crossJoin(F.broadcast(mm)).select(
+        "y",
+        r6s(
+            (F.col("score") - F.col("lo"))
+            / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+        ).alias("p6"),
+    )
+    b = p.select(
+        F.least(F.lit(9), F.floor(F.col("p6") * 10)).cast("long").alias("bin"),
+        "y",
+        "p6",
+    )
+    sq6 = r6((F.col("p6") - F.col("y")) * (F.col("p6") - F.col("y")))
+    agg = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bin"),
+        (
+            F.sum(F.col("p6").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mp"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("fp"),
+        (
+            F.sum(sq6.cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("br"),
+    )
+    return agg.select(
+        "bin",
+        "n_bin",
+        r6s("mp").alias("mean_pred"),
+        r6s("fp").alias("frac_pos"),
+        r6s("br").alias("brier"),
+    )

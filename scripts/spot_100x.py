@@ -150,6 +150,9 @@ QUERIES = [
     # + txn watermark; must track the event volume linearly (no state
     # operator, no content-key join; idempotence is a log lookup).
     "st23_delta_txn_ingest_stream",
+    # round-14: calibration bins — one min/max agg + one 10-row bin
+    # agg over the 100x embeddings; must stay a flat 2-exchange shape.
+    "ml24_calibration_bins",
 ]
 
 

@@ -299,3 +299,30 @@ def test_vacuum_version_retention(spark, nation, tmp_path):
     assert _rows(table.read(), "n_nationkey") == want  # current unharmed
     with pytest.raises(Exception):
         table.read(version=0).collect()  # expired snapshot fails loudly
+
+
+def test_commit_race_exactly_one_winner(spark, nation, tmp_path):
+    """The spec's required mutual exclusion on version creation:
+    concurrent committers of the SAME version — exactly one link(2)
+    wins, every loser raises, the log holds one intact entry."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = DeltaCompatTable(spark, str(tmp_path / "delta"))
+    table.write(nation)
+    actions = [{"commitInfo": {"operation": "RACE"}}]
+
+    def _try(i: int) -> bool:
+        try:
+            table._commit(1, actions)
+            return True
+        except DeltaFormatError:
+            return False
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        wins = list(pool.map(_try, range(8)))
+    assert sum(wins) == 1
+    log = os.path.join(str(tmp_path / "delta"), "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json")) as fh:
+        assert [json.loads(line) for line in fh if line.strip()] == actions
+    # no torn temp files left behind
+    assert not [f for f in os.listdir(log) if ".tmp-" in f]

@@ -1827,3 +1827,31 @@ def test_t20_mixing_invariants(spark, sf_dir):
             if toks[a] < toks[b]:
                 assert rates[a] >= rates[b], (a, b)
     assert sorted(map(tuple, out)) == sorted(map(tuple, q(spark, sf_dir).collect()))
+
+
+def test_ml24_calibration_bin_invariants(spark, sf_dir):
+    # Bins partition the corpus: n_bin sums to the embedding count;
+    # every bin id is a decile in [0, 9]; mean predictions sit inside
+    # their bin's [lo, hi) interval (bin 9 is closed at 1.0); and the
+    # per-bin Brier mass is bounded by 1.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    load_all()
+    rows = all_queries()["ml24_calibration_bins"](spark, sf_dir).collect()
+    assert rows
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_bin for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0
+        assert lo - 1e-6 <= r.mean_pred <= (
+            1.0 if r.bin == 9 else hi
+        ) + 1e-6, r
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.brier <= 1.0 + 1e-9

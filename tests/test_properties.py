@@ -1109,3 +1109,55 @@ def test_sequential_feature_selection_forward_and_backward(spark):
         syn, ["noise", "x1", "x2"], "label",
         direction="forward", k_features=2, **kw,
     )
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("overwrite"), st.integers(0, 4)),
+            st.tuples(st.just("append"), st.integers(0, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 4)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@PROP
+def test_delta_export_matches_acid_for_any_history(
+    spark, sf_dir, tmp_path_factory, ops
+):
+    """export_acid is version-for-version lossless for ANY op sequence —
+    the randomized generalization of the fixed-history export test."""
+    from equity_volatility_lakehouse_platform_spark.sources.acid import (
+        AcidTable,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.delta_compat import (
+        DeltaCompatTable,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("delta_prop"))
+    nation = load_table(spark, sf_dir, "nation")
+    acid = AcidTable(spark, base + "/acid")
+    acid.overwrite(nation.filter(F.col("n_regionkey") == 0))
+    for op, k in ops:
+        if op == "overwrite":
+            acid.overwrite(nation.filter(F.col("n_regionkey") <= k))
+        elif op == "append":
+            acid.append(nation.filter(F.col("n_regionkey") == k))
+        elif op == "delete":
+            acid.delete_where(F.col("n_nationkey") % 5 == k)
+        else:
+            acid.compact()
+    delta = DeltaCompatTable(spark, base + "/delta")
+    top = delta.export_acid(acid)
+    assert top == acid.latest_version()
+    for v in range(top + 1):
+        got = sorted(
+            map(tuple, delta.read(version=v).collect())
+        )
+        want = sorted(map(tuple, acid.read(version=v).collect()))
+        assert got == want, f"version {v} diverged under {ops}"
