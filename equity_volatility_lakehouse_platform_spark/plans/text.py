@@ -1660,3 +1660,153 @@ def t20_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tok", "keep_rate")
     )
+
+
+@register(
+    "t21_perplexity_filter",
+    # CCNet-style PERPLEXITY FILTER (round 14) — the quality gate the
+    # public pretraining pipelines run between scoring and packing:
+    # fit the LM on a REFERENCE slice only (the lang='en' documents —
+    # CCNet fits on Wikipedia), score EVERY document under it, keep the
+    # most-fluent half. The train/score asymmetry is the point (t15
+    # fits on the whole corpus): out-of-domain text must score against
+    # the clean model, never shape it. OOV is handled with the add-one
+    # unigram floor p = 0.7*c12/c1 [0 when w1 unseen] +
+    # 0.3*(ct+1)/(N+V), so every bigram has p > 0 and every operand is
+    # an exact corpus count. The keep decision is an INTEGER rank
+    # (row_number over (rounded score, doc_id) <= n/2), so the median
+    # boundary never compares floats cross-engine. Scale shape: model
+    # tables broadcast (hash the bigram keys at 100 TB vocabulary —
+    # t07's note), raw text never shuffles, and the only global stage
+    # is one sort of DOC-level score rows (3-4 orders below token
+    # volume; swap for approx_percentile at extreme corpus counts).
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), ref AS (
+      SELECT t FROM toks WHERE lang = 'en'
+    ), tokf AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS ct
+      FROM (SELECT unnest(t) AS tok FROM ref) GROUP BY tok
+    ), nv AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tokf
+    ), bigf AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM (SELECT t[i] AS w1, t[i+1] AS w2
+            FROM ref, LATERAL unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2)
+      GROUP BY w1, w2
+    ), unif AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigf GROUP BY w1
+    ), bi AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             0.7 * COALESCE(COALESCE(f.c12, 0) * 1.0 / NULLIF(u.c1, 0), 0.0)
+             + 0.3 * ((COALESCE(tf.ct, 0) + 1) * 1.0
+                      / ((SELECT n FROM nv) + (SELECT v FROM nv))) AS p
+      FROM bi b
+      LEFT JOIN bigf f ON f.w1 = b.w1 AND f.w2 = b.w2
+      LEFT JOIN unif u ON u.w1 = b.w1
+      LEFT JOIN tokf tf ON tf.tok = b.w2
+    ), nll AS (
+      SELECT doc_id, lang,
+             (ROUND((-SUM(ln(p)) / count(*))
+                    - sign(-SUM(ln(p)) / count(*)) * 0.000000001, 6) + 0.0)
+               AS avg_neg_ll
+      FROM scored GROUP BY doc_id, lang
+    ), ranked AS (
+      SELECT doc_id, lang, avg_neg_ll,
+             row_number() OVER (ORDER BY avg_neg_ll, doc_id) AS rn,
+             count(*) OVER () AS n_docs
+      FROM nll
+    )
+    SELECT doc_id, lang, avg_neg_ll
+    FROM ranked WHERE rn <= n_docs // 2
+    """,
+)
+def t21_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("t"))
+    ref = t.filter(F.col("lang") == "en").select("t")
+    tokf = ref.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    nv = tokf.agg(
+        F.sum("ct").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+
+    def _bigrams(frame: DataFrame, *keep: str) -> DataFrame:
+        return (
+            frame.filter(F.size("t") >= 2)
+            .select(
+                *keep,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                        F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                *keep,
+                F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"),
+            )
+        )
+
+    bigf = _bigrams(ref).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    unif = bigf.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bi = _bigrams(t, "doc_id", "lang")
+    p = F.lit(0.7) * F.coalesce(
+        F.coalesce(F.col("c12"), F.lit(0)) * 1.0
+        / F.nullif(F.col("c1"), F.lit(0)),
+        F.lit(0.0),
+    ) + F.lit(0.3) * (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1) * 1.0
+        / (F.col("n") + F.col("v"))
+    )
+    scored = (
+        bi.join(F.broadcast(bigf), ["w1", "w2"], "left")
+        .join(F.broadcast(unif), "w1", "left")
+        .join(
+            F.broadcast(tokf.withColumnRenamed("tok", "w2")), "w2", "left"
+        )
+        .crossJoin(F.broadcast(nv))
+        .select("doc_id", "lang", p.alias("p"))
+    )
+    neg_ll = -F.sum(F.log("p")) / F.count(F.lit(1))
+    nll = (
+        scored.groupBy("doc_id", "lang")
+        .agg(neg_ll.alias("_nll"))
+        .select(
+            "doc_id",
+            "lang",
+            r6(
+                F.col("_nll") - F.signum("_nll") * F.lit(1e-9)
+            ).alias("avg_neg_ll"),
+        )
+    )
+    w = Window.orderBy("avg_neg_ll", "doc_id")
+    ranked = nll.select(
+        "doc_id",
+        "lang",
+        "avg_neg_ll",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_docs"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.expr("n_docs div 2")
+    ).select("doc_id", "lang", "avg_neg_ll")

@@ -153,6 +153,10 @@ QUERIES = [
     # round-14: calibration bins — one min/max agg + one 10-row bin
     # agg over the 100x embeddings; must stay a flat 2-exchange shape.
     "ml24_calibration_bins",
+    # round-14: perplexity filter — model aggs are vocab-scale, scoring
+    # is broadcast joins, the only corpus-scale stages are the per-doc
+    # reduce and the doc-score sort; must track documents linearly.
+    "t21_perplexity_filter",
 ]
 
 

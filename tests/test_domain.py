@@ -1855,3 +1855,32 @@ def test_ml24_calibration_bin_invariants(spark, sf_dir):
         ) + 1e-6, r
         assert 0.0 <= r.frac_pos <= 1.0
         assert 0.0 <= r.brier <= 1.0 + 1e-9
+
+
+def test_t21_perplexity_filter_prefers_lm_domain(spark, sf_dir):
+    # The filter keeps exactly floor(n_scored/2) documents, and because
+    # the LM is fit on the English slice only, English documents must be
+    # OVER-represented among the kept half relative to the corpus (the
+    # CCNet in-domain preference — the whole point of the train/score
+    # asymmetry).
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+    from equity_volatility_lakehouse_platform_spark.sources.readers import (
+        load_table,
+    )
+
+    load_all()
+    kept = all_queries()["t21_perplexity_filter"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_scored = docs.filter(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 2
+    ).count()
+    assert len(kept) == n_scored // 2
+    en_kept = sum(1 for r in kept if r.lang == "en") / len(kept)
+    en_corpus = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert en_kept > en_corpus
+    assert all(r.avg_neg_ll > 0 for r in kept)

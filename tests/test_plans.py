@@ -112,6 +112,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "t20_source_mixing": 3,        # source agg + 2 metadata-scale aggs; rate table broadcast back (corpus never re-shuffles)
         "snk24_delta_format_export": 1,  # replayed-read groupBy; export itself is metadata-only
         "ml24_calibration_bins": 2,    # one min/max agg (broadcast back) + one 10-row bin agg
+        "t21_perplexity_filter": 8,    # 4 vocab-scale model aggs + per-doc reduce + doc-score sort; corpus text never shuffles
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
