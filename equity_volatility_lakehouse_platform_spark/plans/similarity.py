@@ -3113,3 +3113,99 @@ def sim15_two_level_ivf_topk(
 
 
 _simreg.set_oracle("sim15_two_level_ivf_topk", _sim15_oracle())
+
+
+@register(
+    "ml25_contrastive_mining",
+    # HARD-NEGATIVE MINING (round 14) — the embedding-training data op
+    # the sim family feeds: for each anchor, the most-similar vector of
+    # the SAME label (hardest positive to separate FROM — high-cos
+    # in-class) and the most-similar vector of a DIFFERENT label (the
+    # hard negative — the pair contrastive losses actually learn
+    # from), plus the margin between them. This exact form is the
+    # audit tier (ml12's contract: anchors bounded at 64, one
+    # broadcast BNLJ over the corpus, linear_by_design); production
+    # mines the same argmaxes from the IVFADC shortlist (sim08 /
+    # snk23's served codebooks) exactly as ml23 swaps ml12's brute
+    # scan. One window per (anchor, same-label) group keyed on the
+    # broadcast side, then a 64-row conditional pivot — the corpus
+    # never shuffles.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, label AS q_label
+      FROM e WHERE vec_id < 64
+    ), scored AS (
+      SELECT q.q_id,
+             e.vec_id,
+             CAST(e.label = q.q_label AS BOOLEAN) AS same,
+             list_dot_product(q.qv, e.v)
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.v, e.v)), 0) AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ), top AS (
+      SELECT q_id, vec_id, same, cos,
+             row_number() OVER (PARTITION BY q_id, same
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    ), pv AS (
+      SELECT q_id,
+             MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+             MAX(CASE WHEN same THEN (ROUND(cos, 6) + 0.0) END) AS pos_cos,
+             MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+             MAX(CASE WHEN NOT same THEN (ROUND(cos, 6) + 0.0) END)
+               AS neg_cos
+      FROM top WHERE rn = 1 GROUP BY q_id
+    )
+    SELECT q_id, pos_id, pos_cos, neg_id, neg_cos,
+           (ROUND(pos_cos - neg_cos, 6) + 0.0) AS margin
+    FROM pv
+    """,
+)
+def ml25_contrastive_mining(
+    spark: SparkSession, sf_dir: str, n_anchors: int = 64
+) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "v", "label",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+    )
+    q = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("q_label"),
+        F.col("nv").alias("nq"),
+    )
+    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+        F.col("nq") * F.col("nv"), F.lit(0.0)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("same"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "same").orderBy(F.desc("cos"), "vec_id")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    cos6 = r6("cos")
+    pv = top.groupBy("q_id").agg(
+        F.max(F.when(F.col("same"), F.col("vec_id"))).alias("pos_id"),
+        F.max(F.when(F.col("same"), cos6)).alias("pos_cos"),
+        F.max(F.when(~F.col("same"), F.col("vec_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("same"), cos6)).alias("neg_cos"),
+    )
+    return pv.select(
+        "q_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        r6(F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

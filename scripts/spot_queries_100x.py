@@ -48,6 +48,10 @@ CASES = [
     # round 14: the hierarchical coarse path — per-query work is
     # O(nprobe * cell + cap) like sim04's, so queries must amortize.
     ("sim15_two_level_ivf_topk", {"n_queries": 3}, {"n_queries": 300}, 100),
+    # round 14: hard-negative mining — the brute audit tier (anchors x
+    # corpus BNLJ, ml12's contract); the production path mines from the
+    # IVFADC shortlist instead.
+    ("ml25_contrastive_mining", {"n_anchors": 8}, {"n_anchors": 800}, 100),
 ]
 
 # Same rebuild discipline as the corpus-axis spot: these train/write
@@ -63,6 +67,7 @@ REBUILD = {"sim08_ivfadc_topk", "sim11_ann_mmr", "sim12_persisted_ivf_index",
 # below the factor.
 LINEAR_BY_DESIGN = {
     "sim01_bruteforce_topk", "sim10_mmr_diversify", "ml12_knn_classify",
+    "ml25_contrastive_mining",
 }
 
 
@@ -142,7 +147,18 @@ def main() -> int:
         if os.path.exists(out_json):
             with open(out_json) as fh:
                 merged = json.load(fh)
-        merged["query_axis"] = section
+        if os.environ.get("SPOT_MERGE") and "query_axis" in merged:
+            # subset runs (SPOT_QUERIES=...) update/append their rows
+            # instead of clobbering the other queries' results
+            prior = merged["query_axis"]
+            prior.setdefault("results", {}).update(section["results"])
+            prior["corpus"] = section["corpus"]
+            prior["failures"] = [
+                f for f in prior.get("failures", [])
+                if f.split(":")[0] not in section["results"]
+            ] + section["failures"]
+        else:
+            merged["query_axis"] = section
         with open(out_json, "w") as fh:
             fh.write(json.dumps(merged) + "\n")
     print(json.dumps(section))
