@@ -1492,26 +1492,10 @@ def _knuth_u(col):
 _KNUTH_U_SQL = "((doc_id % 1000000007) * 2654435761) % 1000000007"
 
 
-@register(
-    "t19_sequence_packing",
-    # Fixed-token-budget SEQUENCE PACKING (round 14) — the step between
-    # t13's chunker and the training loop: greedy first-fit-next-bin
-    # packing of whole documents into 256-token training sequences, the
-    # standard fill-the-context recipe (T5/GPT-style "packing") that
-    # turns a corpus of ragged documents into near-full fixed-length
-    # rows. The scan is a per-shard RECURRENCE (every bin decision
-    # depends on the running fill), i.e. the f19 family: the engine
-    # runs it as a grouped Arrow kernel, the oracle steps the identical
-    # state one row per shard per iteration through a recursive CTE.
-    # Shards are deterministic Knuth-hash buckets provisioned at ~4096
-    # docs each (count at plan build, floor 8 — identical arithmetic in
-    # the oracle's params CTE), so the sequential leg stays CONSTANT
-    # per shard as the corpus grows: 100 TB = more shards, not longer
-    # scans, and packing quality is unaffected because bins never cross
-    # shards. Plan: map-side tokenize -> ONE exchange (shard groupBy)
-    # -> Arrow kernel; output is per-document (shard, bin, offset), the
-    # join key a downstream writer needs to assemble physical rows.
-    oracle=rf"""
+# Shared packing CTE (t19 assignment / t22 assembly): deterministic
+# Knuth-hash shards, greedy first-fit-next-bin recurrence stepped one
+# row per shard per iteration.
+_PACK_CTE = rf"""
     WITH RECURSIVE params AS (
       SELECT greatest(8, CAST(ceil(count(*) / {_PACK_SHARD_DOCS}.0) AS BIGINT))
                AS nshard
@@ -1542,6 +1526,30 @@ _KNUTH_U_SQL = "((doc_id % 1000000007) * 2654435761) % 1000000007"
                   THEN CAST(0 AS BIGINT) ELSE p.fill END
       FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1
     )
+"""
+
+
+@register(
+    "t19_sequence_packing",
+    # Fixed-token-budget SEQUENCE PACKING (round 14) — the step between
+    # t13's chunker and the training loop: greedy first-fit-next-bin
+    # packing of whole documents into 256-token training sequences, the
+    # standard fill-the-context recipe (T5/GPT-style "packing") that
+    # turns a corpus of ragged documents into near-full fixed-length
+    # rows. The scan is a per-shard RECURRENCE (every bin decision
+    # depends on the running fill), i.e. the f19 family: the engine
+    # runs it as a grouped Arrow kernel, the oracle steps the identical
+    # state one row per shard per iteration through a recursive CTE.
+    # Shards are deterministic Knuth-hash buckets provisioned at ~4096
+    # docs each (count at plan build, floor 8 — identical arithmetic in
+    # the oracle's params CTE), so the sequential leg stays CONSTANT
+    # per shard as the corpus grows: 100 TB = more shards, not longer
+    # scans, and packing quality is unaffected because bins never cross
+    # shards. Plan: map-side tokenize -> ONE exchange (shard groupBy)
+    # -> Arrow kernel; output is per-document (shard, bin, offset), the
+    # join key a downstream writer needs to assemble physical rows.
+    oracle=_PACK_CTE
+    + """
     SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin AS bin_idx,
            n_tok, pos AS bin_offset
     FROM pack
@@ -1810,3 +1818,51 @@ def t21_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") <= F.expr("n_docs div 2")
     ).select("doc_id", "lang", "avg_neg_ll")
+
+
+@register(
+    "t22_packed_sequences",
+    # PHYSICAL sequence assembly (round 14) — t19 decides WHERE each
+    # document goes; this materializes the actual training rows: one
+    # row per (shard, bin) with the member documents' text concatenated
+    # in bin-offset order (the fixed-length example a data loader
+    # reads). Assembly is the one stage that legitimately moves text:
+    # ONE equi-join of the assignment onto documents and ONE
+    # (shard, bin) groupBy — text shuffles exactly once, into its
+    # training row, and the ordered concat is executor-side
+    # (array_sort over (offset, text) structs, never a driver loop).
+    # The oracle replays the identical recurrence and assembles with
+    # string_agg ORDER BY pos.
+    oracle=_PACK_CTE
+    + """
+    SELECT p.shard, p.bin AS bin_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+           string_agg(doc.text, ' ' ORDER BY p.pos, p.doc_id) AS seq_text
+    FROM pack p JOIN documents doc ON doc.doc_id = p.doc_id
+    GROUP BY p.shard, p.bin
+    """,
+)
+def t22_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assign = t19_sequence_packing(spark, sf_dir)
+    joined = assign.join(docs.select("doc_id", "text"), "doc_id")
+    member = F.struct(
+        F.col("bin_offset").alias("pos"),
+        F.col("doc_id").alias("doc_id"),
+        F.col("text").alias("text"),
+    )
+    return (
+        joined.groupBy("shard", "bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(member)),
+                    lambda x: x["text"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+    )

@@ -157,6 +157,10 @@ QUERIES = [
     # is broadcast joins, the only corpus-scale stages are the per-doc
     # reduce and the doc-score sort; must track documents linearly.
     "t21_perplexity_filter",
+    # round-14: packed-sequence assembly — text shuffles exactly once
+    # (assignment join -> (shard,bin) concat); must track documents
+    # linearly.
+    "t22_packed_sequences",
 ]
 
 
@@ -285,8 +289,10 @@ REBUILD = {
     # snk24 runs its ACID writes + export + checkpoint eagerly at
     # build time; only the replayed read-back is lazy.
     "snk24_delta_format_export",
-    # t19 counts the corpus at build time to provision nshard.
+    # t19 counts the corpus at build time to provision nshard; t22
+    # composes it.
     "t19_sequence_packing",
+    "t22_packed_sequences",
     # st23 runs its whole stream (landing dir -> foreachBatch appends)
     # when the plan is built; only the final snapshot read is lazy.
     "st23_delta_txn_ingest_stream",

@@ -1921,3 +1921,28 @@ def test_ml25_mining_invariants(spark, sf_dir):
         assert labels[r.pos_id] == labels[q_id]
         assert labels[r.neg_id] != labels[q_id]
         assert abs(r.margin - round(r.pos_cos - r.neg_cos, 6)) < 2e-6
+
+
+def test_t22_assembled_sequences_tile_exactly(spark, sf_dir):
+    # The packed row IS its members: whitespace-tokenizing seq_text
+    # must give exactly n_tokens (members joined with ' ' in offset
+    # order), and (n_docs, bins) must agree with t19's assignment.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+
+    load_all()
+    qs = all_queries()
+    seqs = qs["t22_packed_sequences"](spark, sf_dir).collect()
+    assign = qs["t19_sequence_packing"](spark, sf_dir).collect()
+    by_bin: dict = {}
+    for r in assign:
+        key = (r.shard, r.bin_idx)
+        n, toks = by_bin.get(key, (0, 0))
+        by_bin[key] = (n + 1, toks + r.n_tok)
+    assert {(r.shard, r.bin_idx) for r in seqs} == set(by_bin)
+    for r in seqs:
+        n, toks = by_bin[(r.shard, r.bin_idx)]
+        assert (r.n_docs, r.n_tokens) == (n, toks)
+        assert len(r.seq_text.strip().lower().split()) == r.n_tokens
