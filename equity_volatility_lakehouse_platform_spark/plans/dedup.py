@@ -1249,6 +1249,35 @@ def _d16_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d16_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DAG's per-document decision frame (quality gate ->
+    contamination screen -> canonical dedup -> domain rebalance), every
+    stage's flag carried so consumers can aggregate (d16) or select the
+    survivors (d30's packing tail). Narrow (~40 B/row), lazily
+    checkpointed at the raw-text boundary inside ``_d16_flagged``."""
+    flagged = _d16_flagged(spark, sf_dir).localCheckpoint(eager=False)
+    cnts = (
+        flagged.filter(F.col("is_unique"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+    )
+    thr = cnts.crossJoin(
+        F.broadcast(cnts.agg(F.min("n_src").alias("mn")))
+    ).select(
+        "source",
+        F.floor(F.lit(4294967296.0) * F.col("mn") / F.col("n_src"))
+        .cast("bigint")
+        .alias("thr"),
+    )
+    return flagged.join(F.broadcast(thr), "source", "left").select(
+        "*",
+        (
+            F.col("is_unique")
+            & (F.col("u32") < F.coalesce(F.col("thr"), F.lit(-1)))
+        ).alias("is_balanced"),
+    )
+
+
 @register("d16_curation_dag", oracle=None)  # set below — composes the lexicon
 def d16_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The FULL curation DAG as one registered query (round-8 VERDICT
@@ -1268,27 +1297,7 @@ def d16_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final funnel roll-up). Everything downstream is metadata-sized:
     # a |sources|-row count agg broadcast back, then ONE single-row
     # aggregate.
-    flagged = _d16_flagged(spark, sf_dir).localCheckpoint(eager=False)
-    cnts = (
-        flagged.filter(F.col("is_unique"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_src"))
-    )
-    thr = cnts.crossJoin(
-        F.broadcast(cnts.agg(F.min("n_src").alias("mn")))
-    ).select(
-        "source",
-        F.floor(F.lit(4294967296.0) * F.col("mn") / F.col("n_src"))
-        .cast("bigint")
-        .alias("thr"),
-    )
-    final = flagged.join(F.broadcast(thr), "source", "left").select(
-        "*",
-        (
-            F.col("is_unique")
-            & (F.col("u32") < F.coalesce(F.col("thr"), F.lit(-1)))
-        ).alias("is_balanced"),
-    )
+    final = _d16_final(spark, sf_dir)
     ret = F.col("tokens_final") * 1.0 / F.col("tokens_total")
     return (
         final.agg(
@@ -2527,3 +2536,88 @@ def d28_substring_trim(
             F.concat_ws(" ", F.col("_kt")).alias("clean_text"),
         )
     )
+
+
+@register("d30_packed_curation_dag", oracle=None)  # set below — composes d16 + t19
+def d30_packed_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The LLM-PIPELINE DAG END-TO-END (round 14): d16's curation funnel
+    # (quality gate -> contamination screen -> canonical dedup -> domain
+    # rebalance) composed with t19's greedy sequence packing — the full
+    # path from raw corpus to training-batch layout in ONE registered
+    # plan, the composition a production pipeline actually ships.
+    # Survivors (is_balanced) flow into pack_assign (Knuth-hash shards
+    # provisioned from the SURVIVOR count, the same arithmetic as the
+    # oracle's params CTE); output is one row per (shard, bin) with doc
+    # and token counts plus an exact doc_id-sum membership pin, so the
+    # oracle verifies BIN MEMBERSHIP, not just totals.
+    #
+    # Scale shape: raw text is touched once inside _d16_flagged (lazily
+    # checkpointed at the narrow boundary — the survivor manifest);
+    # the packing tail adds ONE exchange (shard groupBy) + one
+    # (shard, bin) roll-up on ids+counts rows.
+    from equity_volatility_lakehouse_platform_spark.plans.text import (
+        pack_assign,
+        pack_nshard,
+    )
+
+    final = _d16_final(spark, sf_dir).localCheckpoint(eager=False)
+    kept = final.filter(F.col("is_balanced")).select(
+        "doc_id", F.col("n_tok").cast("long").alias("n_tok")
+    )
+    nshard = pack_nshard(kept.count())
+    assigned = pack_assign(kept, nshard)
+    return assigned.groupBy("shard", "bin_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+    )
+
+
+def _d30_oracle() -> str:
+    from equity_volatility_lakehouse_platform_spark.plans.text import (
+        _KNUTH_U_SQL,
+        _PACK_BUDGET,
+        _PACK_SHARD_DOCS,
+    )
+
+    head = _d16_oracle()
+    cut = head.index("SELECT CAST(count(*) AS BIGINT) AS n_docs,")
+    return (
+        head[:cut].replace("WITH t0 AS", "WITH RECURSIVE t0 AS")
+        + rf""", kept AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+      FROM final WHERE is_balanced
+    ), params AS (
+      SELECT greatest(8, CAST(ceil(count(*) / {_PACK_SHARD_DOCS}.0) AS BIGINT))
+               AS nshard
+      FROM kept
+    ), kd AS (
+      SELECT doc_id, n_tok,
+             {_KNUTH_U_SQL} % (SELECT nshard FROM params) AS shard
+      FROM kept
+    ), r2 AS (
+      SELECT shard, doc_id, n_tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM kd
+    ), pk AS (
+      SELECT shard, rn, doc_id, n_tok, n_tok AS fill,
+             CAST(0 AS BIGINT) AS bin
+      FROM r2 WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.n_tok,
+             CASE WHEN p.fill + r.n_tok > {_PACK_BUDGET}
+                  THEN r.n_tok ELSE p.fill + r.n_tok END,
+             CASE WHEN p.fill + r.n_tok > {_PACK_BUDGET}
+                  THEN p.bin + 1 ELSE p.bin END
+      FROM pk p JOIN r2 r ON r.shard = p.shard AND r.rn = p.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, bin AS bin_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM pk GROUP BY shard, bin
+    """
+    )
+
+
+_reg.set_oracle("d30_packed_curation_dag", _d30_oracle())

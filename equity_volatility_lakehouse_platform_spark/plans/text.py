@@ -1529,45 +1529,15 @@ _PACK_CTE = rf"""
 """
 
 
-@register(
-    "t19_sequence_packing",
-    # Fixed-token-budget SEQUENCE PACKING (round 14) — the step between
-    # t13's chunker and the training loop: greedy first-fit-next-bin
-    # packing of whole documents into 256-token training sequences, the
-    # standard fill-the-context recipe (T5/GPT-style "packing") that
-    # turns a corpus of ragged documents into near-full fixed-length
-    # rows. The scan is a per-shard RECURRENCE (every bin decision
-    # depends on the running fill), i.e. the f19 family: the engine
-    # runs it as a grouped Arrow kernel, the oracle steps the identical
-    # state one row per shard per iteration through a recursive CTE.
-    # Shards are deterministic Knuth-hash buckets provisioned at ~4096
-    # docs each (count at plan build, floor 8 — identical arithmetic in
-    # the oracle's params CTE), so the sequential leg stays CONSTANT
-    # per shard as the corpus grows: 100 TB = more shards, not longer
-    # scans, and packing quality is unaffected because bins never cross
-    # shards. Plan: map-side tokenize -> ONE exchange (shard groupBy)
-    # -> Arrow kernel; output is per-document (shard, bin, offset), the
-    # join key a downstream writer needs to assemble physical rows.
-    oracle=_PACK_CTE
-    + """
-    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin AS bin_idx,
-           n_tok, pos AS bin_offset
-    FROM pack
-    """,
-)
-def t19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
+def pack_assign(d: DataFrame, nshard: int) -> DataFrame:
+    """The greedy first-fit-next-bin assignment over a (doc_id, n_tok)
+    frame: deterministic Knuth-hash shards, one exchange, grouped Arrow
+    kernel. Shared by t19 (whole corpus) and d30 (curation survivors)."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
-    nshard = max(
-        8, math.ceil(docs.count() / _PACK_SHARD_DOCS)
-    )  # mirrors the oracle's params CTE
-    d = docs.select(
-        "doc_id",
-        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),
-    ).withColumn("shard", _knuth_u(F.col("doc_id")) % nshard)
+    d = d.select("doc_id", "n_tok").withColumn(
+        "shard", _knuth_u(F.col("doc_id")) % nshard
+    )
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -1596,6 +1566,49 @@ def t19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, shard long, n_tok long, bin_idx long, "
         "bin_offset long",
     )
+
+
+def pack_nshard(n_docs: int) -> int:
+    """max(8, ceil(n/4096)) — mirrors the oracles' params CTE."""
+    import math
+
+    return max(8, math.ceil(n_docs / _PACK_SHARD_DOCS))
+
+
+@register(
+    "t19_sequence_packing",
+    # Fixed-token-budget SEQUENCE PACKING (round 14) — the step between
+    # t13's chunker and the training loop: greedy first-fit-next-bin
+    # packing of whole documents into 256-token training sequences, the
+    # standard fill-the-context recipe (T5/GPT-style "packing") that
+    # turns a corpus of ragged documents into near-full fixed-length
+    # rows. The scan is a per-shard RECURRENCE (every bin decision
+    # depends on the running fill), i.e. the f19 family: the engine
+    # runs it as a grouped Arrow kernel, the oracle steps the identical
+    # state one row per shard per iteration through a recursive CTE.
+    # Shards are deterministic Knuth-hash buckets provisioned at ~4096
+    # docs each (count at plan build, floor 8 — identical arithmetic in
+    # the oracle's params CTE), so the sequential leg stays CONSTANT
+    # per shard as the corpus grows: 100 TB = more shards, not longer
+    # scans, and packing quality is unaffected because bins never cross
+    # shards. Plan: map-side tokenize -> ONE exchange (shard groupBy)
+    # -> Arrow kernel; output is per-document (shard, bin, offset), the
+    # join key a downstream writer needs to assemble physical rows.
+    oracle=_PACK_CTE
+    + """
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin AS bin_idx,
+           n_tok, pos AS bin_offset
+    FROM pack
+    """,
+)
+def t19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nshard = pack_nshard(docs.count())
+    d = docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return pack_assign(d, nshard)
 
 
 @register(

@@ -161,6 +161,10 @@ QUERIES = [
     # (assignment join -> (shard,bin) concat); must track documents
     # linearly.
     "t22_packed_sequences",
+    # round-14: the curation DAG composed through packing — raw text
+    # touched once in the d16 manifest; the packing tail adds one
+    # exchange on ids+counts rows. Must track documents linearly.
+    "d30_packed_curation_dag",
 ]
 
 
@@ -289,10 +293,11 @@ REBUILD = {
     # snk24 runs its ACID writes + export + checkpoint eagerly at
     # build time; only the replayed read-back is lazy.
     "snk24_delta_format_export",
-    # t19 counts the corpus at build time to provision nshard; t22
-    # composes it.
+    # t19 counts the corpus at build time to provision nshard; t22 and
+    # d30 compose it (d30 counts the SURVIVOR set at build).
     "t19_sequence_packing",
     "t22_packed_sequences",
+    "d30_packed_curation_dag",
     # st23 runs its whole stream (landing dir -> foreachBatch appends)
     # when the plan is built; only the final snapshot read is lazy.
     "st23_delta_txn_ingest_stream",

@@ -1946,3 +1946,27 @@ def test_t22_assembled_sequences_tile_exactly(spark, sf_dir):
         n, toks = by_bin[(r.shard, r.bin_idx)]
         assert (r.n_docs, r.n_tokens) == (n, toks)
         assert len(r.seq_text.strip().lower().split()) == r.n_tokens
+
+
+def test_d30_packing_agrees_with_d16_funnel(spark, sf_dir):
+    # Cross-query consistency: d30's bins partition exactly d16's
+    # balanced survivor set — same doc count, same token mass, same
+    # exact doc_id-sum membership pin.
+    from equity_volatility_lakehouse_platform_spark.plans import (
+        all_queries,
+        load_all,
+    )
+
+    load_all()
+    qs = all_queries()
+    bins = qs["d30_packed_curation_dag"](spark, sf_dir).collect()
+    funnel = qs["d16_curation_dag"](spark, sf_dir).collect()[0]
+    assert sum(r.n_docs for r in bins) == funnel.n_balanced
+    assert sum(r.n_tokens for r in bins) == funnel.tokens_final
+    assert sum(r.doc_id_sum for r in bins) == funnel.kept_doc_id_sum
+    from equity_volatility_lakehouse_platform_spark.plans.text import (
+        _PACK_BUDGET,
+    )
+
+    for r in bins:
+        assert r.n_tokens <= _PACK_BUDGET or r.n_docs == 1, r

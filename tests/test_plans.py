@@ -114,7 +114,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "ml24_calibration_bins": 2,    # one min/max agg (broadcast back) + one 10-row bin agg
         "t21_perplexity_filter": 8,    # 4 vocab-scale model aggs + per-doc reduce + doc-score sort; corpus text never shuffles
         "ml25_contrastive_mining": 2,  # anchor window + 64-row pivot agg; corpus side never shuffles (broadcast BNLJ)
-        "t22_packed_sequences": 4,     # t19's shard kernel + assignment-docs join + (shard,bin) groupBy (docs side broadcasts at test SF; the join legitimately shuffles text ONCE at scale)
+        "t22_packed_sequences": 4,
+        "d30_packed_curation_dag": 3,  # curation tail (checkpointed manifest) + pack shard groupBy + (shard,bin) roll-up     # t19's shard kernel + assignment-docs join + (shard,bin) groupBy (docs side broadcasts at test SF; the join legitimately shuffles text ONCE at scale)
     }
     for name, budget in budgets.items():
         got = _exchanges(_plan(spark, sf_dir, name))
