@@ -426,6 +426,165 @@ def ivf_probe_topn(emb_q: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
+
+# Bounded-sample training runs FUSED in one Arrow task up to this many
+# sample rows (round 14, optimization round — guide §2.4/§4.2): with
+# train_limit = max(2048, 8K) the fused ceiling corresponds to K = 8192
+# (N ~ 2M vectors under the engine's auto-K = ceil(N/256)), far above
+# the documented single-level-quantizer ceiling where sim15's two-level
+# path takes over anyway. Below it, the per-iteration DataFrame plumbing
+# (broadcast joins + collect_list shuffles + interpreted HOF mean folds
+# + re-executed lineage per Lloyd step) cost ~3.2 s per PQ training and
+# ~1.5 s per coarse training at sf0.1 on a quiet local[32] — pure
+# orchestration over a <= 1 MB sample. The fused kernel computes the
+# identical fold sequences (assignment = the ivf_assign/pq_encode
+# kernels' dimension-sequential accumulation; means = the ordered
+# left-fold over members by vec_id; norms = the dot() left fold) in a
+# single mapInPandas task fed by ONE exchange of the bounded sample, so
+# the trained codebooks are BIT-IDENTICAL (pinned by
+# tests/test_properties.py::test_fused_trainers_match_distributed_path
+# and the K=288 cross-engine mirror test). Above the ceiling the
+# original distributed per-step path runs unchanged.
+_FUSED_TRAIN_MAX = 65536
+
+
+def _ivf_train_fused(
+    train: DataFrame, n_centroids: int, iters: int
+) -> DataFrame:
+    """Spherical k-means over the bounded (vec_id, v, nv) sample in one
+    Arrow task — see _FUSED_TRAIN_MAX for why and for the bit-exactness
+    argument. The sample arrives via one tiny exchange (repartition(1)
+    keeps the upstream scan parallel); the kernel re-sorts by vec_id, so
+    arrival order is irrelevant."""
+
+    def _train_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values("vec_id")
+        V = np.stack(pdf["v"].to_numpy())  # (n, D), ascending vec_id
+        nv = pdf["nv"].to_numpy().astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n, D = V.shape
+        seed = ids < n_centroids
+        C = V[seed].copy()  # ascending cid (== vec_id order)
+        NC = nv[seed].copy()  # seed norms come from the input, as cb0's
+        CIDS = ids[seed]
+        K = len(CIDS)
+        if K == 0:
+            return
+        for _ in range(iters):
+            # Assignment: the ivf_assign kernel verbatim (dimension-
+            # major blocked accumulation, -inf for zero denominators,
+            # argmax first index = lowest cid).
+            best = np.empty(n, dtype=np.int64)
+            block = 2048
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                Vb = V[lo:hi]
+                acc = np.multiply.outer(Vb[:, 0], C[:, 0])
+                for d in range(1, D):
+                    acc = acc + np.multiply.outer(Vb[:, d], C[:, d])
+                den = np.multiply.outer(nv[lo:hi], NC)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cosc = np.where(den == 0.0, -np.inf, acc / den)
+                best[lo:hi] = np.argmax(cosc, axis=1)
+            # Means: per-dimension ordered left fold over members by
+            # ascending vec_id (rows are already in that order), then
+            # one IEEE division — the _ivf_lloyd_step aggregate
+            # verbatim. Empty clusters keep their previous centroid.
+            newC = C.copy()
+            for k in range(K):
+                members = np.flatnonzero(best == k)
+                if len(members) == 0:
+                    continue
+                acc = np.zeros(D)
+                for r in members:
+                    acc = acc + V[r]
+                newC[k] = acc / float(len(members))
+            C = newC
+            # nc = sqrt(dot(cv, cv)) — the left fold, recomputed for
+            # every row exactly like the step's trailing select.
+            acc = C[:, 0] * C[:, 0]
+            for d in range(1, D):
+                acc = acc + C[:, d] * C[:, d]
+            NC = np.sqrt(acc)
+        yield pd.DataFrame({"cid": CIDS, "cv": list(C), "nc": NC})
+
+    return train.repartition(1).mapInPandas(
+        _train_kernel, "cid bigint, cv array<double>, nc double"
+    )
+
+
+def _pq_train_fused(
+    tsub: DataFrame, n_centroids: int, iters: int
+) -> DataFrame:
+    """Per-subspace Lloyd's over the bounded long-form (vec_id, m, x)
+    sample in one Arrow task — see _FUSED_TRAIN_MAX. Assignment is the
+    pq_encode kernel's d = xx - 2*xc + cc left-fold sequence; means are
+    the ordered member folds; ties and empty clusters behave exactly as
+    _pq_assign/_pq_lloyd_step."""
+
+    def _train_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["m", "vec_id"]
+        )
+        out_m: list = []
+        out_j: list = []
+        out_c: list = []
+        for m, g in pdf.groupby("m", sort=True):
+            X = np.stack(g["x"].to_numpy())  # (n_m, W), ascending vec_id
+            ids = g["vec_id"].to_numpy()
+            n, W = X.shape
+            seed = ids < n_centroids
+            C = X[seed].copy()  # ascending j
+            JS = ids[seed]
+            K = len(JS)
+            if K == 0:
+                continue
+            for _ in range(iters):
+                xx = X[:, 0] * X[:, 0]
+                for i in range(1, W):
+                    xx = xx + X[:, i] * X[:, i]
+                dmat = np.empty((n, K))
+                for jj in range(K):
+                    xc = X[:, 0] * C[jj, 0]
+                    cc = C[jj, 0] * C[jj, 0]
+                    for i in range(1, W):
+                        xc = xc + X[:, i] * C[jj, i]
+                        cc = cc + C[jj, i] * C[jj, i]
+                    dmat[:, jj] = xx - 2.0 * xc + cc
+                best = np.argmin(dmat, axis=1)  # ties -> lowest j
+                newC = C.copy()
+                for k in range(K):
+                    members = np.flatnonzero(best == k)
+                    if len(members) == 0:
+                        continue
+                    acc = np.zeros(W)
+                    for r in members:
+                        acc = acc + X[r]
+                    newC[k] = acc / float(len(members))
+                C = newC
+            out_m.extend([int(m)] * K)
+            out_j.extend(int(j) for j in JS)
+            out_c.extend(list(C))
+        if out_m:
+            yield pd.DataFrame({"m": out_m, "j": out_j, "c": out_c})
+
+    return tsub.repartition(1).mapInPandas(
+        _train_kernel, "m int, j bigint, c array<double>"
+    )
+
+
 def _ivf_lloyd_step(train: DataFrame, cb: DataFrame, dims: int = 64) -> DataFrame:
     """One spherical-k-means Lloyd iteration over FULL vectors (the
     coarse quantizer's training, round 9): assign each training vector
@@ -493,12 +652,16 @@ def ivf_train_centroids(
     produced, so ``ivf_assign``/``ivf_probe`` compose unchanged."""
     if train_limit is None:
         train_limit = max(2048, 8 * n_centroids)
+    train = emb.filter(F.col("vec_id") < train_limit).select(
+        "vec_id", "v", "nv"
+    )
+    if train_limit <= _FUSED_TRAIN_MAX:
+        # Bounded sample: one Arrow task computes every Lloyd step with
+        # the identical fold sequences — see _FUSED_TRAIN_MAX.
+        return _ivf_train_fused(train, n_centroids, iters)
     cb = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("nv").alias("nc"),
-    )
-    train = emb.filter(F.col("vec_id") < train_limit).select(
-        "vec_id", "v", "nv"
     )
     for _ in range(iters):
         cb = _ivf_lloyd_step(train, cb)
@@ -1616,10 +1779,14 @@ def pq_train_codebook(
     vectors, not the corpus; round-8 measured 32x wall at 100x data
     with full-corpus training). The full corpus is then encoded in one
     Arrow pass (``pq_encode``)."""
+    tsub = sub.filter(F.col("vec_id") < train_limit)
+    if train_limit <= _FUSED_TRAIN_MAX:
+        # Bounded sample: one Arrow task computes every Lloyd step with
+        # the identical fold sequences — see _FUSED_TRAIN_MAX.
+        return _pq_train_fused(tsub, n_centroids, iters)
     cb = sub.filter(F.col("vec_id") < n_centroids).select(
         "m", F.col("vec_id").alias("j"), F.col("x").alias("c")
     )
-    tsub = sub.filter(F.col("vec_id") < train_limit)
     for _ in range(iters):
         cb = _pq_lloyd_step(tsub, cb)
     return cb

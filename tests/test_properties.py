@@ -1161,3 +1161,60 @@ def test_delta_export_matches_acid_for_any_history(
         )
         want = sorted(map(tuple, acid.read(version=v).collect()))
         assert got == want, f"version {v} diverged under {ops}"
+
+
+def test_fused_trainers_match_distributed_path(spark, sf_dir):
+    # Round 14 (optimization round): bounded-sample training runs FUSED
+    # in one Arrow task (_ivf_train_fused/_pq_train_fused) below
+    # _FUSED_TRAIN_MAX. The fused kernels must reproduce the
+    # distributed per-step path BIT-exactly — same assignment folds,
+    # same ordered member means, same empty-cluster retention, same
+    # seed norms — for both trainer families.
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ivf_emb,
+        _ivf_lloyd_step,
+        _pq_lloyd_step,
+        _pq_subspaces,
+        _emb,
+        ivf_train_centroids,
+        pq_train_codebook,
+    )
+
+    emb = _ivf_emb(spark, sf_dir)
+    # Coarse: fused (the public entry) vs the step loop it replaced.
+    cb_old = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    train = emb.filter(F.col("vec_id") < 2048).select("vec_id", "v", "nv")
+    for _ in range(2):
+        cb_old = _ivf_lloyd_step(train, cb_old)
+    old = {
+        int(r["cid"]): (list(r["cv"]), float(r["nc"]))
+        for r in cb_old.collect()
+    }
+    new = {
+        int(r["cid"]): (list(r["cv"]), float(r["nc"]))
+        for r in ivf_train_centroids(emb, n_centroids=4, iters=2).collect()
+    }
+    assert old == new
+
+    # PQ: fused vs the step loop, including member-less seed clusters
+    # (K=16 seeds over the tiny fixture leaves some empty).
+    sub = _pq_subspaces(_emb(spark, sf_dir), 16)
+    cb_o = sub.filter(F.col("vec_id") < 16).select(
+        "m", F.col("vec_id").alias("j"), F.col("x").alias("c")
+    )
+    tsub = sub.filter(F.col("vec_id") < 2048)
+    for _ in range(2):
+        cb_o = _pq_lloyd_step(tsub, cb_o)
+    old_pq = {
+        (int(r["m"]), int(r["j"])): list(r["c"]) for r in cb_o.collect()
+    }
+    new_pq = {
+        (int(r["m"]), int(r["j"])): list(r["c"])
+        for r in pq_train_codebook(sub, 16, 2).collect()
+    }
+    assert old_pq == new_pq
