@@ -908,20 +908,69 @@ class AcidTable:
         df = self.read(latest)
         out_cols = list(df.columns)
         fractions = [i / (1 << bits) for i in range(1, 1 << bits)]
-        def _rank(bounds_col: str, value_col: str):
-            return F.aggregate(
-                F.col(bounds_col),
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(value_col) > b, 1).otherwise(0),
-            )
+        # ONE aggregate computes every column's boundary array (round 14,
+        # optimization round — previously one agg job per column), and the
+        # per-row ranks run vectorized in a single Arrow pass:
+        # np.searchsorted(bounds, value, side="left") counts boundaries
+        # strictly below the value — integer-identical to the replaced
+        # interpreted aggregate fold acc + (value > b) over the sorted
+        # boundary array (Spark's NaN-greatest double ordering included:
+        # NaN ranks past every boundary on both paths). The fold ran
+        # INTERPRETED over (2^bits - 1) elements per column per row, and
+        # repartitionByRange evaluates its input twice (range sampling +
+        # the write), which measured ~6 s of snk10's zorder at sf0.1.
+        # Z-order columns are expected non-null (they must be orderable
+        # by percentile); NULLs in float columns are indistinguishable
+        # from NaN post-Arrow and would rank high where the old fold
+        # ranked them 0.
+        # Timestamp columns rank through unix_micros — a strictly
+        # monotone bijection, so the quantile sketch selects the same
+        # boundary elements and every per-row rank is unchanged — and
+        # only PRIMITIVE types cross the Arrow boundary.
+        def _zval(c: str) -> Column:
+            if isinstance(df.schema[c].dataType, T.TimestampType):
+                return F.unix_micros(F.col(c))
+            return F.col(c)
 
         for ci, c in enumerate(cols):
-            bnd = df.agg(
-                F.percentile_approx(c, fractions, 10_000).alias(f"_b{ci}")
-            )
-            df = df.crossJoin(F.broadcast(bnd))
-            df = df.withColumn(f"_r{ci}", _rank(f"_b{ci}", c)).drop(f"_b{ci}")
+            df = df.withColumn(f"_v{ci}", _zval(c))
+        bnd = df.agg(
+            *[
+                F.percentile_approx(f"_v{ci}", fractions, 10_000).alias(
+                    f"_b{ci}"
+                )
+                for ci in range(len(cols))
+            ]
+        )
+        df = df.crossJoin(F.broadcast(bnd))
+        base_fields = [
+            f
+            for f in df.schema.fields
+            if not (f.name.startswith("_b") or f.name.startswith("_v"))
+        ]
+        rank_schema = T.StructType(
+            base_fields
+            + [T.StructField(f"_r{ci}", T.IntegerType()) for ci in range(len(cols))]
+        )
+        keep = [f.name for f in rank_schema.fields]
+        n_zcols = len(cols)
+
+        def _ranks(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ranks = {}
+                for ci in range(n_zcols):
+                    v = pdf[f"_v{ci}"].to_numpy()
+                    ba = np.asarray(pdf[f"_b{ci}"].iloc[0], dtype=v.dtype)
+                    ranks[f"_r{ci}"] = np.searchsorted(
+                        ba, v, side="left"
+                    ).astype("int32")
+                yield pdf[[c for c in keep if c in pdf.columns]].assign(**ranks)
+
+        df = df.mapInPandas(_ranks, rank_schema)
         z = F.lit(0).cast("long")
         for i in range(bits):
             for ci in range(len(cols)):

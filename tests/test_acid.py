@@ -907,3 +907,33 @@ def test_append_with_recompute_race_and_no_orphans(spark, root):
         if f.endswith(".parquet")
     }
     assert on_disk <= live, f"orphan files: {sorted(on_disk - live)}"
+
+
+def test_zorder_vectorized_rank_matches_interpreted_fold(spark):
+    # Round-14 optimization: optimize_zorder ranks rows against the
+    # quantile-boundary array with np.searchsorted(side="left") in one
+    # Arrow pass instead of the interpreted aggregate fold
+    # acc + (value > b). This pins the claimed integer-identity on the
+    # adversarial values: exact ties with a boundary (not counted by
+    # either side), values below/above the whole array, and NaN (ranks
+    # past every boundary under Spark's NaN-greatest ordering AND
+    # numpy's sort order).
+    import numpy as np
+
+    bounds = [1.0, 2.5, 2.5, 7.0]  # duplicate boundary too
+    probes = [0.0, 1.0, 2.5, 3.0, 7.0, 9.9, float("nan"), -1e308, 1e308]
+    df = spark.createDataFrame([(v,) for v in probes], "v DOUBLE").withColumn(
+        "b", F.array(*[F.lit(x) for x in bounds])
+    )
+    fold = df.select(
+        "v",
+        F.aggregate(
+            F.col("b"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("v") > b, 1).otherwise(0),
+        ).alias("r"),
+    ).collect()
+    ba = np.asarray(bounds)
+    for row in fold:
+        got = int(np.searchsorted(ba, row["v"], side="left"))
+        assert got == row["r"], (row["v"], got, row["r"])
