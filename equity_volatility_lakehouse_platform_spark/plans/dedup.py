@@ -1159,6 +1159,21 @@ def _d16_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = docs.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "source", "text", tok.alias("tok")
     )
+    # Round-14 optimization: dedup the shingles PER ROW with
+    # array_distinct, so the per-doc roll-up is a single plain count
+    # aggregate. The old shape md5'd every shingle inside a transform
+    # lambda (interpreted HOF) and aggregated the exploded rows with TWO
+    # count_distinct's — which plans an Expand (x2 row multiplication
+    # plus a double aggregation) — measuring ~2.5 s of d16's 3.16 s
+    # flagged stage at sf0.1. Equivalences (parity re-verified at every
+    # SF against the unchanged md5-based oracle): distinct-md5 counts
+    # equal distinct-raw-shingle counts (md5 injective here, and the
+    # bench join matches raw strings iff it matched their md5s);
+    # count_distinct(s) == count over exploded array_distinct;
+    # count_distinct(bs) == count of non-NULL bench matches of those
+    # already-distinct rows. Shingle-less docs (< 3 tokens): NULL array
+    # -> explode_outer keeps one NULL row -> count(s)/count(bs) skip
+    # NULL -> 0, exactly the old result.
     base = t0.select(
         "doc_id",
         "source",
@@ -1169,25 +1184,19 @@ def _d16_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", r"[.,;:!?]", "")).alias("len_np"),
         F.when(
             F.size("tok") >= 3,
-            F.transform(tx.shingles(F.col("tok")), lambda s: F.md5(s)),
-        ).alias("sh"),
+            F.array_distinct(tx.shingles(F.col("tok"))),
+        ).alias("shd"),
     )
     bench = F.broadcast(
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(tok.alias("tok"))
         .filter(F.size("tok") >= 3)
-        .select(
-            F.explode(
-                F.transform(tx.shingles(F.col("tok")), lambda s: F.md5(s))
-            ).alias("bs")
-        )
+        .select(F.explode(tx.shingles(F.col("tok"))).alias("bs"))
         .distinct()
     )
-    # explode_outer keeps shingle-less docs (< 3 tokens) as one NULL
-    # row: count_distinct skips NULL -> n_sh = 0, no bench hit.
     ex = base.select(
         "doc_id", "source", "digest", "n_tok", "n_stop", "len", "len_np",
-        F.explode_outer("sh").alias("s"),
+        F.explode_outer("shd").alias("s"),
     )
     perdoc = (
         ex.join(bench, ex["s"] == bench["bs"], "left")
@@ -1199,8 +1208,8 @@ def _d16_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n_stop").alias("n_stop"),
             F.first("len").alias("len"),
             F.first("len_np").alias("len_np"),
-            F.count_distinct("s").alias("n_sh"),
-            F.count_distinct("bs").alias("n_overlap"),
+            F.count("s").alias("n_sh"),
+            F.count("bs").alias("n_overlap"),
         )
     )
     # t02's quality score, with every float op in the same order as the
@@ -2346,31 +2355,49 @@ def _substring_anchor_stages(
     base = docs.select(
         "doc_id", tx.tokens(F.col("text")).alias("t")
     ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    # The anchor md5 runs in a post-explode codegen projection (round-14
+    # optimization): hashing inside the position transform's lambda fell
+    # to the interpreted HOF path (~2x wall on this stage); exploding
+    # the bare position sequence first and md5-ing in the next Project
+    # keeps the whole window walk in WholeStageCodegen. Anchors are
+    # BYTE-IDENTICAL to the former shape (same concat_ws/slice/md5 —
+    # verified by exceptAll both ways), the token array is only carried
+    # between two nodes of the same codegen stage, and raw text still
+    # never shuffles.
     sh = (
         base.filter(F.col("n_tokens") >= k)
         .select(
             "doc_id",
+            "t",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        tx.token_hash(
-                            F.concat_ws(" ", F.slice(F.col("t"), i, k))
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("s"),
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1))
+            ).alias("pos"),
         )
-        .select("doc_id", "s.pos", "s.h")
+        .select(
+            "doc_id",
+            "pos",
+            tx.token_hash(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), k))
+            ).alias("h"),
+        )
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Repeated anchors via ONE window count over h (round-14
+    # optimization) instead of groupBy + join-back: the join shape paid
+    # the sh lineage twice and, at corpus scale, either broadcasts an
+    # unbounded repeated-anchor set or re-shuffles the full window set a
+    # second time. One shuffle by h, one pass, row-identical (verified
+    # by exceptAll both ways). A hot anchor concentrates its M rows in
+    # one task but the work stays LINEAR in M (count, no pair
+    # enumeration) — the quadratic hot-bucket concern of the LSH band
+    # joins does not arise here.
+    dup_starts = (
+        sh.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("cnt") >= 2)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    return base, sh.join(dup, "h").select("doc_id", "pos")
+    return base, dup_starts
 
 
 @register(
