@@ -2211,14 +2211,25 @@ def d26_dedup_first_lsh(
     # (The registered oracle pins the DEFAULT cap; ad-hoc runs with a
     # custom cap can rebuild the mirror via _d26_oracle(bucket_cap).)
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # grp feeds the keeper semi-join AND the exact_group accounting
+    # rows; the lazy checkpoint stops the digest groupBy (a full
+    # raw-text scan + md5) from re-running for each consumer. Narrow:
+    # one (16-byte digest, id, count) row per DISTINCT text.
+    grp = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # The n_perm/banding ladder input rides the digest groupBy
+    # (sum(n_copies) == count(*), and materializing grp here warms the
+    # checkpoint every consumer needs anyway) instead of a separate
+    # full-scan count job (round-14 optimization).
+    n_docs = grp.agg(F.sum("n_copies")).first()[0] or 0
     n_perm = lsh_n_perm(n_docs)
     mh_cols = [f"mh{i}" for i in range(n_perm)]
-
-    grp = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("keeper"),
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
-    )
     # ``sig_path``: serve signatures from a materialized index (the
     # snk21 surface — one index feeds d03 AND d26); the default stays
     # the UNCACHED map pass (consumed once, alongside the digest hash).
@@ -2227,20 +2238,43 @@ def d26_dedup_first_lsh(
     else:
         sig = tx.minhash_signature(docs, n_perm=n_perm)
     keepers = grp.select("keeper", "n_copies")
-    ksig = sig.join(
-        keepers, sig["doc_id"] == keepers["keeper"]
-    ).select("doc_id", "n_copies", *mh_cols)
+    # Lazily checkpoint the per-keeper signature manifest (round-14
+    # optimization — the d16 survivor-manifest pattern): the band join
+    # consumes this frame on BOTH sides and the bucket-size/anti-join
+    # path again, and without the lineage cut each consumer re-ran the
+    # raw-text scan + md5 + MinHash pass (22 parquet scans of documents
+    # in the explained plan, 0 reused). The checkpointed frame is
+    # NARROW — keepers x (id, count, n_perm ints), the same ~40 B/row
+    # scale a production pipeline would persist between stages.
+    ksig = sig.join(keepers, sig["doc_id"] == keepers["keeper"]).select(
+        "doc_id", "n_copies", *mh_cols
+    )
+    if sig_path is None:
+        # Index-served signatures are a cheap columnar re-read (and the
+        # serve contract is that the index scan stays VISIBLE in the
+        # plan — test_d26_serves_from_persisted_signatures); only the
+        # in-query MinHash pass is worth cutting off here.
+        ksig = ksig.localCheckpoint(eager=False)
 
     bands = lsh_band_frame(ksig, n_docs, carry=("n_copies", *mh_cols))
-    # Bucket sizes on the NARROW (band, key) projection — the wide
-    # signature-carrying frame never shuffles for sizing; hot keys are
-    # few by construction (<= b*keepers/cap), so the exclusion is a
-    # left-anti join Catalyst/AQE broadcasts when small.
-    bsz = bands.select("band", "key").groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("sz")
+    # Bucket sizes via ONE count window over (band, key) — round-14
+    # optimization, the d27 one-pass pattern: the old
+    # groupBy-then-anti-join shape built a second banding lineage for
+    # sizing and re-shuffled the wide frame for the pair join anyway.
+    # The window's (band, key) hash partitioning is exactly the pair
+    # join's requirement, so both self-join sides reuse the SAME
+    # exchange, and the hot_bucket accounting reads the same sized rows
+    # (one first(sz) per over-cap bucket). Hot buckets stay LINEAR here
+    # (count + filter); only capped buckets reach the quadratic join.
+    sized = bands.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
     )
-    hot_keys = bsz.filter(F.col("sz") > bucket_cap).select("band", "key")
-    ok = bands.join(hot_keys, ["band", "key"], "left_anti")
+    ok = sized.filter(F.col("sz") <= bucket_cap).drop("sz")
+    hot_sz = (
+        sized.filter(F.col("sz") > bucket_cap)
+        .groupBy("band", "key")
+        .agg(F.first("sz").alias("sz"))
+    )
 
     a = ok.select([F.col(c).alias(f"a_{c}") for c in ok.columns])
     b = ok.select([F.col(c).alias(f"b_{c}") for c in ok.columns])
@@ -2284,7 +2318,7 @@ def d26_dedup_first_lsh(
         F.lit(None).cast("long").alias("n_hot_buckets"),
     )
     hot = (
-        bsz.filter(F.col("sz") > bucket_cap)
+        hot_sz
         .groupBy("band")
         .agg(
             F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
