@@ -159,8 +159,11 @@ def pm_rts_hist(df: DataFrame, key: str = "user_id", n: int = 20, eps: float = 0
     # twice (get 9 / get 10) would extract TWO identical collect_list
     # window aggregates (seen as _we17/_we18 in the f20 plan) — the
     # frame is collected and sorted once here, the two gets read refs.
+    # sort_array, not array_sort: the lambda comparator is a
+    # CodegenFallback that drops the projection out of codegen; order
+    # is identical on these NULL-free double arrays (round 14).
     df = df.withColumn(
-        "_ats_frame", F.array_sort(F.collect_list("_ats").over(frame))
+        "_ats_frame", F.sort_array(F.collect_list("_ats").over(frame))
     ).withColumn("_ats_cnt", F.count("_ats").over(frame))
     med = (F.get("_ats_frame", n // 2 - 1) + F.get("_ats_frame", n // 2)) / 2
     med = F.when(F.col("_ats_cnt") == n, med)
@@ -261,9 +264,22 @@ def gold_matrix(df: DataFrame, key: str = "user_id") -> DataFrame:
     prior_max = F.when(F.count("close").over(wx) == 20, F.max("close").over(wx))
     mu = F.when(F.count("_dr").over(wz) == 20, F.avg("_dr").over(wz))
     sigma = F.when(F.count("_dr").over(wz) == 20, F.stddev_samp("_dr").over(wz))
-    sorted_ats = F.array_sort(F.collect_list("_ats").over(wz))
+    # The rolling-median frame is materialized ONCE as a named column
+    # (round-14 optimization): referencing the sorted-frame expression
+    # twice inline planned TWO identical collect_list window aggregates
+    # (_we17/_we18 in the executed f20 plan) and sorted each per row.
+    # sort_array replaces the array_sort lambda comparator — identical
+    # order on these NULL-free double arrays (collect_list never emits
+    # NULLs, and _ats is never NaN: dollar_vol/n_events with count>=1)
+    # — because the lambda is a CodegenFallback that silently dropped
+    # the ENTIRE 25-feature assembly projection out of
+    # WholeStageCodegen.
+    df = df.withColumn(
+        "_ats_sorted", F.sort_array(F.collect_list("_ats").over(wz))
+    )
     med = F.when(
-        F.count("_ats").over(wz) == 20, (F.get(sorted_ats, 9) + F.get(sorted_ats, 10)) / 2
+        F.count("_ats").over(wz) == 20,
+        (F.get("_ats_sorted", 9) + F.get("_ats_sorted", 10)) / 2,
     )
     wd = (F.dayofweek("day") + 5) % 7
     two_pi = 2 * 3.141592653589793

@@ -704,6 +704,10 @@ def f25_cross_sectional_zrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily(spark, sf_dir)
     wu = Window.partitionBy("user_id").orderBy("day")
+    # Narrow (user_id, day, ret) frame consumed TWICE (the per-day
+    # moment aggregation and the ranked join); the lazy checkpoint
+    # stops the events groupBy + lag window from executing once per
+    # consumer (round-14 optimization, the d16 manifest pattern).
     rets = (
         daily.select(
             "user_id", "day",
@@ -713,6 +717,7 @@ def f25_cross_sectional_zrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ret"),
         )
         .filter(F.col("ret").isNotNull())
+        .localCheckpoint(eager=False)
     )
     ds = (
         rets.groupBy("day")

@@ -55,6 +55,16 @@ def get_spark(
             os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"),
         )
         .config("spark.sql.session.timeZone", tz)
+        # Fall back to the interpreted expression path exactly where
+        # HotSpot would refuse to JIT the generated method (round 14):
+        # the JVM never compiles methods over 8000 bytecodes
+        # (-XX:+DontCompileHugeMethods is the default), so a
+        # whole-stage-codegen method past that limit runs in the
+        # BYTECODE INTERPRETER — measured 3.4x slower than Spark's
+        # interpreted path on f20's 25-column rounding projection
+        # (1.63 s -> 0.77 s at sf0.1; q1/w08/f12/j01 unchanged). Scale-
+        # independent: the limit is a property of the JVM, not the data.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep catalog/warehouse state out of the repo cwd (bucketed-table

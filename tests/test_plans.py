@@ -597,3 +597,17 @@ def test_d26_serves_from_persisted_signatures(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, recomputed.collect())
     ), "persisted-signature path must be result-identical"
+
+
+def test_f20_rolling_median_frame_materialized_once(spark, sf_dir):
+    # Round 14: the gold matrix's rolling-median frame is ONE
+    # collect_list window (materialized as a named column) sorted with
+    # the codegen-able sort_array — the earlier inline form planned two
+    # identical collect_list aggregates and the array_sort lambda
+    # dropped the whole 25-feature assembly projection out of
+    # whole-stage codegen.
+    plan = _plan(spark, sf_dir, "f20_gold_matrix")
+    assert plan.count("collect_list") <= 2, (  # formatted plans list each node twice
+        "rolling-median frame must be collected once"
+    )
+    assert "array_sort" not in plan, "sort_array (codegen) replaced array_sort"
