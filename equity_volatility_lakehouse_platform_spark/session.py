@@ -55,16 +55,20 @@ def get_spark(
             os.environ.get("SPARK_MAX_PARTITION_BYTES", "16m"),
         )
         .config("spark.sql.session.timeZone", tz)
-        # Fall back to the interpreted expression path exactly where
-        # HotSpot would refuse to JIT the generated method (round 14):
-        # the JVM never compiles methods over 8000 bytecodes
-        # (-XX:+DontCompileHugeMethods is the default), so a
-        # whole-stage-codegen method past that limit runs in the
-        # BYTECODE INTERPRETER — measured 3.4x slower than Spark's
-        # interpreted path on f20's 25-column rounding projection
-        # (1.63 s -> 0.77 s at sf0.1; q1/w08/f12/j01 unchanged). Scale-
-        # independent: the limit is a property of the JVM, not the data.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Fall back to the interpreted expression path for huge generated
+        # methods (round 14): HotSpot never JIT-compiles methods over
+        # 8000 bytecodes (-XX:+DontCompileHugeMethods is the default),
+        # so a codegen stage past that point can run in the BYTECODE
+        # INTERPRETER — measured 3.4x slower than Spark's interpreted
+        # path on f20's 25-column rounding projection. The threshold is
+        # 16000, not 8000, from a measured scan (8k/12k/16k/24k/48k/64k
+        # at sf0.1): stages in the 8-16 KB range (d14/t02/d03 text
+        # kernels) still win under codegen because their hot loops live
+        # in JIT-able split methods, while f20's monolith (16-24 KB)
+        # must fall back — f20 1.51 -> 0.71 s with the text queries at
+        # their codegen-best. Scale-independent: a property of the JVM
+        # and the generated code, not of data volume or core count.
+        .config("spark.sql.codegen.hugeMethodLimit", "16000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep catalog/warehouse state out of the repo cwd (bucketed-table
