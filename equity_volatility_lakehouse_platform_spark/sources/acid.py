@@ -978,8 +978,14 @@ class AcidTable:
                 z = z.bitwiseOR(
                     F.shiftleft(bit.cast("long"), i * len(cols) + ci)
                 )
+        # Lazily checkpoint the z-keyed frame: repartitionByRange
+        # executes its input TWICE (range-boundary sampling + the real
+        # pass), and without the lineage cut that meant two full table
+        # scans and two Arrow rank passes per rewrite. The materialized
+        # frame is the same rows the rewrite is about to shuffle anyway.
         ordered = (
             df.withColumn("_z", z)
+            .localCheckpoint(eager=False)
             .repartitionByRange(target_files, "_z")
             .sortWithinPartitions("_z")
             .select(*out_cols)
