@@ -50,10 +50,20 @@ def session_scratch(tag: str, sf_dir: str) -> str:
     includes the PID so two concurrent processes running the same query
     on the same sf_dir (parallel pytest, a sweep overlapping a spot run)
     never wipe each other's live tables mid-read; every root this
-    process created is removed at interpreter exit."""
+    process created is removed at interpreter exit.
+
+    Placement: ``scratch_base()`` — the fastest available ephemeral
+    scratch (round-14, guide §6: these artifacts live and die inside
+    one process; the sink queries' wall cost at bench scale was partly
+    small-file create/rename latency on the journaling /tmp disk)."""
+    from equity_volatility_lakehouse_platform_spark.sources.scratch import (
+        scratch_base,
+    )
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
-        tempfile.gettempdir(), f"evlp_{tag}_{key}_p{os.getpid()}"
+        scratch_base() or tempfile.gettempdir(),
+        f"evlp_{tag}_{key}_p{os.getpid()}",
     )
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)

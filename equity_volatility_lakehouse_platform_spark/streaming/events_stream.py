@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from equity_volatility_lakehouse_platform_spark.sources.readers import _nano_ts_columns
+from equity_volatility_lakehouse_platform_spark.sources.scratch import scratch_base
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 
@@ -57,6 +58,23 @@ def _input_bytes(path: str) -> int:
 LAST_PROGRESS: dict | None = None
 
 
+def _n_state_partitions(
+    input_bytes: int,
+    shuffle_partitions: int,
+    bytes_per_store: int,
+    min_stores: int,
+) -> int:
+    """State-partition count for a scoped streaming run: bytes-derived
+    (one store per ``bytes_per_store`` of input), capped at the
+    session's parallelism, floored at the operator's ``min_stores``.
+    Pure so the sizing policy is unit-testable; rationale in
+    ``_run_stream_scoped``."""
+    return max(
+        min_stores,
+        min(shuffle_partitions, -(-input_bytes // bytes_per_store)),
+    )
+
+
 def _run_stream_scoped(
     spark: SparkSession,
     sf_dir: str,
@@ -65,6 +83,7 @@ def _run_stream_scoped(
     output_mode: str,
     n_copies: int = 1,
     bytes_per_store: int = 16 << 20,
+    min_stores: int = 8,
 ) -> DataFrame:
     """Run a file-source streaming query to a memory sink with EVERY temp
     artifact scoped to the call: one temp root holds the source symlink
@@ -87,7 +106,7 @@ def _run_stream_scoped(
     # LTZ); see load_table for the pushdown rationale.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(path).schema
-    tmp_root = tempfile.mkdtemp(prefix=prefix)
+    tmp_root = tempfile.mkdtemp(prefix=prefix, dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     # n_copies > 1 lands the same file several times (the at-least-once
@@ -139,12 +158,22 @@ def _run_stream_scoped(
     # 8-store layout put a 9.1M-session eviction behind 8 threads
     # (allRemovalsTimeMs 381 s, wall 580 s); 4 MB/store -> 28 stores
     # cut the same run to 102 s (round-12 addendum 3).
-    n_state = max(
-        8,
-        min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            -(-_input_bytes(path) // bytes_per_store),
-        ),
+    # ``min_stores`` is the small-input floor and splits by where the
+    # operator's per-row work runs (round-14 interleaved floor probe at
+    # sf0.1; guide §2.2): JVM-state operators (stream-stream joins) are
+    # commit-overhead-bound at small state — every extra store adds
+    # fixed per-batch commit/maintenance cost (floors 2/4/8 measured
+    # 2.38/2.64/3.15 s on st16, 2.64/2.71/2.88 s on st14) — while
+    # Python-stateful operators (applyInPandasWithState) need TASK
+    # parallelism for their per-key Python work and regress hard below
+    # 8 (st17: 3.66 s at floor 8 vs 7.88 s at floor 2). Both floors
+    # bind only for small inputs; at scale the bytes-derived count
+    # governs either way.
+    n_state = _n_state_partitions(
+        _input_bytes(path),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        bytes_per_store,
+        min_stores,
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
@@ -374,7 +403,7 @@ def run_late_data_stream(
     late_cut = max_ts - datetime.timedelta(days=3)
     head_cut = max_ts - datetime.timedelta(days=1)
 
-    tmp_root = tempfile.mkdtemp(prefix="evlate_")
+    tmp_root = tempfile.mkdtemp(prefix="evlate_", dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     splits = [
@@ -459,7 +488,9 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
 
-    joined = _run_stream_scoped(spark, sf_dir, build, "evssj_", "append")
+    joined = _run_stream_scoped(
+        spark, sf_dir, build, "evssj_", "append", min_stores=2
+    )
     return (
         joined.groupBy(F.col("p_user").alias("user_id"))
         .agg(
@@ -491,7 +522,7 @@ def run_acid_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(path).schema
-    tmp_root = tempfile.mkdtemp(prefix="acidstream_")
+    tmp_root = tempfile.mkdtemp(prefix="acidstream_", dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     for i in range(2):
@@ -583,7 +614,8 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     joined = _run_stream_scoped(
-        spark, sf_dir, _purchase_view_join("left_outer"), "evsslj_", "append"
+        spark, sf_dir, _purchase_view_join("left_outer"), "evsslj_", "append",
+        min_stores=2,
     )
     return (
         joined.groupBy(F.col("p_user").alias("user_id"))
@@ -652,7 +684,8 @@ def run_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the inner join's output), so the oracle must exclude
     unmatched-unflushed views from the sum as well as the counts."""
     joined = _run_stream_scoped(
-        spark, sf_dir, _purchase_view_join("right_outer"), "evssrj_", "append"
+        spark, sf_dir, _purchase_view_join("right_outer"), "evssrj_", "append",
+        min_stores=2,
     )
     return (
         joined.groupBy(F.col("v_user").alias("user_id"))
@@ -675,7 +708,8 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase-side nulls, and view-side nulls are distinguishable by
     which side's key is null."""
     joined = _run_stream_scoped(
-        spark, sf_dir, _purchase_view_join("full_outer"), "evssfj_", "append"
+        spark, sf_dir, _purchase_view_join("full_outer"), "evssfj_", "append",
+        min_stores=2,
     )
     return (
         joined.groupBy(
@@ -699,6 +733,45 @@ def run_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6s(F.coalesce(F.sum("v_value"), F.lit(0.0))).alias("viewed_value"),
         )
     )
+
+
+def _session_walk(
+    ms_a, start_ms: int | None, last_ms: int | None, n: int, gap_ms: int
+) -> tuple[list[tuple[int, int]], tuple[int, int, int]]:
+    """Pure vectorized 1-gap session walk over one key's sorted
+    epoch-ms array with carried state ``(start_ms, last_ms, n)``:
+    returns (closed sessions as (start_ms, n_events) in order,
+    new open state). Row-identical to the per-row loop it replaced
+    (round 14; differential test pins it): a session breaks at row i
+    iff ms[i] - prev_ms[i] > gap_ms with prev_ms[0] = carried last_ms.
+    """
+    import numpy as np
+
+    prev = np.empty(len(ms_a), dtype="int64")
+    prev[1:] = ms_a[:-1]
+    prev[0] = last_ms if last_ms is not None else ms_a[0]
+    brk = np.flatnonzero(ms_a - prev > gap_ms)
+    closed: list[tuple[int, int]] = []
+    if brk.size:
+        # Carried/first segment rows [0, brk[0]) close the carried
+        # session (empty slice when the first row itself breaks — the
+        # carried session closes with only its carried counts; a break
+        # at row 0 requires carried state, so start_ms is set there).
+        first_len = int(brk[0])
+        closed.append(
+            (start_ms if start_ms is not None else int(ms_a[0]),
+             n + first_len)
+        )
+        for j in range(brk.size - 1):
+            s, e = int(brk[j]), int(brk[j + 1])
+            closed.append((int(ms_a[s]), e - s))
+        s = int(brk[-1])  # last segment stays open -> new state
+        start_ms, n = int(ms_a[s]), len(ms_a) - s
+    else:
+        if start_ms is None:
+            start_ms = int(ms_a[0])
+        n += len(ms_a)
+    return closed, (start_ms, int(ms_a[-1]), n)
 
 
 def run_timeout_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,23 +814,29 @@ def run_timeout_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = pd.concat(list(pdfs))
         rows = rows.sort_values(["ts", "event_id"])
         start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
-        out = []
-        for ts in rows["ts"]:
-            ms = int(ts.value // 1_000_000)
-            if last_ms is not None and ms - last_ms > GAP_MS:
-                out.append(
-                    {
-                        "user_id": key[0],
-                        "session_start": pd.Timestamp(start_ms, unit="ms"),
-                        "n_events": n,
-                        "closed_by": "gap",
-                    }
-                )
-                start_ms, n = None, 0
-            if start_ms is None:
-                start_ms = ms
-            last_ms = ms
-            n += 1
+        # Vectorized session walk (round 14, guide §4.2): identical to
+        # the retired per-row loop — ms at millisecond grain (GroupState
+        # timeout timestamps are ms; Timestamp.value//1e6 == the ns ->
+        # ms floor below), a session breaks at row i iff
+        # ms[i] - prev_ms[i] > GAP_MS with prev_ms[0] = the carried
+        # last_ms. Differential test pins loop-equality
+        # (test_st17_vectorized_sessionize_matches_loop).
+        ms_a = (
+            rows["ts"].to_numpy("datetime64[ns]").astype("int64")
+            // 1_000_000
+        )
+        closed, (start_ms, last_ms, n) = _session_walk(
+            ms_a, start_ms, last_ms, n, GAP_MS
+        )
+        out = [
+            {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(s0, unit="ms"),
+                "n_events": cnt,
+                "closed_by": "gap",
+            }
+            for s0, cnt in closed
+        ]
         state.update((start_ms, last_ms, n))
         state.setTimeoutTimestamp(last_ms + GAP_MS)
         yield pd.DataFrame(out)
@@ -986,7 +1065,7 @@ def run_dlq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(path).schema
-    tmp_root = tempfile.mkdtemp(prefix="evdlq_")
+    tmp_root = tempfile.mkdtemp(prefix="evdlq_", dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     for i in range(2):  # at-least-once redelivery
@@ -1063,7 +1142,7 @@ def run_cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
-    tmp_root = tempfile.mkdtemp(prefix="cdcstream_")
+    tmp_root = tempfile.mkdtemp(prefix="cdcstream_", dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     try:
         seed = events.filter(F.col("event_id") % 3 != 2)
@@ -1148,7 +1227,7 @@ def run_delta_txn_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch_schema = spark.read.parquet(path).schema
-    tmp_root = tempfile.mkdtemp(prefix="deltastream_")
+    tmp_root = tempfile.mkdtemp(prefix="deltastream_", dir=scratch_base())
     src_dir = os.path.join(tmp_root, "src")
     os.makedirs(src_dir)
     os.symlink(path, os.path.join(src_dir, "events_0.parquet"))

@@ -39,8 +39,16 @@ def main() -> int:
 
     import tempfile
 
-    tmp = tempfile.gettempdir()
-    tmp_before = set(os.listdir(tmp))
+    from equity_volatility_lakehouse_platform_spark.sources.scratch import (
+        scratch_base,
+    )
+
+    # Watch BOTH scratch roots: tempfile's default and the engine's
+    # fast-scratch base (round 14) — a leak in either is a leak.
+    watch = {tempfile.gettempdir()}
+    if scratch_base():
+        watch.add(scratch_base())
+    tmp_before = {(w, d) for w in watch for d in os.listdir(w)}
 
     qs, oracles = e.queries(), e.oracle_sql()
     results: dict[str, str] = {}
@@ -63,8 +71,10 @@ def main() -> int:
     # roots of THIS process — anything else is a leak.
     pid_tag = f"_p{os.getpid()}"
     leaked = sorted(
-        d
-        for d in set(os.listdir(tmp)) - tmp_before
+        f"{w}/{d}"
+        for (w, d) in {
+            (w, d) for w in watch for d in os.listdir(w)
+        } - tmp_before
         if not d.endswith(pid_tag)
         # Spark/JVM session artifacts, not engine scratch: native codec
         # libs, the connect artifacts dir, JVM perf files.

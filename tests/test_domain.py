@@ -486,6 +486,77 @@ def test_daily_ohlcv_matches_pandas(spark, bars):
     assert got["timestamp"].tolist() == exp["day"].tolist()
 
 
+def test_st17_vectorized_sessionize_matches_loop():
+    # Round-14: st17's per-key row loop became one vectorized walk
+    # (_session_walk). Differential guard — the retired loop re-run
+    # against the vectorized walk over randomized batches with and
+    # without carried state, including exact-gap boundaries.
+    import random
+
+    import numpy as np
+
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        _session_walk,
+    )
+
+    GAP = 3_600_000
+
+    def loop_walk(ms_list, start_ms, last_ms, n):
+        closed = []
+        for ms in ms_list:
+            if last_ms is not None and ms - last_ms > GAP:
+                closed.append((start_ms, n))
+                start_ms, n = None, 0
+            if start_ms is None:
+                start_ms = ms
+            last_ms = ms
+            n += 1
+        return closed, (start_ms, last_ms, n)
+
+    rng = random.Random(1714)
+    for trial in range(300):
+        base = rng.randrange(1_600_000_000_000, 1_700_000_000_000)
+        ms, t = [], base
+        for _ in range(rng.randrange(1, 40)):
+            # Mix sub-gap steps, the EXACT gap boundary (ties must not
+            # break), and super-gap jumps.
+            t += rng.choice([1, 17, GAP - 1, GAP, GAP + 1, 3 * GAP])
+            ms.append(t)
+        if rng.random() < 0.5:
+            state = (None, None, 0)  # fresh key
+        else:
+            s0 = base - rng.randrange(0, 2 * GAP)
+            state = (s0, base, rng.randrange(1, 9))  # carried session
+        got = _session_walk(np.asarray(ms, dtype="int64"), *state, GAP)
+        want = loop_walk(ms, *state)
+        assert got == want, (trial, state, ms[:5], got, want)
+
+
+def test_stream_state_store_sizing_policy():
+    # Round-14 sizing (guide §2.2): bytes-derived store count, capped at
+    # the session's parallelism, floored per operator class — JVM-state
+    # joins floor at 2 (per-store commit overhead dominates small
+    # state), Python-stateful operators floor at 8 (per-key Python work
+    # needs task parallelism). At scale the bytes-derived count governs
+    # for both.
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        _n_state_partitions,
+    )
+
+    mb = 1 << 20
+    # Small input: the floor binds (join floor 2, python floor 8).
+    assert _n_state_partitions(2 * mb, 32, 16 * mb, 2) == 2
+    assert _n_state_partitions(2 * mb, 32, 16 * mb, 8) == 8
+    # Large input: bytes-derived, capped at session parallelism —
+    # identical for both operator classes (floors never bind at scale).
+    assert _n_state_partitions(10_000 * mb, 32, 16 * mb, 2) == 32
+    assert _n_state_partitions(10_000 * mb, 32, 16 * mb, 8) == 32
+    # Mid-size input between floor and cap: exact ceil division.
+    assert _n_state_partitions(100 * mb, 32, 16 * mb, 2) == 7
+    # Denser per-store sizing (session windows, 4 MB/store).
+    assert _n_state_partitions(100 * mb, 32, 4 * mb, 8) == 25
+
+
 def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
     # st03/st04 hygiene: every invocation must clean up its source symlink
     # dir, checkpoint, and memory-sink view (a long-lived session calling
@@ -498,10 +569,16 @@ def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
         run_tumbling_stream,
     )
 
+    from equity_volatility_lakehouse_platform_spark.sources.scratch import (
+        scratch_base,
+    )
+
     def temp_dirs():
-        root = tf.gettempdir()
+        roots = {tf.gettempdir(), scratch_base() or tf.gettempdir()}
         return {
-            d for d in os.listdir(root)
+            (root, d)
+            for root in roots
+            for d in os.listdir(root)
             if d.startswith(("evstream_", "evstate_", "evdedup_"))
         }
 
