@@ -17,7 +17,9 @@ from equity_volatility_lakehouse_platform_spark.sources.readers import load_tabl
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 
-def dot(x: Column, y: Column, dims: int | None = None) -> Column:
+def dot(
+    x: Column | str, y: Column | str, dims: int | None = None
+) -> Column:
     """Dot product, bit-identical to a left-to-right SQL
     list_dot_product over the same doubles.
 
@@ -32,13 +34,30 @@ def dot(x: Column, y: Column, dims: int | None = None) -> Column:
     lsh_bucket_frame); this fold is for per-pair/per-candidate scoring
     whose volume the bucketing already bounded. ``dims`` keeps the
     unrolled variant available for narrow hot projections (unused by
-    default)."""
+    default).
+
+    STRING args take the parsed-SQL fast path (round 14 — the r6
+    driver-time recipe): building the two lambdas through the Column
+    API costs ~30 py4j round trips (~12 ms per dot() at bench scale,
+    48 sites in this module), while one F.expr parse is a single round
+    trip. The parsed ArrayAggregate is the identical expression —
+    property-tested bit-equal in tests/test_properties.py."""
     if dims is None:
+        if isinstance(x, str) and isinstance(y, str):
+            return F.expr(
+                f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+                f"0.0D, (acc, z) -> acc + z)"
+            )
+        x, y = F.col(x) if isinstance(x, str) else x, (
+            F.col(y) if isinstance(y, str) else y
+        )
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p * q),
             F.lit(0.0),
             lambda acc, z: acc + z,
         )
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
     out = F.element_at(x, 1) * F.element_at(y, 1)
     for i in range(2, dims + 1):
         out = out + F.element_at(x, i) * F.element_at(y, i)
@@ -192,12 +211,12 @@ def sim01_bruteforce_topk(
     # computed once, not once per query (Q-fold savings; float-identical:
     # dot/(sqrt*sqrt) evaluates in the same order).
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "v", F.sqrt(dot("v", "v")).alias("nv")
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (
@@ -243,7 +262,7 @@ def sim02_lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = 2) -> DataFr
 
 def _ivf_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb(spark, sf_dir).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "v", F.sqrt(dot("v", "v")).alias("nv")
     )
 
 
@@ -333,7 +352,7 @@ def ivf_probe(
 ) -> DataFrame:
     """Per-query top-``nprobe`` centroid probe set — a tiny branch (the
     vec_id filter pushes down to an ``n_queries``-row scan)."""
-    cosc = dot(F.col("v"), F.col("cv")) / F.nullif(
+    cosc = dot("v", "cv") / F.nullif(
         F.col("nv") * F.col("nc"), F.lit(0.0)
     )
     scored_q = (
@@ -625,7 +644,7 @@ def _ivf_lloyd_step(train: DataFrame, cb: DataFrame, dims: int = 64) -> DataFram
         "cid", F.coalesce("cvnew", "cv").alias("cv")
     )
     return upd.select(
-        "cid", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("nc")
+        "cid", "cv", F.sqrt(dot("cv", "cv")).alias("nc")
     )
 
 
@@ -836,8 +855,8 @@ def sim04_ivf_ann_topk(
     qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     cand = (
@@ -893,13 +912,13 @@ def sim03_lsh_ann_topk(
     emb = _emb(spark, sf_dir)
     bucketed = lsh_bucket_frame(emb.select("vec_id", "v"), bits).select(
         "vec_id", "v", "bucket",
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(dot("v", "v")).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (
@@ -974,13 +993,13 @@ def sim05_ann_recall(
     emb = _emb(spark, sf_dir)
     bucketed = lsh_bucket_frame(emb.select("vec_id", "v"), bits).select(
         "vec_id", "v", "bucket",
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(dot("v", "v")).alias("nv"),
     )
     q = bucketed.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -1073,13 +1092,13 @@ def ml12_knn_classify(
     # set is a fixed 5% sample — at 100 TB an eval set stays
     # broadcast-sized by construction; the corpus side only streams.
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "v", "label", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "v", "label", F.sqrt(dot("v", "v")).alias("nv")
     )
     q = emb.filter(F.col("vec_id") % eval_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("label").alias("true_label"), F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (
@@ -1350,9 +1369,9 @@ def ml23_knn_classify_ann(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv"),
         F.col("label").alias("true_label"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv"))
+        * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     cand = (
@@ -1623,10 +1642,16 @@ _PQ_SQL = (
 )
 
 
-def _ordered_fold(lst: Column, field: str) -> Column:
+def _ordered_fold(lst: Column | str, field: str) -> Column:
     """Left fold of ``lst``'s ``field`` values in the array's order —
     the Spark mirror of DuckDB ``list_reduce(list(x ORDER BY k), +)``
-    (0.0 + x1 == x1 exactly, so the explicit init changes nothing)."""
+    (0.0 + x1 == x1 exactly, so the explicit init changes nothing).
+    String ``lst`` takes the one-round-trip parsed path (see dot)."""
+    if isinstance(lst, str):
+        return F.expr(
+            f"aggregate(transform({lst}, e -> e.{field}), "
+            f"0.0D, (acc, val) -> acc + val)"
+        )
     return F.aggregate(
         F.transform(lst, lambda e: e[field]),
         F.lit(0.0),
@@ -1646,10 +1671,12 @@ def _pq_subspaces(emb: DataFrame, n_sub: int = 16) -> DataFrame:
     )
 
 
-def _pq_l2(x: Column, c: Column) -> Column:
+def _pq_l2(x: Column | str, c: Column | str) -> Column:
     # d = |x|^2 - 2<x,c> + |c|^2, same left-to-right shape as the SQL.
     # dims=None: subspace slices are 64/n_sub wide (variable), so these
     # stay on the fold — they are tiny (4 elements at the default).
+    # String args ride dot()'s parsed fast path (3 dots = 3 round
+    # trips instead of ~90).
     return (
         dot(x, x, dims=None)
         - F.lit(2) * dot(x, c, dims=None)
@@ -1663,7 +1690,7 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     the oracle's ORDER BY d, j."""
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "x", "j",
-        _pq_l2(F.col("x"), F.col("c")).alias("d"),
+        _pq_l2("x", "c").alias("d"),
     )
     return scored.groupBy("vec_id", "m").agg(
         F.min_by("j", F.struct("d", "j")).alias("j"),
@@ -1856,7 +1883,7 @@ def sim06_pq_ann_topk(
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("q_id"), F.col("m").alias("am"), "j",
-            _pq_l2(F.col("x"), F.col("c")).alias("dq"),
+            _pq_l2("x", "c").alias("dq"),
         )
     )
     # approx = ordered fold of the per-subspace lookups (by m) — the
@@ -1869,7 +1896,7 @@ def sim06_pq_ann_topk(
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("m", "dq"))).alias("lst"))
-        .select("q_id", "vec_id", _ordered_fold(F.col("lst"), "dq").alias("approx"))
+        .select("q_id", "vec_id", _ordered_fold("lst", "dq").alias("approx"))
     )
     w1 = Window.partitionBy("q_id").orderBy("approx", "vec_id")
     short = (
@@ -1879,8 +1906,8 @@ def sim06_pq_ann_topk(
     )
     # Exact re-rank: only now touch raw vectors — the tiny shortlist
     # broadcasts against the corpus scan.
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     qvec = emb.filter(F.col("vec_id") < n_queries).select(
@@ -1944,13 +1971,13 @@ def sim06_pq_ann_topk(
 def sim07_pq_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     ann = sim06_pq_ann_topk(spark, sf_dir, k=k).select("q_id", "vec_id")
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "v", F.sqrt(dot("v", "v")).alias("nv")
     )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -2154,7 +2181,7 @@ def _ivfadc_rerank(
         .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("aq"), F.col("m").alias("am"), "j",
-            _pq_l2(F.col("x"), F.col("c")).alias("dq"),
+            _pq_l2("x", "c").alias("dq"),
         )
     )
     appx = (
@@ -2169,7 +2196,7 @@ def _ivfadc_rerank(
         .groupBy("q_id", "vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("m", "dq"))).alias("lst"))
         .select(
-            "q_id", "vec_id", _ordered_fold(F.col("lst"), "dq").alias("approx")
+            "q_id", "vec_id", _ordered_fold("lst", "dq").alias("approx")
         )
     )
     w1 = Window.partitionBy("q_id").orderBy("approx", "vec_id")
@@ -2180,8 +2207,8 @@ def _ivfadc_rerank(
     )
     # Exact re-rank: late materialization — only the shortlist touches
     # raw vectors.
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     base = _emb(spark, sf_dir).select("vec_id", "v")
@@ -2218,7 +2245,7 @@ def sim09_ivfadc_recall(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -2441,13 +2468,13 @@ def sim10_mmr_diversify(
     # 1.0 - 0.7 is NOT the double literal 0.3 (it is 0.300...04), and
     # the oracle's 0.3 must be mirrored bit-exactly.
     emb = _emb(spark, sf_dir).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        "vec_id", "v", F.sqrt(dot("v", "v")).alias("nv")
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
     )
-    rel = dot(F.col("qv"), F.col("v")) / F.nullif(
+    rel = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("rel"), "vec_id")
@@ -2678,9 +2705,9 @@ def sim12_persisted_ivf_index(
     qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv"))
+        * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     scored = (
@@ -2947,13 +2974,13 @@ def sim14_radius_search(
         bits = max(2, ((base.count() - 1) // 256).bit_length())
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits).select(
         "vec_id", "v", "bucket",
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(dot("v", "v")).alias("nv"),
     )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qb"), F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     return (
@@ -3180,7 +3207,7 @@ def sim15_two_level_ivf_topk(
     # vector -> centroid WITHIN the super-cell: broadcast members join
     # (metadata-scale), map-side-partial argmax via min_by on
     # (-cos, mcid) == ORDER BY cos DESC, mcid LIMIT 1.
-    cosm = dot(F.col("v"), F.col("mcv")) / F.nullif(
+    cosm = dot("v", "mcv") / F.nullif(
         F.col("nv") * F.col("mnc"), F.lit(0.0)
     )
     scored = (
@@ -3205,7 +3232,7 @@ def sim15_two_level_ivf_topk(
     # member centroids restores sim04-grade coverage): top-nprobe_super
     # supers per query, then top-nprobe member centroids per probed
     # super. Both stages are query-side metadata work.
-    coss = dot(F.col("qv"), F.col("cv")) / F.nullif(
+    coss = dot("qv", "cv") / F.nullif(
         F.col("nq") * F.col("nc"), F.lit(0.0)
     )
     wqs = Window.partitionBy("q_id").orderBy(F.desc("coss"), "scid")
@@ -3224,7 +3251,7 @@ def sim15_two_level_ivf_topk(
         .filter(F.col("rn") <= nprobe_super)
         .select("q_id", "qv", "nq", "scid")
     )
-    cosq = dot(F.col("qv"), F.col("mcv")) / F.nullif(
+    cosq = dot("qv", "mcv") / F.nullif(
         F.col("nq") * F.col("mnc"), F.lit(0.0)
     )
     wq = Window.partitionBy("q_id", "scid").orderBy(F.desc("cosq"), "mcid")
@@ -3262,9 +3289,9 @@ def sim15_two_level_ivf_topk(
     qvec = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qq_id"), F.col("v").alias("qv")
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("v"), F.col("v"))),
+    cos = dot("qv", "v") / F.nullif(
+        F.sqrt(dot("qv", "qv"))
+        * F.sqrt(dot("v", "v")),
         F.lit(0.0),
     )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -3336,7 +3363,7 @@ def ml25_contrastive_mining(
 ) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "v", "label",
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
+        F.sqrt(dot("v", "v")).alias("nv"),
     )
     q = emb.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("q_id"),
@@ -3344,7 +3371,7 @@ def ml25_contrastive_mining(
         F.col("label").alias("q_label"),
         F.col("nv").alias("nq"),
     )
-    cos = dot(F.col("qv"), F.col("v")) / F.nullif(
+    cos = dot("qv", "v") / F.nullif(
         F.col("nq") * F.col("nv"), F.lit(0.0)
     )
     scored = (

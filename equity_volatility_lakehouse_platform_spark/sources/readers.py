@@ -91,7 +91,36 @@ def _require_conf(spark: SparkSession, key: str, want: str, ok_values: frozenset
     spark.conf.set(key, want)
 
 
+## Per-session plan memo (round 14, guide §7.3 driver time): building a
+## scan DataFrame costs a parquet footer read + schema analysis on the
+## DRIVER (~80 ms per call here), and plan builders call load_table for
+## the same (sf_dir, table) repeatedly — the sim08/sim11 chains alone
+## build the embeddings scan 5x per run (0.4 s of pure re-analysis).
+## The memo returns the SAME immutable DataFrame (a logical plan, never
+## data): every execution still scans the parquet files; nothing about
+## results, caching, or the conf side effects below changes (the confs
+## were asserted when the memoized plan was first built and persist for
+## the session — the documented contract). Keyed weakly per session so
+## a stopped session's plans are collectable.
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    global _PLAN_MEMO
+    if _PLAN_MEMO is None:
+        import weakref
+
+        _PLAN_MEMO = weakref.WeakKeyDictionary()
+    per_session = _PLAN_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per_session.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with proper TimestampType columns.
 
     Works on ANY SparkSession, not just the engine's own factory: a bare

@@ -234,6 +234,64 @@ def test_rounding_fast_path_bit_identical(spark):
         assert bad == 0, f"{fn.__name__}: {bad} bit mismatches"
 
 
+def test_dot_fast_path_bit_identical(spark):
+    # dot()/_ordered_fold()'s parsed-SQL fast path (round 14 — string
+    # args -> one F.expr round trip) must analyze to the SAME fold as
+    # the Column-API lambda builders: bit-identical sums on adversarial
+    # doubles where fold ORDER matters (catastrophic cancellation,
+    # tiny+huge mixes, signed zeros, infinities).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from equity_volatility_lakehouse_platform_spark.plans.similarity import (
+        _ordered_fold,
+        dot,
+    )
+
+    rng = np.random.default_rng(41)
+    n, d = 4000, 64
+    a = rng.uniform(-1e3, 1e3, (n, d))
+    b = rng.uniform(-1e3, 1e3, (n, d))
+    # Order-sensitive rows: alternating huge/tiny magnitudes, exact
+    # cancellation pairs, signed zeros, an infinity.
+    a[0], b[0] = [1e16, 1.0] * 32, [1.0, 1e-16] * 32
+    a[1], b[1] = [1.0, -1.0] * 32, [1e8, 1e8] * 32
+    a[2], b[2] = [-0.0] * 64, [0.0] * 64
+    a[3], b[3] = [float("inf")] + [1.0] * 63, [0.5] * 64
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": list(map(list, a)), "y": list(map(list, b))})
+    ).repartition(4)
+    fast, slow = dot("x", "y"), dot(F.col("x"), F.col("y"))
+    same = fast.eqNullSafe(slow) | (F.isnan(fast) & F.isnan(slow))
+    bad = df.select(
+        F.sum(F.when(same, 0).otherwise(1)).alias("n")
+    ).collect()[0][0]
+    assert bad == 0, f"dot fast path: {bad} bit mismatches"
+
+    sdf = df.select(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"),
+                        F.element_at("x", i + 1).alias("dq"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("lst")
+    )
+    fast2, slow2 = _ordered_fold("lst", "dq"), _ordered_fold(
+        F.col("lst"), "dq"
+    )
+    same2 = fast2.eqNullSafe(slow2) | (F.isnan(fast2) & F.isnan(slow2))
+    bad2 = sdf.select(
+        F.sum(F.when(same2, 0).otherwise(1)).alias("n")
+    ).collect()[0][0]
+    assert bad2 == 0, f"_ordered_fold fast path: {bad2} bit mismatches"
+
+
 @given(
     rows=st.lists(
         st.tuples(
