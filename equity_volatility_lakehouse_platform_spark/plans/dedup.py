@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
-from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table, table_rows
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6, r6s
 
 # DuckDB mirror of tokens/shingles (see operators/textops.py). Used by the
@@ -288,7 +288,7 @@ def d03_minhash_lsh_pairs(
         # One cheap metadata-scale count provisions (n_perm, b, r);
         # callers that already counted (snk21's index builder) pass it
         # through so the corpus is never counted twice per plan.
-        n_docs = load_table(spark, sf_dir, "documents").count()
+        n_docs = table_rows(sf_dir, "documents")
     n_perm = lsh_n_perm(n_docs)
     sig = signature_table(spark, sf_dir, sig_path, n_perm=n_perm)
     bands = lsh_band_frame(
@@ -397,7 +397,7 @@ def d05_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized table (sig_path), the band join shuffles 16-byte keys,
     # and the verify join ships shingle sets only for colliding docs.
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_rows(sf_dir, "documents")
     sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
     bands = lsh_band_frame(sig, n_docs)
     pairs = (
@@ -488,7 +488,7 @@ def d06_embedding_neardup(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if bits is None:
-        bits = max(2, ((emb.count() - 1) // 256).bit_length())
+        bits = max(2, ((table_rows(sf_dir, "embeddings") - 1) // 256).bit_length())
     bucketed = lsh_bucket_frame(emb, bits).select(
         "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
@@ -861,7 +861,7 @@ def d12_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-pair error feeds the permutations-vs-precision sizing
     # decision the same way sim05 feeds ANN probe sizing.
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_rows(sf_dir, "documents")
     sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
     bands = lsh_band_frame(sig, n_docs)
     pairs = (
@@ -949,7 +949,7 @@ def d13_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proposes, shingle sets verify); only the verification metric
     # changes — the denominators are each side's own set size.
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_rows(sf_dir, "documents")
     sig = signature_table(spark, sf_dir, n_perm=lsh_n_perm(n_docs))
     bands = lsh_band_frame(sig, n_docs)
     pairs = (
@@ -1510,7 +1510,7 @@ def d17_semantic_dedup(
         # deployment shape (cluster count proportional to the corpus,
         # not its square root). One cheap parquet count provisions it;
         # the guard stays as the backstop for pathological skew.
-        n_centroids = max(4, (emb.count() + 255) // 256)
+        n_centroids = max(4, (table_rows(sf_dir, "embeddings") + 255) // 256)
     cent = ivf_train_centroids(
         emb, n_centroids=n_centroids, iters=2
     ).localCheckpoint(eager=False)
@@ -2064,7 +2064,7 @@ def d24_semantic_decontamination(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     if bits is None:
-        bits = max(2, ((emb.count() - 1) // 256).bit_length())
+        bits = max(2, ((table_rows(sf_dir, "embeddings") - 1) // 256).bit_length())
     bucketed = lsh_bucket_frame(emb, bits).select(
         "vec_id", "v", "bucket",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv"),
@@ -2223,11 +2223,12 @@ def d26_dedup_first_lsh(
         )
         .localCheckpoint(eager=False)
     )
-    # The n_perm/banding ladder input rides the digest groupBy
-    # (sum(n_copies) == count(*), and materializing grp here warms the
-    # checkpoint every consumer needs anyway) instead of a separate
-    # full-scan count job (round-14 optimization).
-    n_docs = grp.agg(F.sum("n_copies")).first()[0] or 0
+    # The n_perm/banding ladder input is the corpus row count, read
+    # from parquet footer metadata (round 15): building this plan fires
+    # NO job — the round-14 shape still ran the digest groupBy eagerly
+    # at build time, a full scan per build at 100 TB. The grp checkpoint
+    # now materializes at first execution instead.
+    n_docs = table_rows(sf_dir, "documents")
     n_perm = lsh_n_perm(n_docs)
     mh_cols = [f"mh{i}" for i in range(n_perm)]
     # ``sig_path``: serve signatures from a materialized index (the

@@ -13,8 +13,23 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
-from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table, table_rows
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
+
+import re as _re
+
+_SIMPLE_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _assert_simple_ident(name: str) -> None:
+    """The parsed-expr fast paths interpolate column names into SQL
+    text; names are additionally backtick-quoted, but reject anything
+    that is not a simple identifier outright so a keyword/injection-
+    shaped name can never reach the parser."""
+    if not _SIMPLE_IDENT.match(name):
+        raise ValueError(
+            f"expected a simple column identifier, got {name!r}"
+        )
 
 
 def dot(
@@ -44,8 +59,10 @@ def dot(
     property-tested bit-equal in tests/test_properties.py."""
     if dims is None:
         if isinstance(x, str) and isinstance(y, str):
+            _assert_simple_ident(x)
+            _assert_simple_ident(y)
             return F.expr(
-                f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+                f"aggregate(zip_with(`{x}`, `{y}`, (p, q) -> p * q), "
                 f"0.0D, (acc, z) -> acc + z)"
             )
         x, y = F.col(x) if isinstance(x, str) else x, (
@@ -1321,7 +1338,7 @@ def ml23_knn_classify_ann(
         # contract, dedup.py) — one cheap count job provisions
         # ~256-vector inverted lists at every corpus scale; floor 4
         # keeps tiny fixtures meaningful.
-        n_centroids = max(4, (emb.count() + 255) // 256)
+        n_centroids = max(4, (table_rows(sf_dir, "embeddings") + 255) // 256)
     cent = ivf_train_centroids(
         emb, n_centroids=n_centroids, iters=2
     ).localCheckpoint(eager=False)
@@ -1648,8 +1665,10 @@ def _ordered_fold(lst: Column | str, field: str) -> Column:
     (0.0 + x1 == x1 exactly, so the explicit init changes nothing).
     String ``lst`` takes the one-round-trip parsed path (see dot)."""
     if isinstance(lst, str):
+        _assert_simple_ident(lst)
+        _assert_simple_ident(field)
         return F.expr(
-            f"aggregate(transform({lst}, e -> e.{field}), "
+            f"aggregate(transform(`{lst}`, e -> e.`{field}`), "
             f"0.0D, (acc, val) -> acc + val)"
         )
     return F.aggregate(
@@ -2834,7 +2853,7 @@ def sim13_knn_graph(
         # in-bucket pair join linear in corpus size (the first 100x
         # spot of the fixed bits=2 default hit ~10^10 pairs at 200k
         # vectors — exactly the cliff this knob exists to prevent).
-        n = base.count()
+        n = table_rows(sf_dir, "embeddings")
         bits = max(2, ((n - 1) // 256).bit_length())
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits)
 
@@ -2971,7 +2990,7 @@ def sim14_radius_search(
     base = _emb(spark, sf_dir)
     if bits is None:
         # sim13's auto-provisioning: ~256-vector buckets at any corpus.
-        bits = max(2, ((base.count() - 1) // 256).bit_length())
+        bits = max(2, ((table_rows(sf_dir, "embeddings") - 1) // 256).bit_length())
     emb = lsh_bucket_frame(base.select("vec_id", "v"), bits).select(
         "vec_id", "v", "bucket",
         F.sqrt(dot("v", "v")).alias("nv"),
@@ -3176,7 +3195,7 @@ def sim15_two_level_ivf_topk(
 
     emb = _ivf_emb(spark, sf_dir)
     if n_centroids is None:
-        n_centroids = max(4, (emb.count() + 255) // 256)
+        n_centroids = max(4, (table_rows(sf_dir, "embeddings") + 255) // 256)
     k2 = max(2, math.ceil(math.sqrt(n_centroids)))
 
     cent = ivf_train_centroids(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r2, r6
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
 from equity_volatility_lakehouse_platform_spark.sources.acid import AcidTable
-from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table, table_rows
 from equity_volatility_lakehouse_platform_spark.sources.sinks import (
     session_scratch,
     write_partitioned,
@@ -1021,7 +1021,7 @@ def snk21_minhash_signature_index(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_rows(sf_dir, "documents")
     n_perm = lsh_n_perm(n_docs)
     path = session_scratch("snk21", sf_dir) + "/sig_index"
     tx.minhash_signature(docs, n_perm=n_perm).write.mode(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from equity_volatility_lakehouse_platform_spark.operators import textops as tx
 from equity_volatility_lakehouse_platform_spark.plans.registry import register
-from equity_volatility_lakehouse_platform_spark.sources.readers import load_table
+from equity_volatility_lakehouse_platform_spark.sources.readers import load_table, table_rows
 from equity_volatility_lakehouse_platform_spark.functions.rounding import r6
 
 _LEX = {
@@ -1603,7 +1603,7 @@ def pack_nshard(n_docs: int) -> int:
 )
 def t19_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    nshard = pack_nshard(docs.count())
+    nshard = pack_nshard(table_rows(sf_dir, "documents"))
     d = docs.select(
         "doc_id",
         F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tok"),

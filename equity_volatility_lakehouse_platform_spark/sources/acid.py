@@ -580,19 +580,26 @@ class AcidTable:
             schema_src = updates.drop(tombstone_col)
         else:
             schema_src = updates
-        dup = (
-            updates.groupBy(*keys)
+        # ONE keys-only pass over the source batch (round 15, guide
+        # §2.1): the key aggregate is pinned executor-side so the dup
+        # gate, the copy-on-write file probe, and the survivor
+        # anti-join all consume the SAME materialized key set instead
+        # of each re-scanning the source. Runs BEFORE any data file is
+        # written — the fail-before-any-file-lands contract holds.
+        key_counts = (
+            updates.select(*keys)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .collect()
+            .localCheckpoint(eager=True)
         )
+        dup = key_counts.filter(F.col("_n") > 1).limit(1).collect()
         if dup:
             raise ValueError(
                 f"merge_upsert source has multiple rows for key "
                 f"{dict(zip(keys, [dup[0][k] for k in keys]))} — the "
                 "matched-row update image would be nondeterministic"
             )
+        key_df = key_counts.drop("_n")
         for _ in range(max_retries):
             latest = self.latest_version()
             if latest is None:
@@ -620,7 +627,6 @@ class AcidTable:
                     f"retyped={retyped}) — merge does no implicit "
                     "evolution; use append for schema-widening loads"
                 )
-            key_df = updates.select(*keys)
             affected: set[str] = set()
             if manifest["files"]:
                 paths = [os.path.join(self.root, f) for f in manifest["files"]]
@@ -643,8 +649,21 @@ class AcidTable:
                     .parquet(*apaths)
                     .join(key_df, keys, "left_anti")
                 )
-                new_files += self._write_data(survivors)
-            new_files += self._write_data(landing)
+                # The survivor rewrite and the landing write are
+                # INDEPENDENT jobs into separate immutable dirs —
+                # submit both so the second back-fills the first's
+                # straggler tail (guide §2.6); the commit below still
+                # waits for both, so atomicity is unchanged and a
+                # failure of either aborts before any manifest lands.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fut_s = pool.submit(self._write_data, survivors)
+                    fut_l = pool.submit(self._write_data, landing)
+                    new_files += fut_s.result()
+                    new_files += fut_l.result()
+            else:
+                new_files += self._write_data(landing)
             try:
                 self._try_commit(
                     latest + 1,

@@ -54,6 +54,19 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+@lru_cache(maxsize=256)
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a base table from parquet footer METADATA —
+    the statistics a table-format manifest would publish. Driver-side
+    footer read, NO Spark job: plan-shaping counts (LSH permutation
+    ladders, auto bucket bits, centroid provisioning) must not fire a
+    full scan per plan BUILD at 100 TB (round 15, guide §5)."""
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 # Session timezone spellings the engine accepts as "UTC wall-clock".
 _UTC_ALIASES = frozenset({"UTC", "Etc/UTC", "GMT", "Z", "+00:00", "UTC+00:00", "GMT+00:00"})
 
@@ -117,7 +130,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = _load_table_uncached(spark, sf_dir, name)
         per_session[key] = df
+    else:
+        # The memo skips the footer read + plan analysis, NOT the conf
+        # contract: timestamp semantics are execution-time, so a
+        # co-resident workload that repoints the session timezone after
+        # the first load must still raise at the read site. These are
+        # conf-only checks (_nano_ts_columns is lru_cached — no I/O).
+        _assert_session_confs(spark, os.path.join(sf_dir, f"{name}.parquet"))
     return df
+
+
+def _assert_session_confs(spark: SparkSession, path: str) -> None:
+    """Pin (and fail-loud-verify) the session confs a table read relies on."""
+    if _nano_ts_columns(path):
+        # Without this a vectorized parquet read of INT64 TIMESTAMP(NANOS)
+        # throws; with it the column arrives as a long we repair below.
+        _require_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Oracle comparisons are tz-naive; all timestamp extraction must agree
+    # with DuckDB's wall-clock view of the same micros values.
+    _require_conf(
+        spark, "spark.sql.session.timeZone", "UTC", ok_values=_UTC_ALIASES
+    )
+    # Files written as isAdjustedToUTC=false micros would otherwise infer
+    # TIMESTAMP_NTZ, and the repair cast below — while value-identical
+    # under the UTC session — blocks parquet filter pushdown on every
+    # timestamp predicate and adds a per-row cast. Reading them directly
+    # as TimestampType is free and pushdown-friendly.
+    _require_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -139,21 +178,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     (never a silent overwrite) — see ``_require_conf``.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if _nano_ts_columns(path):
-        # Without this a vectorized parquet read of INT64 TIMESTAMP(NANOS)
-        # throws; with it the column arrives as a long we repair below.
-        _require_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Oracle comparisons are tz-naive; all timestamp extraction must agree
-    # with DuckDB's wall-clock view of the same micros values.
-    _require_conf(
-        spark, "spark.sql.session.timeZone", "UTC", ok_values=_UTC_ALIASES
-    )
-    # Files written as isAdjustedToUTC=false micros would otherwise infer
-    # TIMESTAMP_NTZ, and the repair cast below — while value-identical
-    # under the UTC session — blocks parquet filter pushdown on every
-    # timestamp predicate and adds a per-row cast. Reading them directly
-    # as TimestampType is free and pushdown-friendly.
-    _require_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _assert_session_confs(spark, path)
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         # nanos -> micros with integer `div` (float division would lose

@@ -29,15 +29,48 @@ files live.
 from __future__ import annotations
 
 import os
+import warnings
+
+# RAM-backed scratch is only safe while the artifacts stay a small
+# fraction of the tmpfs: streaming state/checkpoints at bench SFs are a
+# few MB, but a larger-than-bench state store on a RAM-limited host
+# would ENOSPC where disk /tmp worked. Require this much free space on
+# /dev/shm before electing it as the DEFAULT (an explicit
+# $EVLP_SCRATCH_DIR is the operator's call and skips the size check).
+_SHM_MIN_FREE_BYTES = 1 << 30  # 1 GiB
+
+
+def _dir_usable(path: str) -> bool:
+    return os.path.isdir(path) and os.access(path, os.W_OK)
+
+
+def _free_bytes(path: str) -> int:
+    st = os.statvfs(path)
+    return st.f_bavail * st.f_frsize
 
 
 def scratch_base() -> str | None:
     """Directory to pass as ``dir=`` to ``tempfile.mkdtemp`` for
-    ephemeral engine scratch; ``None`` means tempfile's default."""
+    ephemeral engine scratch; ``None`` means tempfile's default.
+
+    ``$EVLP_SCRATCH_DIR`` is validated (exists + writable) and falls
+    back with a warning instead of poisoning every later mkdtemp with
+    FileNotFoundError. ``/dev/shm`` is only auto-selected while it has
+    ``_SHM_MIN_FREE_BYTES`` free — a RAM-squeezed host degrades to the
+    tempfile default (disk /tmp) rather than ENOSPC mid-query."""
     env = os.environ.get("EVLP_SCRATCH_DIR")
     if env:
-        return env
+        if _dir_usable(env):
+            return env
+        warnings.warn(
+            f"EVLP_SCRATCH_DIR={env!r} is not a writable directory; "
+            "falling back to default scratch resolution",
+            stacklevel=2,
+        )
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+    try:
+        if _dir_usable(shm) and _free_bytes(shm) >= _SHM_MIN_FREE_BYTES:
+            return shm
+    except OSError:
+        pass
     return None

@@ -80,13 +80,14 @@ def main() -> None:
             _make_stream(), _make_stream
         )
         name = f"{prefix}{uuid.uuid4().hex[:8]}"
-        bytes_per_store = kw.get("bytes_per_store", 16 << 20)
-        n_state = max(
-            8,
-            min(
-                int(spark.conf.get("spark.sql.shuffle.partitions")),
-                -(-es._input_bytes(path) // bytes_per_store),
-            ),
+        # Mirror the engine's own sizing policy exactly (incl. the
+        # per-operator min_stores floor) so the profile measures the
+        # state-store layout production actually runs.
+        n_state = es._n_state_partitions(
+            es._input_bytes(path),
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            kw.get("bytes_per_store", 16 << 20),
+            kw.get("min_stores", 8),
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n_state))

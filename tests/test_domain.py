@@ -557,6 +557,33 @@ def test_stream_state_store_sizing_policy():
     assert _n_state_partitions(100 * mb, 32, 4 * mb, 8) == 25
 
 
+def test_scratch_base_fallback_decisions(monkeypatch, tmp_path):
+    # Round-15 hardening: a misconfigured $EVLP_SCRATCH_DIR must warn
+    # and fall back (not poison every mkdtemp with FileNotFoundError),
+    # and /dev/shm is only auto-selected with real headroom — a
+    # RAM-squeezed host degrades to disk /tmp instead of ENOSPC.
+    import pytest as _pytest
+
+    from equity_volatility_lakehouse_platform_spark.sources import scratch
+
+    monkeypatch.setenv("EVLP_SCRATCH_DIR", str(tmp_path))
+    assert scratch.scratch_base() == str(tmp_path)
+
+    monkeypatch.setenv("EVLP_SCRATCH_DIR", str(tmp_path / "missing"))
+    with _pytest.warns(UserWarning, match="EVLP_SCRATCH_DIR"):
+        got = scratch.scratch_base()
+    assert got != str(tmp_path / "missing")
+
+    monkeypatch.delenv("EVLP_SCRATCH_DIR", raising=False)
+    monkeypatch.setattr(scratch, "_free_bytes", lambda p: 0)
+    assert scratch.scratch_base() is None
+    monkeypatch.setattr(
+        scratch, "_free_bytes", lambda p: scratch._SHM_MIN_FREE_BYTES
+    )
+    expected = "/dev/shm" if scratch._dir_usable("/dev/shm") else None
+    assert scratch.scratch_base() == expected
+
+
 def test_streaming_runs_leave_no_temp_artifacts(spark, sf_dir):
     # st03/st04 hygiene: every invocation must clean up its source symlink
     # dir, checkpoint, and memory-sink view (a long-lived session calling
