@@ -39,6 +39,7 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
 
+    checksummed_fs = os.environ.get("EVLP_LOCAL_FS_CHECKSUM") == "1"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -77,10 +78,32 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/evlp-spark-warehouse"),
         )
+        # Raw local filesystem for file:// I/O (round 15, guide §6):
+        # Hadoop's default LocalFileSystem is CHECKSUMMED — every file
+        # write also writes a .crc sidecar and every read re-verifies
+        # it. For this engine's file:// surfaces (streaming checkpoint
+        # + state-store delta files, ACID table data/manifest files,
+        # scratch parquet) that doubles the small-file count on the
+        # hot commit path; the interleaved whole-process A/B measured
+        # snk09 0.6x, snk10 0.55x, st14/st21 ~0.9x with bit-identical
+        # results. Cluster-neutral: hdfs:///s3a:// paths resolve their
+        # own implementations (HDFS datanodes own integrity there), so
+        # this only governs local-disk I/O, where the kernel's page
+        # cache + device CRCs already cover the integrity story the
+        # sidecars duplicate. EVLP_LOCAL_FS_CHECKSUM=1 restores the
+        # checksummed default (applied below, outside the chain).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
     )
+    if not checksummed_fs:
+        builder = builder.config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        ).config(
+            "spark.hadoop.fs.AbstractFileSystem.file.impl",
+            "org.apache.hadoop.fs.local.RawLocalFs",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -532,6 +532,69 @@ def test_st17_vectorized_sessionize_matches_loop():
         assert got == want, (trial, state, ms[:5], got, want)
 
 
+def test_st17_chunked_sessionize_matches_pandas_sort():
+    # Round-15: st17's per-key pd.concat + sort_values became one
+    # lexsort over the two needed columns (_sessionize_chunks).
+    # Differential guard — the retired pandas path re-run against the
+    # chunked lexsort over randomized multi-chunk batches with ts ties
+    # (secondary event_id order must match) and carried state.
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from equity_volatility_lakehouse_platform_spark.streaming.events_stream import (
+        _session_walk,
+        _sessionize_chunks,
+    )
+
+    GAP = 3_600_000
+
+    def pandas_path(pdfs, state):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ms_a = (
+            rows["ts"].to_numpy("datetime64[ns]").astype("int64")
+            // 1_000_000
+        )
+        return _session_walk(ms_a, *state, GAP)
+
+    rng = random.Random(2317)
+    for trial in range(200):
+        base = rng.randrange(1_600_000_000_000, 1_700_000_000_000)
+        ms, t = [], base
+        for _ in range(rng.randrange(1, 50)):
+            # Sub-gap steps, exact-gap boundaries, super-gap jumps, and
+            # REPEATED timestamps (the tie the secondary sort key breaks).
+            t += rng.choice([0, 0, 1, 17, GAP - 1, GAP, GAP + 1, 3 * GAP])
+            ms.append(t)
+        rng.shuffle(ms)
+        eids = rng.sample(range(10_000_000), len(ms))
+        rows = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(np.array(ms, dtype="int64"), unit="ms"),
+                "event_id": np.array(eids, dtype="int64"),
+                "user_id": np.int64(7),
+                "value": 1.0,
+            }
+        )
+        # Split into 1-3 chunks (the pdfs iterator shape).
+        n_chunks = rng.randrange(1, 4)
+        bounds = sorted(rng.sample(range(len(rows) + 1), n_chunks - 1))
+        chunks, lo = [], 0
+        for b in bounds + [len(rows)]:
+            chunks.append(rows.iloc[lo:b])
+            lo = b
+        chunks = [c for c in chunks if len(c)] or [rows]
+        if rng.random() < 0.5:
+            state = (None, None, 0)
+        else:
+            s0 = base - rng.randrange(0, 2 * GAP)
+            state = (s0, base, rng.randrange(1, 9))
+        got = _sessionize_chunks(chunks, *state, GAP)
+        want = pandas_path(chunks, state)
+        assert got == want, (trial, state, got, want)
+
+
 def test_stream_state_store_sizing_policy():
     # Round-14 sizing (guide §2.2): bytes-derived store count, capped at
     # the session's parallelism, floored per operator class — JVM-state
